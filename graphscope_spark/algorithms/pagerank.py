@@ -1,0 +1,205 @@
+"""PageRank — the flagship iterative DataFrame job.
+
+Two variants, mirroring the reference's two in-repo semantics
+(SURVEY.md §2.2, §7.3 risk 2):
+
+* :func:`pagerank` — NetworkX-exact tolerance-based variant, the semantics of
+  ``apps/pagerank/pagerank_networkx.h:54-163`` in the reference: init
+  ``p = 1/N`` (:62), contribution ``rank/out_weight`` (:111), base
+  ``(1-α)/N + α·dangling_sum/N`` (:117), update ``r = α·Σ_in + base``
+  (:118-132), dangling mass from out-degree-0 vertices (:82-85,159), stop when
+  ``Σ|Δ| < tol·N`` (:135-148). ``N`` counts *all* vertices from the vertex
+  table, not just edge endpoints (:58 ``GetTotalVerticesNum``).
+* :func:`pagerank_ldbc` — fixed-round LDBC Graphalytics variant
+  (``grape::PageRank``, run_app.h:342-358): identical update rule, exactly
+  ``rounds`` iterations, no convergence test.
+
+Execution plan (per superstep, steady state, ``mode="dataframe"``):
+
+    contribs = links ⋈ ranks        -- zero-shuffle: links persisted
+                                    --   hash(src, P); ranks arrive already
+                                    --   hash(id, P) from the previous round
+    msgs     = contribs.groupBy(dst).sum   -- THE shuffle (== MPI exchange);
+                                    -- map-side partial agg combines per task
+    ranks'   = ranks ⋈ msgs (left)  -- zero-shuffle: both hash-partitioned
+    eps, ds  = ranks'.agg(...)      -- driver all-reduce
+                                    --   (== grape::Communicator::Sum,
+                                    --    pagerank_networkx.h:85,146)
+
+so each superstep moves exactly one message-table's worth of data — the same
+communication volume as grape's MPI all-to-all.
+
+``mode="csr"`` replaces the gather join with a partition-local sparse
+gather-scatter over CSR blocks inside ``applyInPandas`` (engine/csr.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from graphscope_spark.engine.superstep import SuperstepResult, run_supersteps
+from graphscope_spark.graph.graph import Graph
+
+__all__ = ["pagerank", "pagerank_ldbc"]
+
+
+def pagerank(
+    graph: Graph,
+    alpha: float = 0.85,
+    max_iter: int = 100,
+    tol: float = 1e-6,
+    weight_col: str | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
+    resume: bool = True,
+    mode: str = "dataframe",
+    return_result: bool = False,
+) -> DataFrame | SuperstepResult:
+    """NetworkX-exact PageRank. Returns ``(id, pagerank)``; scores sum to 1."""
+    res = _pagerank_loop(
+        graph,
+        alpha=alpha,
+        max_iter=max_iter,
+        tol=tol,
+        weight_col=weight_col,
+        checkpoint_dir=checkpoint_dir,
+        checkpoint_every=checkpoint_every,
+        resume=resume,
+        mode=mode,
+    )
+    if return_result:
+        return res
+    return res.state.select("id", F.col("rank").alias("pagerank"))
+
+
+def pagerank_ldbc(
+    graph: Graph,
+    damping: float = 0.85,
+    rounds: int = 10,
+    weight_col: str | None = None,
+    mode: str = "dataframe",
+) -> DataFrame:
+    """Fixed-round LDBC/grape PageRank (no convergence test)."""
+    res = _pagerank_loop(
+        graph,
+        alpha=damping,
+        max_iter=rounds,
+        tol=0.0,
+        weight_col=weight_col,
+        checkpoint_dir=None,
+        checkpoint_every=0,
+        resume=False,
+        mode=mode,
+    )
+    return res.state.select("id", F.col("rank").alias("pagerank"))
+
+
+def _pagerank_loop(
+    graph: Graph,
+    alpha: float,
+    max_iter: int,
+    tol: float,
+    weight_col: str | None,
+    checkpoint_dir: str | None,
+    checkpoint_every: int,
+    resume: bool,
+    mode: str,
+) -> SuperstepResult:
+    P = graph.num_partitions
+    n = graph.num_vertices
+
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    ew = graph.edges.select("src", "dst", w.alias("w"))
+    out_w = ew.groupBy("src").agg(F.sum("w").alias("wdeg"))
+    # Static per-edge transition shares, co-located with the src fragment.
+    links = (
+        ew.join(out_w, "src")
+        .select("src", "dst", (F.col("w") / F.col("wdeg")).alias("share"))
+        .repartition(P, "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    csr_blocks = None
+    if mode == "csr":
+        from graphscope_spark.engine.csr import build_csr_blocks
+
+        csr_blocks = build_csr_blocks(links, P)
+
+    def init() -> DataFrame:
+        # dangling flag is part of the state so a resumed run needs no
+        # side-table (north rule: resumable from checkpoint alone).
+        return (
+            graph.vertices.select("id")
+            .join(out_w.withColumnRenamed("src", "id"), "id", "left")
+            .select(
+                "id",
+                F.lit(1.0 / n).alias("rank"),
+                F.col("wdeg").isNull().alias("dangling"),
+            )
+            .repartition(P, "id")
+        )
+
+    # Driver-carried scalar (grape all-reduce result). None → recompute from
+    # state, which happens on the first round and after a resume.
+    ds_cell: list[float | None] = [None]
+
+    def body(state: DataFrame, rnd: int) -> tuple[DataFrame, dict]:
+        if ds_cell[0] is None:
+            ds_cell[0] = (
+                state.filter("dangling").agg(F.sum("rank")).collect()[0][0] or 0.0
+            )
+        ds = ds_cell[0]
+        base = alpha * ds / n + (1.0 - alpha) / n
+
+        if mode == "csr":
+            from graphscope_spark.engine.csr import csr_messages
+
+            msgs = csr_messages(csr_blocks, state.select("id", "rank"), P)
+        else:
+            msgs = (
+                links.join(state.select("id", "rank"), links.src == F.col("id"))
+                .select(F.col("dst"), (F.col("share") * F.col("rank")).alias("contrib"))
+                .groupBy("dst")
+                .agg(F.sum("contrib").alias("msg"))
+            )
+
+        new_rank = alpha * F.coalesce(F.col("msg"), F.lit(0.0)) + F.lit(base)
+        new_state = (
+            state.join(msgs, state.id == msgs.dst, "left")
+            .select(
+                state.id.alias("id"),
+                new_rank.alias("rank"),
+                "dangling",
+                F.abs(new_rank - state.rank).alias("delta"),
+            )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+
+        row = new_state.agg(
+            F.sum("delta").alias("eps"),
+            F.sum(F.when(F.col("dangling"), F.col("rank")).otherwise(0.0)).alias("ds"),
+        ).collect()[0]
+        eps = row["eps"] or 0.0
+        ds_cell[0] = row["ds"] or 0.0
+
+        converged = tol > 0 and eps < n * tol
+        return new_state, {
+            "converged": converged,
+            "eps": eps,
+            "dangling_sum": ds_cell[0],
+        }
+
+    try:
+        return run_supersteps(
+            init,
+            body,
+            max_rounds=max_iter,
+            checkpoint_dir=checkpoint_dir,
+            checkpoint_every=checkpoint_every or 5,
+            resume=resume,
+        )
+    finally:
+        links.unpersist()
+        if csr_blocks is not None:
+            csr_blocks.unpersist()

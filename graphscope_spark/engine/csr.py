@@ -1,0 +1,143 @@
+"""Partition-local CSR gather-scatter kernels (Arrow → numpy, no per-row Python).
+
+The Spark rendering of GraphScope's fragment adjacency: the reference packs
+each fragment's out-edges as CSR offset arrays over Arrow buffers
+(core/fragment/arrow_projected_fragment.h:857-931). Here each *Spark
+partition of the edge table* (part = pmod(xxhash64(src), P), the
+HashPartitioner of docs/frag_intro.md:27) is packed once into CSR block rows
+— ``(part, src_ids, indptr, dsts, shares)`` — persisted co-located by part.
+
+Per superstep, ``csr_messages`` cogroups the static blocks with the current
+rank state (both hash-partitioned on ``part``, so neither side reshuffles)
+and runs a vectorized gather-scatter in numpy over the Arrow-backed pandas
+batches:
+
+    gather :  r[src]  via np.searchsorted into the partition's rank vector
+    scatter:  contrib = repeat(r, outdeg) * share, combined locally by dst
+              (the map-side combine of grape's message manager)
+
+followed by the one real shuffle: groupBy(dst).sum of the pre-combined
+messages. Blocks are chunked at ``max_edges_per_block`` so a single Arrow
+row never exceeds batch limits at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+__all__ = ["build_csr_blocks", "csr_messages"]
+
+_BLOCK_SCHEMA = (
+    "part long, src_ids array<long>, indptr array<long>, "
+    "dsts array<long>, shares array<double>"
+)
+
+
+def build_csr_blocks(
+    links: DataFrame, num_partitions: int, max_edges_per_block: int = 2_000_000
+) -> DataFrame:
+    """Pack ``links (src, dst, share)`` into per-partition CSR block rows."""
+
+    def pack(pdf):
+        import numpy as np
+        import pandas as pd
+
+        part = int(pdf["part"].iloc[0])
+        pdf = pdf.sort_values(["src", "dst"], kind="mergesort")
+        src = pdf["src"].to_numpy(dtype=np.int64)
+        dst = pdf["dst"].to_numpy(dtype=np.int64)
+        share = pdf["share"].to_numpy(dtype=np.float64)
+        uniq, counts = np.unique(src, return_counts=True)
+        rows = []
+        # Chunk on src boundaries so each block is a self-contained CSR.
+        start_v = 0
+        while start_v < len(uniq):
+            end_v = start_v
+            edges = 0
+            while end_v < len(uniq) and edges + counts[end_v] <= max_edges_per_block:
+                edges += counts[end_v]
+                end_v += 1
+            if end_v == start_v:  # one src exceeds the cap: take it whole
+                edges = counts[start_v]
+                end_v = start_v + 1
+            lo = int(counts[:start_v].sum())
+            hi = lo + int(edges)
+            indptr = np.zeros(end_v - start_v + 1, dtype=np.int64)
+            np.cumsum(counts[start_v:end_v], out=indptr[1:])
+            rows.append(
+                {
+                    "part": part,
+                    "src_ids": uniq[start_v:end_v],
+                    "indptr": indptr,
+                    "dsts": dst[lo:hi],
+                    "shares": share[lo:hi],
+                }
+            )
+            start_v = end_v
+        return pd.DataFrame(
+            rows, columns=["part", "src_ids", "indptr", "dsts", "shares"]
+        )
+
+    blocks = (
+        links.withColumn(
+            "part", F.pmod(F.xxhash64(F.col("src")), F.lit(num_partitions))
+        )
+        .groupBy("part")
+        .applyInPandas(pack, _BLOCK_SCHEMA)
+        .repartition(num_partitions, "part")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    blocks.count()
+    return blocks
+
+
+def csr_messages(blocks: DataFrame, ranks: DataFrame, num_partitions: int) -> DataFrame:
+    """One superstep's messages: ``(dst, msg)`` pre-combined per partition.
+
+    ``ranks`` must have columns (id, rank). Output needs a final
+    ``groupBy(dst).agg(sum(msg))`` by the caller — kept outside so callers
+    can fuse further aggregates into that shuffle.
+    """
+
+    def gather_scatter(blocks_pdf, ranks_pdf):
+        import numpy as np
+        import pandas as pd
+
+        if len(blocks_pdf) == 0 or len(ranks_pdf) == 0:
+            return pd.DataFrame({"dst": pd.Series(dtype="int64"),
+                                 "msg": pd.Series(dtype="float64")})
+        ids = ranks_pdf["id"].to_numpy(dtype=np.int64)
+        rk = ranks_pdf["rank"].to_numpy(dtype=np.float64)
+        order = np.argsort(ids, kind="mergesort")
+        ids, rk = ids[order], rk[order]
+
+        out_dst, out_msg = [], []
+        for row in blocks_pdf.itertuples(index=False):
+            src_ids = np.asarray(row.src_ids, dtype=np.int64)
+            indptr = np.asarray(row.indptr, dtype=np.int64)
+            dsts = np.asarray(row.dsts, dtype=np.int64)
+            shares = np.asarray(row.shares, dtype=np.float64)
+            pos = np.searchsorted(ids, src_ids)
+            r = rk[pos]
+            contrib = np.repeat(r, np.diff(indptr)) * shares
+            out_dst.append(dsts)
+            out_msg.append(contrib)
+        dst = np.concatenate(out_dst)
+        msg = np.concatenate(out_msg)
+        # Local combine by dst (map-side combine) before the shuffle.
+        uniq, inv = np.unique(dst, return_inverse=True)
+        sums = np.bincount(inv, weights=msg, minlength=len(uniq))
+        return pd.DataFrame({"dst": uniq, "msg": sums})
+
+    ranks_p = ranks.withColumn(
+        "part", F.pmod(F.xxhash64(F.col("id")), F.lit(num_partitions))
+    )
+    return (
+        blocks.groupby("part")
+        .cogroup(ranks_p.groupby("part"))
+        .applyInPandas(gather_scatter, "dst long, msg double")
+        .groupBy("dst")
+        .agg(F.sum("msg").alias("msg"))
+    )
