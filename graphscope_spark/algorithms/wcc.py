@@ -1,0 +1,87 @@
+"""Weakly connected components — min-label frontier propagation.
+
+Semantics of the reference's ``apps/projected/wcc_projected.h:70-182``:
+every vertex starts labeled with its own id; each round, *changed* vertices
+(the frontier, ``curr_modified`` gating at :140-144) push their label to all
+undirected neighbors; a vertex adopts the minimum label it hears; convergence
+when no label changes. The final label of a component is the minimum vertex
+id in it — exact-match comparable (test_app.py:189-197).
+
+Plan per superstep: frontier ⋈ edges → groupBy(dst).min (the one shuffle) →
+left-join update. Rounds = component diameter; for web/link graphs that is
+O(log n) in practice. For pathological long-chain graphs an alternating
+large-star/small-star variant would cut rounds to O(log n) guaranteed at the
+cost of mutating the edge relation each round; we keep the reference's
+frontier semantics (SURVEY.md §2.2 WCC note).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from graphscope_spark.engine.superstep import SuperstepResult, run_supersteps
+from graphscope_spark.graph.graph import Graph
+
+__all__ = ["wcc"]
+
+
+def wcc(
+    graph: Graph,
+    max_iter: int = 200,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
+    resume: bool = True,
+    return_result: bool = False,
+) -> DataFrame | SuperstepResult:
+    """Returns ``(id, component)`` — component = min vertex id reachable."""
+    P = graph.num_partitions
+    und = graph.to_undirected(dedup=True)
+    edges = und.edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+
+    def init() -> DataFrame:
+        return graph.vertices.select(
+            "id", F.col("id").alias("label"), F.lit(True).alias("changed")
+        ).repartition(P, "id")
+
+    def body(state: DataFrame, rnd: int) -> tuple[DataFrame, dict]:
+        frontier = state.filter("changed").select("id", "label")
+        msgs = (
+            edges.join(frontier, edges.src == frontier.id)
+            .groupBy("dst")
+            .agg(F.min("label").alias("cand"))
+        )
+        new_label = F.when(
+            F.col("cand").isNotNull() & (F.col("cand") < F.col("label")),
+            F.col("cand"),
+        ).otherwise(F.col("label"))
+        new_state = (
+            state.join(msgs, state.id == msgs.dst, "left")
+            .select(
+                state.id.alias("id"),
+                new_label.alias("label"),
+                (
+                    F.col("cand").isNotNull() & (F.col("cand") < F.col("label"))
+                ).alias("changed"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        active = new_state.filter("changed").count()
+        return new_state, {"converged": active == 0, "active": active}
+
+    try:
+        res = run_supersteps(
+            init,
+            body,
+            max_rounds=max_iter,
+            checkpoint_dir=checkpoint_dir,
+            checkpoint_every=checkpoint_every,
+            resume=resume,
+        )
+    finally:
+        edges.unpersist()
+        und.unpersist()
+    if return_result:
+        return res
+    return res.state.select("id", F.col("label").alias("component"))
