@@ -1,0 +1,129 @@
+"""SSSP and BFS — frontier-relaxation supersteps.
+
+* :func:`sssp` — single-source shortest paths, the semantics of
+  ``grape::SSSPOpt`` (reference run_app.h:211-219; PIE walkthrough
+  docs/analytical_engine/programming_model_pie.md:40-95): distributed
+  Bellman-Ford with a frontier — only vertices whose distance improved relax
+  their out-edges next round; fixpoint when the frontier empties.
+  Unreachable vertices keep +inf (reported as null in the result).
+* :func:`bfs` — depth from source (apps/bfs/bfs_generic.h, depth output);
+  unreachable = -1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from graphscope_spark.engine.superstep import SuperstepResult, run_supersteps
+from graphscope_spark.graph.graph import Graph
+
+__all__ = ["sssp", "bfs"]
+
+
+def sssp(
+    graph: Graph,
+    source: int,
+    weight_col: str | None = "weight",
+    max_iter: int = 10_000,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 10,
+    resume: bool = True,
+    return_result: bool = False,
+) -> DataFrame | SuperstepResult:
+    """Returns ``(id, distance)``; unreachable → null."""
+    P = graph.num_partitions
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col and weight_col in graph.edges.columns
+        else F.lit(1.0)
+    )
+    edges = graph.edges.select("src", "dst", w.alias("w")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+
+    def init() -> DataFrame:
+        return graph.vertices.select(
+            "id",
+            F.when(F.col("id") == source, 0.0).otherwise(float("inf")).alias("dist"),
+            (F.col("id") == source).alias("changed"),
+        ).repartition(P, "id")
+
+    def body(state: DataFrame, rnd: int) -> tuple[DataFrame, dict]:
+        frontier = state.filter("changed").select("id", "dist")
+        relax = (
+            edges.join(frontier, edges.src == frontier.id)
+            .groupBy("dst")
+            .agg(F.min(F.col("dist") + F.col("w")).alias("cand"))
+        )
+        better = F.col("cand").isNotNull() & (F.col("cand") < F.col("dist"))
+        new_state = (
+            state.join(relax, state.id == relax.dst, "left")
+            .select(
+                state.id.alias("id"),
+                F.when(better, F.col("cand")).otherwise(F.col("dist")).alias("dist"),
+                better.alias("changed"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        active = new_state.filter("changed").count()
+        return new_state, {"converged": active == 0, "active": active}
+
+    try:
+        res = run_supersteps(
+            init, body, max_rounds=max_iter, checkpoint_dir=checkpoint_dir,
+            checkpoint_every=checkpoint_every, resume=resume,
+        )
+    finally:
+        edges.unpersist()
+    if return_result:
+        return res
+    return res.state.select(
+        "id",
+        F.when(F.col("dist") != float("inf"), F.col("dist")).alias("distance"),
+    )
+
+
+def bfs(
+    graph: Graph,
+    source: int,
+    max_depth: int = 10_000,
+    return_result: bool = False,
+) -> DataFrame | SuperstepResult:
+    """Returns ``(id, depth)``; unreachable → -1 (bfs_generic.h default)."""
+    P = graph.num_partitions
+    edges = graph.edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+
+    def init() -> DataFrame:
+        return graph.vertices.select(
+            "id",
+            F.when(F.col("id") == source, 0).otherwise(-1).cast("int").alias("depth"),
+            (F.col("id") == source).alias("changed"),
+        ).repartition(P, "id")
+
+    def body(state: DataFrame, rnd: int) -> tuple[DataFrame, dict]:
+        frontier = state.filter("changed").select("id")
+        reached = (
+            edges.join(frontier, edges.src == frontier.id)
+            .select("dst")
+            .distinct()
+        )
+        newly = F.col("dst").isNotNull() & (F.col("depth") == -1)
+        new_state = (
+            state.join(reached, state.id == reached.dst, "left")
+            .select(
+                state.id.alias("id"),
+                F.when(newly, rnd).otherwise(F.col("depth")).cast("int").alias("depth"),
+                newly.alias("changed"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        active = new_state.filter("changed").count()
+        return new_state, {"converged": active == 0, "active": active}
+
+    res = run_supersteps(init, body, max_rounds=max_depth)
+    edges.unpersist()
+    if return_result:
+        return res
+    return res.state.select("id", "depth")
