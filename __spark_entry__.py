@@ -1,38 +1,504 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: queries() + oracle_sql() for the correctness gate.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Graph queries run on a deterministic link graph derived from the testdata
+star schema (vertices = customers, edges from orders via modular arithmetic)
+so that Spark and the DuckDB oracle construct the *identical* graph from the
+same parquet. Iterative algorithms are oracle-checked with SQL whose
+iterations are unrolled to a fixed round count; fixpoint algorithms (wcc,
+kcore, cdlp) are safe because extra rounds are idempotent once converged.
+
+Float outputs are rounded (6 dp) on BOTH sides so last-ulp differences in
+summation order never flip the value hash.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+NUM_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+
+# ---------------------------------------------------------------------------
+# shared graph derivation (Spark side)
+# ---------------------------------------------------------------------------
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _customer_graph(spark: SparkSession, sf_dir: str, weighted: bool = False):
+    from graphscope_spark.graph.graph import Graph
+
+    customer = _load(spark, sf_dir, "customer")
+    orders = _load(spark, sf_dir, "orders")
+    c = customer.count()
+    edges = (
+        orders.selectExpr(
+            "o_custkey AS src", f"(o_orderkey * 97) % {c} AS dst"
+        )
+        .where("src <> dst")
+        .distinct()
+    )
+    if weighted:
+        edges = edges.selectExpr(
+            "src", "dst", "CAST(1 + (src * 7 + dst * 13) % 5 AS DOUBLE) AS weight"
+        )
+    verts = customer.selectExpr("c_custkey AS id")
+    return Graph(edges, vertices=verts, num_partitions=NUM_PARTITIONS)
+
+
+# shared SQL prologue (DuckDB side) — must mirror _customer_graph exactly
+_PROLOGUE = """
+params AS MATERIALIZED (SELECT count(*)::BIGINT AS c FROM customer),
+nv AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM customer),
+edges AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS src,
+         (o_orderkey * 97) % (SELECT c FROM params) AS dst
+  FROM orders
+  WHERE o_custkey <> (o_orderkey * 97) % (SELECT c FROM params)
+),
+verts AS MATERIALIZED (SELECT c_custkey AS id FROM customer),
+und AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
+undm AS MATERIALIZED (SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges),
+wedges AS MATERIALIZED (SELECT src, dst, CAST(1 + (src * 7 + dst * 13) % 5 AS DOUBLE) AS w FROM edges)
+"""
+
+
+def _with(body: str) -> str:
+    return "WITH RECURSIVE " + _PROLOGUE + "," + body
+
+
+# ---------------------------------------------------------------------------
+# unrolled-iteration oracle SQL generators
+# ---------------------------------------------------------------------------
+
+
+def _pagerank_sql(rounds: int = 10, alpha: float = 0.85) -> str:
+    ctes = [
+        "deg AS MATERIALIZED (SELECT src, count(*)::DOUBLE AS outdeg FROM edges GROUP BY src)",
+        "r0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM nv) AS rank FROM verts)",
+    ]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        ctes.append(
+            f"""m{k} AS MATERIALIZED (
+              SELECT e.dst AS id, sum(r.rank / d.outdeg) AS msg
+              FROM edges e JOIN r{p} r ON e.src = r.id JOIN deg d ON e.src = d.src
+              GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"""ds{k} AS MATERIALIZED (
+              SELECT coalesce(sum(r.rank), 0) AS ds FROM r{p} r
+              LEFT JOIN deg d ON r.id = d.src WHERE d.src IS NULL)"""
+        )
+        ctes.append(
+            f"""r{k} AS MATERIALIZED (
+              SELECT v.id,
+                     {alpha} * coalesce(m.msg, 0)
+                   + {alpha} * (SELECT ds FROM ds{k}) / (SELECT n FROM nv)
+                   + {1.0 - alpha} / (SELECT n FROM nv) AS rank
+              FROM verts v LEFT JOIN m{k} m ON v.id = m.id)"""
+        )
+        ctes.append
+    return _with(",".join(ctes)) + (
+        f" SELECT id, round(rank, 6) AS pagerank FROM r{rounds} ORDER BY id"
+    )
+
+
+def _wcc_sql() -> str:
+    body = """
+    reach(id, lab) AS (
+      SELECT id, id FROM verts
+      UNION
+      SELECT u.dst, r.lab FROM reach r JOIN und u ON u.src = r.id
+    )"""
+    return _with(body) + (
+        " SELECT id, min(lab) AS component FROM reach GROUP BY id ORDER BY id"
+    )
+
+
+def _cdlp_sql(rounds: int = 5) -> str:
+    ctes = ["l0 AS MATERIALIZED (SELECT id, id AS label FROM verts)"]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        ctes.append(
+            f"""f{k} AS MATERIALIZED (
+              SELECT u.dst AS id, l.label, count(*) AS cnt
+              FROM undm u JOIN l{p} l ON u.src = l.id GROUP BY u.dst, l.label)"""
+        )
+        ctes.append(
+            f"""b{k} AS MATERIALIZED (
+              SELECT id, label FROM (
+                SELECT id, label,
+                       row_number() OVER (PARTITION BY id ORDER BY cnt DESC, label ASC) AS rn
+                FROM f{k}) t WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""l{k} AS MATERIALIZED (
+              SELECT v.id, coalesce(b.label, l.label) AS label
+              FROM verts v JOIN l{p} l ON v.id = l.id
+              LEFT JOIN b{k} b ON v.id = b.id)"""
+        )
+    return _with(",".join(ctes)) + f" SELECT id, label FROM l{rounds} ORDER BY id"
+
+
+_TRI_BASE = """
+unds AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         FROM edges WHERE src <> dst),
+adeg AS MATERIALIZED (SELECT id, count(*)::BIGINT AS deg FROM (
+           SELECT a AS id FROM unds UNION ALL SELECT b AS id FROM unds) t
+         GROUP BY id),
+ornt AS MATERIALIZED (SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+                     THEN u.a ELSE u.b END AS s,
+                CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+                     THEN u.b ELSE u.a END AS d
+         FROM unds u JOIN adeg da ON da.id = u.a JOIN adeg db ON db.id = u.b),
+tris AS MATERIALIZED (SELECT e1.s AS x, e1.d AS y, e2.d AS z
+         FROM ornt e1 JOIN ornt e2 ON e1.s = e2.s AND e1.d <> e2.d
+         JOIN ornt e3 ON e3.s = e1.d AND e3.d = e2.d),
+tcnt AS MATERIALIZED (SELECT id, count(*)::BIGINT AS cnt FROM (
+           SELECT x AS id FROM tris UNION ALL SELECT y AS id FROM tris
+           UNION ALL SELECT z AS id FROM tris) c GROUP BY id)
+"""
+
+
+def _triangles_sql() -> str:
+    return _with(_TRI_BASE) + (
+        " SELECT v.id, coalesce(t.cnt, 0)::BIGINT AS triangles"
+        " FROM verts v LEFT JOIN tcnt t ON v.id = t.id ORDER BY v.id"
+    )
+
+
+def _lcc_sql() -> str:
+    return _with(_TRI_BASE) + """
+    SELECT v.id,
+           CASE WHEN coalesce(d.deg, 0) >= 2
+                THEN coalesce(t.cnt, 0) / (d.deg * (d.deg - 1) / 2.0)
+                ELSE 0.0 END AS lcc
+    FROM verts v LEFT JOIN adeg d ON v.id = d.id LEFT JOIN tcnt t ON v.id = t.id
+    ORDER BY v.id"""
+
+
+def _degree_centrality_sql() -> str:
+    body = """
+    od AS MATERIALIZED (SELECT src AS id, count(*)::BIGINT AS c FROM edges GROUP BY src),
+    idg AS MATERIALIZED (SELECT dst AS id, count(*)::BIGINT AS c FROM edges GROUP BY dst)
+    """
+    return _with(body) + """
+    SELECT v.id,
+           (coalesce(o.c, 0) + coalesce(i.c, 0)) / ((SELECT n FROM nv) - 1.0) AS centrality
+    FROM verts v LEFT JOIN od o ON v.id = o.id LEFT JOIN idg i ON v.id = i.id
+    ORDER BY v.id"""
+
+
+def _bfs_sql(source: int = 0, bound: int = 60) -> str:
+    body = f"""
+    walk(id, depth) AS (
+      SELECT {source}::BIGINT AS id, 0 AS depth
+      UNION
+      SELECT e.dst, w.depth + 1 FROM walk w JOIN edges e ON e.src = w.id
+      WHERE w.depth < {bound}
+    ),
+    md AS MATERIALIZED (SELECT id, min(depth) AS d FROM walk GROUP BY id)
+    """
+    return _with(body) + """
+    SELECT v.id, coalesce(m.d, -1)::BIGINT AS depth
+    FROM verts v LEFT JOIN md m ON v.id = m.id ORDER BY v.id"""
+
+
+def _sssp_sql(source: int = 0, rounds: int = 25) -> str:
+    ctes = [f"d0 AS MATERIALIZED (SELECT {source}::BIGINT AS id, 0.0::DOUBLE AS dist)"]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        ctes.append(
+            f"""d{k} AS MATERIALIZED (
+              SELECT id, min(dist) AS dist FROM (
+                SELECT id, dist FROM d{p}
+                UNION ALL
+                SELECT e.dst AS id, d.dist + e.w AS dist
+                FROM d{p} d JOIN wedges e ON e.src = d.id) t
+              GROUP BY id)"""
+        )
+    return _with(",".join(ctes)) + f"""
+    SELECT v.id, d.dist AS distance
+    FROM verts v LEFT JOIN d{rounds} d ON v.id = d.id ORDER BY v.id"""
+
+
+def _kcore_sql(k: int = 3, rounds: int = 15) -> str:
+    ctes = ["e0 AS MATERIALIZED (SELECT src, dst FROM und)"]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"""s{r} AS MATERIALIZED (SELECT src AS id FROM e{p} GROUP BY src
+                        HAVING count(*) >= {k})"""
+        )
+        ctes.append(
+            f"""e{r} AS MATERIALIZED (SELECT e.src, e.dst FROM e{p} e
+                        JOIN s{r} a ON e.src = a.id JOIN s{r} b ON e.dst = b.id)"""
+        )
+    return _with(",".join(ctes)) + f"""
+    SELECT v.id, (m.id IS NOT NULL) AS in_core
+    FROM verts v LEFT JOIN (SELECT DISTINCT src AS id FROM e{rounds}) m ON v.id = m.id
+    ORDER BY v.id"""
+
+
+def _hits_sql(rounds: int = 5) -> str:
+    ctes = ["h0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM nv) AS hub FROM verts)"]
+    for kk in range(1, rounds + 1):
+        p = kk - 1
+        ctes.append(
+            f"""ar{kk} AS MATERIALIZED (SELECT v.id, coalesce(s.m, 0)::DOUBLE AS raw FROM verts v
+                 LEFT JOIN (SELECT e.dst AS id, sum(h.hub) AS m FROM edges e
+                            JOIN h{p} h ON e.src = h.id GROUP BY e.dst) s
+                 ON v.id = s.id)"""
+        )
+        ctes.append(
+            f"""an{kk} AS MATERIALIZED (SELECT CASE WHEN sum(raw) = 0 THEN 1 ELSE sum(raw) END AS s
+                          FROM ar{kk})"""
+        )
+        ctes.append(
+            f"a{kk} AS MATERIALIZED (SELECT id, raw / (SELECT s FROM an{kk}) AS auth FROM ar{kk})"
+        )
+        ctes.append(
+            f"""hr{kk} AS MATERIALIZED (SELECT v.id, coalesce(s.m, 0)::DOUBLE AS raw FROM verts v
+                 LEFT JOIN (SELECT e.src AS id, sum(a.auth) AS m FROM edges e
+                            JOIN a{kk} a ON e.dst = a.id GROUP BY e.src) s
+                 ON v.id = s.id)"""
+        )
+        ctes.append(
+            f"""hn{kk} AS MATERIALIZED (SELECT CASE WHEN sum(raw) = 0 THEN 1 ELSE sum(raw) END AS s
+                          FROM hr{kk})"""
+        )
+        ctes.append(
+            f"h{kk} AS MATERIALIZED (SELECT id, raw / (SELECT s FROM hn{kk}) AS hub FROM hr{kk})"
+        )
+    return _with(",".join(ctes)) + f"""
+    SELECT h.id, round(h.hub, 6) AS hub, round(a.auth, 6) AS auth
+    FROM h{rounds} h JOIN a{rounds} a ON h.id = a.id ORDER BY h.id"""
+
+
+# ---------------------------------------------------------------------------
+# Spark query callables
+# ---------------------------------------------------------------------------
+
+
+def _q_pagerank(spark, sf_dir):
+    from graphscope_spark.algorithms.pagerank import pagerank_ldbc
+
+    g = _customer_graph(spark, sf_dir)
+    out = pagerank_ldbc(g, damping=0.85, rounds=10)
+    return out.select("id", F.round("pagerank", 6).alias("pagerank")).orderBy("id")
+
+
+def _q_pagerank_converged(spark, sf_dir):
+    from graphscope_spark.algorithms.pagerank import pagerank
+
+    g = _customer_graph(spark, sf_dir)
+    out = pagerank(g, alpha=0.85, tol=1e-6, max_iter=100)
+    return out.select("id", F.round("pagerank", 6).alias("pagerank")).orderBy("id")
+
+
+def _q_wcc(spark, sf_dir):
+    from graphscope_spark.algorithms.wcc import wcc
+
+    return wcc(_customer_graph(spark, sf_dir)).orderBy("id")
+
+
+def _q_cdlp(spark, sf_dir):
+    from graphscope_spark.algorithms.cdlp import cdlp
+
+    return cdlp(_customer_graph(spark, sf_dir), max_iter=5).orderBy("id")
+
+
+def _q_triangles(spark, sf_dir):
+    from graphscope_spark.algorithms.triangles import triangles
+
+    return triangles(_customer_graph(spark, sf_dir)).selectExpr(
+        "id", "CAST(triangles AS BIGINT) AS triangles"
+    ).orderBy("id")
+
+
+def _q_lcc(spark, sf_dir):
+    from graphscope_spark.algorithms.triangles import lcc
+
+    return lcc(_customer_graph(spark, sf_dir)).orderBy("id")
+
+
+def _q_degree_centrality(spark, sf_dir):
+    from graphscope_spark.algorithms.centrality import degree_centrality
+
+    return degree_centrality(_customer_graph(spark, sf_dir), "both").orderBy("id")
+
+
+def _q_bfs(spark, sf_dir):
+    from graphscope_spark.algorithms.traversal import bfs
+
+    return bfs(_customer_graph(spark, sf_dir), source=0).selectExpr(
+        "id", "CAST(depth AS BIGINT) AS depth"
+    ).orderBy("id")
+
+
+def _q_sssp(spark, sf_dir):
+    from graphscope_spark.algorithms.traversal import sssp
+
+    return sssp(
+        _customer_graph(spark, sf_dir, weighted=True), source=0
+    ).orderBy("id")
+
+
+def _q_kcore(spark, sf_dir):
+    from graphscope_spark.algorithms.kcore import k_core
+
+    return k_core(_customer_graph(spark, sf_dir), k=3).orderBy("id")
+
+
+def _q_hits(spark, sf_dir):
+    from graphscope_spark.algorithms.hits import hits
+
+    out = hits(_customer_graph(spark, sf_dir), tolerance=0.0, max_round=5)
+    return out.select(
+        "id", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth")
+    ).orderBy("id")
+
+
+def _q_doc_sha256(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.sha2("text", 256).alias("sha256")).orderBy("doc_id")
+
+
+def _q_doc_token_stats(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_calc"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+    ).orderBy("doc_id")
+
+
+def _q_exact_dedup(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.sha2("text", 256).alias("sha256"))
+        .groupBy("sha256")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("canonical_id"),
+        )
+        .orderBy("sha256")
+    )
+
+
+def _q_events_hourly(spark, sf_dir):
+    ev = _load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+def _q_embedding_topk(spark, sf_dir, k: int = 5, n_queries: int = 5):
+    emb = _load(spark, sf_dir, "embeddings")
+    from graphscope_spark.operators.similarity import brute_force_topk
+
+    q = emb.filter(F.col("vec_id") < n_queries)
+    return brute_force_topk(q, emb, k=k).orderBy("query_id", "rank")
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pagerank": _q_pagerank,
+    "pagerank_converged": _q_pagerank_converged,
+    "wcc": _q_wcc,
+    "cdlp": _q_cdlp,
+    "triangles": _q_triangles,
+    "lcc": _q_lcc,
+    "degree_centrality": _q_degree_centrality,
+    "bfs": _q_bfs,
+    "sssp": _q_sssp,
+    "kcore": _q_kcore,
+    "hits": _q_hits,
+    "doc_sha256": _q_doc_sha256,
+    "doc_token_stats": _q_doc_token_stats,
+    "exact_dedup": _q_exact_dedup,
+    "events_hourly": _q_events_hourly,
+    "embedding_topk": _q_embedding_topk,
+}
+
+ORACLES: dict[str, str] = {
+    "pagerank": _pagerank_sql(10),
+    "wcc": _wcc_sql(),
+    "cdlp": _cdlp_sql(5),
+    "triangles": _triangles_sql(),
+    "lcc": _lcc_sql(),
+    "degree_centrality": _degree_centrality_sql(),
+    "bfs": _bfs_sql(0),
+    "sssp": _sssp_sql(0),
+    "kcore": _kcore_sql(3),
+    "hits": _hits_sql(5),
+    "doc_sha256": (
+        "SELECT doc_id, sha256(text) AS sha256 FROM documents ORDER BY doc_id"
+    ),
+    "doc_token_stats": (
+        "SELECT doc_id, length(text)::BIGINT AS n_chars_calc, "
+        "len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens "
+        "FROM documents ORDER BY doc_id"
+    ),
+    "exact_dedup": (
+        "SELECT sha256(text) AS sha256, count(*)::BIGINT AS n_docs, "
+        "min(doc_id) AS canonical_id FROM documents GROUP BY sha256(text) "
+        "ORDER BY sha256"
+    ),
+    "events_hourly": (
+        "SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, "
+        "count(*)::BIGINT AS n, round(sum(value), 6) AS total_value "
+        "FROM events GROUP BY 1, 2 ORDER BY event_type, hour"
+    ),
+    "embedding_topk": """
+      WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS qa FROM embeddings WHERE vec_id < 5),
+      c AS (SELECT vec_id, embedding::DOUBLE[] AS ea FROM embeddings),
+      sims AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_dot_product(q.qa, c.ea)
+                     / sqrt(list_dot_product(q.qa, q.qa) * list_dot_product(c.ea, c.ea)),
+                     5) AS sim
+        FROM q, c WHERE q.vec_id <> c.vec_id),
+      ranked AS (
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id ASC) AS rank
+        FROM sims)
+      SELECT query_id, neighbor_id, sim, rank::BIGINT AS rank
+      FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+}
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: PageRank to convergence (1e-6) on the sf0.001 link graph."""
+    return _q_pagerank_converged(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

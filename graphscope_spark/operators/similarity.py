@@ -1,0 +1,178 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+* :func:`brute_force_topk` — exact cosine top-k: the baseline. Queries are
+  broadcast (small side), the corpus is scanned once; all math is built-in
+  higher-order functions (``zip_with`` + ``aggregate``), JVM-side, in
+  float64 — no Python in the hot path.
+* :func:`lsh_topk` — the scale path: random-hyperplane LSH. Each vector is
+  bucketed by a ``b``-bit signature × ``t`` tables; candidates = bucket
+  collisions only, then exact cosine re-rank. At 100 TB the bucket join
+  replaces the O(|Q|·|C|) cross product with a key-equijoin whose right side
+  prunes to colliding buckets.
+* :func:`cosine_neardup_pairs` — all pairs above a cosine threshold via the
+  same LSH bucketing (embedding near-dup dedup mode).
+
+Determinism: hyperplanes are seeded with deterministic per-(table, bit, dim)
+hashing, so signatures are reproducible across runs and cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["brute_force_topk", "lsh_topk", "cosine_neardup_pairs", "with_cosine"]
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _as_double(col):
+    return F.col(col).cast("array<double>")
+
+
+def with_cosine(df: DataFrame, a: str, b: str, out: str = "sim", ndigits: int | None = 5) -> DataFrame:
+    """cosine(a, b) in float64: dot / sqrt(|a|²·|b|²)."""
+    ca, cb = _as_double(a), _as_double(b)
+    sim = _dot(ca, cb) / F.sqrt(_dot(ca, ca) * _dot(cb, cb))
+    if ndigits is not None:
+        sim = F.round(sim, ndigits)
+    return df.withColumn(out, sim)
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k: ``(query_id, neighbor_id, sim, rank)``.
+
+    Rank is deterministic: (rounded sim desc, neighbor_id asc) — rounding
+    first so last-ulp float noise can never flip an ordering.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    pairs = F.broadcast(q).crossJoin(c).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    sims = with_cosine(pairs, "_qv", "_cv", "sim")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def _hyperplane(dim: int, table: int, bit: int):
+    """Deterministic pseudo-random hyperplane as an array expression: component
+    d = a centered hash of (table, bit, d) — seeded, reproducible."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: (
+            F.pmod(F.xxhash64(F.lit(table * 7919 + bit * 104729), d), F.lit(2_000_001))
+            - F.lit(1_000_000)
+        ).cast("double"),
+    )
+
+
+def with_lsh_signature(
+    df: DataFrame,
+    dim: int,
+    bits: int = 16,
+    tables: int = 4,
+    vec_col: str = "embedding",
+    out: str = "_sig",
+) -> DataFrame:
+    """Add ``out`` = array of ``tables`` signatures (one long per table),
+    each the sign-pattern of ``bits`` random hyperplane projections."""
+    v = _as_double(vec_col)
+    sigs = []
+    for t in range(tables):
+        bitsum = None
+        for b in range(bits):
+            proj = _dot(v, _hyperplane(dim, t, b))
+            bit = F.when(proj >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+            bitsum = bit if bitsum is None else (bitsum + bit)
+        sigs.append((bitsum + F.lit(t * (1 << 32))).cast("long"))
+    return df.withColumn(out, F.array(*sigs))
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    bits: int = 12,
+    tables: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via hyperplane-LSH bucket collisions + exact re-rank.
+
+    Recall improves with ``tables`` and decreases with ``bits``; the
+    candidate set is the union over tables of same-bucket vectors.
+    """
+    q = with_lsh_signature(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")),
+        dim, bits, tables, "_qv",
+    ).select("query_id", "_qv", F.explode("_sig").alias("bucket"))
+    c = with_lsh_signature(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
+        dim, bits, tables, "_cv",
+    ).select("neighbor_id", "_cv", F.explode("_sig").alias("bucket"))
+    cand = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    sims = with_cosine(cand, "_qv", "_cv", "sim")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def cosine_neardup_pairs(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    bits: int = 10,
+    tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_a, id_b, sim) with id_a < id_b and sim ≥ threshold, candidates
+    from LSH bucket collisions (approximate at scale; exact on collisions)."""
+    sig = with_lsh_signature(
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v")),
+        dim, bits, tables, "_v",
+    ).select("id", "_v", F.explode("_sig").alias("bucket"))
+    left = sig.select(
+        F.col("id").alias("id_a"), F.col("_v").alias("_va"), "bucket"
+    )
+    right = sig.select(
+        F.col("id").alias("id_b"), F.col("_v").alias("_vb"), "bucket"
+    )
+    cand = (
+        left.join(right, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sims = with_cosine(cand, "_va", "_vb", "sim")
+    return sims.filter(F.col("sim") >= threshold).select("id_a", "id_b", "sim")

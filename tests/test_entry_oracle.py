@@ -1,0 +1,80 @@
+"""Local mirror of the driver's correctness gate: run every queries() entry
+on Spark at sf0.01 and compare against oracle_sql() via DuckDB —
+row count, column names, and order-insensitive values."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.01")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm(v):
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 9)
+    return v
+
+
+def _rows(rows):
+    return sorted(tuple(_norm(v) for v in r) for r in rows)
+
+
+ORACLE_KEYS = sorted(entrymod.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", ORACLE_KEYS)
+def test_query_matches_oracle(spark, ddb, name):
+    q = entrymod.queries()[name]
+    sdf = q(spark, SF_DIR)
+    spark_rows = sdf.collect()
+    spark_cols = sdf.columns
+
+    res = ddb.execute(entrymod.oracle_sql()[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), f"{name}: column names differ"
+    assert len(spark_rows) == len(duck_rows), f"{name}: row count differs"
+
+    # order-insensitive compare with columns sorted by name (driver behavior)
+    sidx = [spark_cols.index(c) for c in sorted(spark_cols)]
+    didx = [duck_cols.index(c) for c in sorted(duck_cols)]
+    s = _rows([[r[i] for i in sidx] for r in spark_rows])
+    d = _rows([[r[i] for i in didx] for r in duck_rows])
+    mismatches = [(a, b) for a, b in zip(s, d) if a != b]
+    assert not mismatches, f"{name}: {len(mismatches)} mismatched rows; first: {mismatches[:3]}"
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+
+
+def test_all_queries_have_callables():
+    qs = entrymod.queries()
+    for k in entrymod.oracle_sql():
+        assert k in qs
