@@ -64,14 +64,14 @@ def cdlp(
         )
 
     def body(state: DataFrame, rnd: int) -> tuple[DataFrame, dict]:
-        msgs = edges.join(state, edges.src == state.id).select("dst", "label")
+        msgs = edges.join(state.hint("shuffle_hash"), edges.src == state.id).select("dst", "label")
         freq = msgs.groupBy("dst", "label").agg(F.count(F.lit(1)).alias("cnt"))
         # smallest label among most frequent: max over (cnt, -label)
         best = freq.groupBy("dst").agg(
             F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias("top")
         ).select("dst", (-F.col("top.neg")).alias("cand"))
         new_state = (
-            state.join(best, state.id == best.dst, "left")
+            state.join(best.hint("shuffle_hash"), state.id == best.dst, "left")
             .select(
                 state.id.alias("id"),
                 F.coalesce("cand", "label").alias("label"),

@@ -56,13 +56,13 @@ def _power_iteration(
 
     def body(state: DataFrame, rnd: int) -> tuple[DataFrame, dict]:
         msgs = (
-            edges.join(state.select("id", "x"), edges.src == F.col("id"))
+            edges.join(state.select("id", "x").hint("shuffle_hash"), edges.src == F.col("id"))
             .groupBy("dst")
             .agg(F.sum("x").alias("m"))
         )
         raw = alpha * F.coalesce(F.col("m"), F.lit(0.0)) + F.lit(update_base)
         tmp = (
-            state.join(msgs, state.id == msgs.dst, "left")
+            state.join(msgs.hint("shuffle_hash"), state.id == msgs.dst, "left")
             .select(state.id.alias("id"), raw.alias("raw"), F.col("x").alias("x_old"))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )

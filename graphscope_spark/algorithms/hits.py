@@ -37,12 +37,12 @@ def hits(
     def body(state: DataFrame, rnd: int) -> tuple[DataFrame, dict]:
         # auth(v) = Σ hub(u) over u→v
         a_msg = (
-            edges.join(state.select("id", "hub"), edges.src == F.col("id"))
+            edges.join(state.select("id", "hub").hint("shuffle_hash"), edges.src == F.col("id"))
             .groupBy("dst")
             .agg(F.sum("hub").alias("a"))
         )
         mid = (
-            state.join(a_msg, state.id == a_msg.dst, "left")
+            state.join(a_msg.hint("shuffle_hash"), state.id == a_msg.dst, "left")
             .select("id", "hub", F.coalesce("a", F.lit(0.0)).alias("auth_raw"),
                     F.col("auth").alias("auth_old"))
         )
@@ -53,13 +53,13 @@ def hits(
         ).persist(StorageLevel.MEMORY_AND_DISK)
         # hub(u) = Σ auth(v) over u→v
         h_msg = (
-            edges.join(mid.select(F.col("id").alias("_v"), F.col("auth").alias("_a")),
+            edges.join(mid.select(F.col("id").alias("_v"), F.col("auth").alias("_a")).hint("shuffle_hash"),
                        edges.dst == F.col("_v"))
             .groupBy("src")
             .agg(F.sum("_a").alias("h"))
         )
         new_state = (
-            mid.join(h_msg, mid.id == h_msg.src, "left")
+            mid.join(h_msg.hint("shuffle_hash"), mid.id == h_msg.src, "left")
             .select(mid.id.alias("id"),
                     F.coalesce("h", F.lit(0.0)).alias("hub_raw"),
                     "auth", "auth_old")

@@ -159,7 +159,10 @@ def _pagerank_loop(
             msgs = csr_messages(csr_blocks, state.select("id", "rank"), P)
         else:
             msgs = (
-                links.join(state.select("id", "rank"), links.src == F.col("id"))
+                links.join(
+                    state.select("id", "rank").hint("shuffle_hash"),
+                    links.src == F.col("id"),
+                )
                 .select(F.col("dst"), (F.col("share") * F.col("rank")).alias("contrib"))
                 .groupBy("dst")
                 .agg(F.sum("contrib").alias("msg"))
@@ -167,7 +170,7 @@ def _pagerank_loop(
 
         new_rank = alpha * F.coalesce(F.col("msg"), F.lit(0.0)) + F.lit(base)
         new_state = (
-            state.join(msgs, state.id == msgs.dst, "left")
+            state.join(msgs.hint("shuffle_hash"), state.id == msgs.dst, "left")
             .select(
                 state.id.alias("id"),
                 new_rank.alias("rank"),
