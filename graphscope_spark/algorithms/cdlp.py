@@ -70,20 +70,17 @@ def cdlp(
         best = freq.groupBy("dst").agg(
             F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias("top")
         ).select("dst", (-F.col("top.neg")).alias("cand"))
-        new_state = (
-            state.join(best.hint("shuffle_hash"), state.id == best.dst, "left")
-            .select(
-                state.id.alias("id"),
-                F.coalesce("cand", "label").alias("label"),
-                (F.coalesce("cand", "label") != F.col("label")).alias("_changed"),
-            )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        plan = state.join(best.hint("shuffle_hash"), state.id == best.dst, "left").select(
+            state.id.alias("id"),
+            F.coalesce("cand", "label").alias("label"),
+            (F.coalesce("cand", "label") != F.col("label")).alias("_changed"),
         )
-        changed = new_state.filter("_changed").count()
-        return new_state, {
-            "converged": changed == 0,
-            "changed": changed,
-        }
+
+        def finalize(st: DataFrame) -> dict:
+            changed = st.filter("_changed").count()
+            return {"converged": changed == 0, "changed": changed}
+
+        return plan, finalize
 
     try:
         res = run_supersteps(

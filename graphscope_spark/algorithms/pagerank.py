@@ -169,29 +169,31 @@ def _pagerank_loop(
             )
 
         new_rank = alpha * F.coalesce(F.col("msg"), F.lit(0.0)) + F.lit(base)
-        new_state = (
-            state.join(msgs.hint("shuffle_hash"), state.id == msgs.dst, "left")
-            .select(
-                state.id.alias("id"),
-                new_rank.alias("rank"),
-                "dangling",
-                F.abs(new_rank - state.rank).alias("delta"),
-            )
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        plan = state.join(msgs.hint("shuffle_hash"), state.id == msgs.dst, "left").select(
+            state.id.alias("id"),
+            new_rank.alias("rank"),
+            "dangling",
+            F.abs(new_rank - state.rank).alias("delta"),
+        )
 
-        row = new_state.agg(
-            F.sum("delta").alias("eps"),
-            F.sum(F.when(F.col("dangling"), F.col("rank")).otherwise(0.0)).alias("ds"),
-        ).collect()[0]
-        eps = row["eps"] or 0.0
-        ds_cell[0] = row["ds"] or 0.0
+        def finalize(st: DataFrame) -> dict:
+            # one scalar all-reduce per round: eps for the stop test AND the
+            # next round's dangling mass (grape::Communicator::Sum analog)
+            row = st.agg(
+                F.sum("delta").alias("eps"),
+                F.sum(
+                    F.when(F.col("dangling"), F.col("rank")).otherwise(0.0)
+                ).alias("ds"),
+            ).collect()[0]
+            eps = row["eps"] or 0.0
+            ds_cell[0] = row["ds"] or 0.0
+            return {
+                "converged": tol > 0 and eps < n * tol,
+                "eps": eps,
+                "dangling_sum": ds_cell[0],
+            }
 
-        converged = tol > 0 and eps < n * tol
-        return new_state, {
-            "converged": converged,
-            "eps": eps,
-            "dangling_sum": ds_cell[0],
-        }
+        return plan, finalize
 
     try:
         return run_supersteps(

@@ -56,19 +56,19 @@ def wcc(
             F.col("cand").isNotNull() & (F.col("cand") < F.col("label")),
             F.col("cand"),
         ).otherwise(F.col("label"))
-        new_state = (
-            state.join(msgs, state.id == msgs.dst, "left")
-            .select(
-                state.id.alias("id"),
-                new_label.alias("label"),
-                (
-                    F.col("cand").isNotNull() & (F.col("cand") < F.col("label"))
-                ).alias("changed"),
-            )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        plan = state.join(msgs, state.id == msgs.dst, "left").select(
+            state.id.alias("id"),
+            new_label.alias("label"),
+            (F.col("cand").isNotNull() & (F.col("cand") < F.col("label"))).alias(
+                "changed"
+            ),
         )
-        active = new_state.filter("changed").count()
-        return new_state, {"converged": active == 0, "active": active}
+
+        def finalize(st: DataFrame) -> dict:
+            active = st.filter("changed").count()
+            return {"converged": active == 0, "active": active}
+
+        return plan, finalize
 
     try:
         res = run_supersteps(

@@ -40,9 +40,11 @@ from graphscope_spark.engine.checkpoint import CheckpointManager
 
 __all__ = ["SuperstepResult", "run_supersteps"]
 
-# body(state, round_no) -> (next_state, metrics); metrics must contain
-# "converged": bool. Anything else (eps, active counts) is recorded.
-Body = Callable[[DataFrame, int], tuple[DataFrame, dict[str, Any]]]
+# body(state, round_no) -> (next_state_plan, finalize) where
+# finalize(materialized_state) -> metrics (preferred: one materialization per
+# round), or (persisted_state, metrics) (legacy). Metrics must contain
+# "converged": bool; anything else (eps, active counts) is recorded.
+Body = Callable[[DataFrame, int], tuple[DataFrame, Any]]
 
 
 @dataclass
@@ -98,35 +100,50 @@ def run_supersteps(
     else:
         state = init()
 
-    state = state.persist(storage_level)
-    state.count()  # materialize PEval
+    state = state.localCheckpoint(eager=True)  # materialize PEval + truncate
 
     converged = False
     rnd = start_round
     while rnd < max_rounds and not converged:
         rnd += 1
         t0 = time.time()
-        new_state, metrics = body(state, rnd)
-        new_state = new_state.persist(storage_level)
+        out = body(state, rnd)
+        plan, second = out
 
-        do_ckpt = ckpt is not None and (
-            rnd % checkpoint_every == 0 or metrics.get("converged")
-        )
-        if do_ckpt:
-            ckpt.commit(new_state, rnd, metrics)
-            # Re-read: truncates lineage AND makes the in-memory state
-            # byte-identical to what a resume would load.
-            new_state.unpersist()
-            new_state = ckpt.load(rnd)[1].persist(storage_level)
-            new_state.count()
-        elif rnd % truncate_every == 0:
-            truncated = new_state.localCheckpoint(eager=True)
-            new_state.unpersist()
-            new_state = truncated
+        if callable(second):
+            # plan+finalize protocol: ONE materialization per round
+            # (localCheckpoint = compute + block write + lineage truncation),
+            # then the driver all-reduce runs over the materialized blocks.
+            new_state = plan.localCheckpoint(eager=True)
+            metrics = second(new_state)
+            if ckpt is not None and (
+                rnd % checkpoint_every == 0 or metrics.get("converged")
+            ):
+                ckpt.commit(new_state, rnd, metrics)
         else:
-            new_state.count()  # materialize before dropping the parent
+            # legacy protocol: body persisted+materialized the state itself
+            metrics = second
+            new_state = plan.persist(storage_level)
+            do_ckpt = ckpt is not None and (
+                rnd % checkpoint_every == 0 or metrics.get("converged")
+            )
+            if do_ckpt:
+                ckpt.commit(new_state, rnd, metrics)
+                # Re-read: truncates lineage AND makes the in-memory state
+                # byte-identical to what a resume would load.
+                new_state.unpersist()
+                new_state = ckpt.load(rnd)[1].persist(storage_level)
+                new_state.count()
+            elif rnd % truncate_every == 0:
+                truncated = new_state.localCheckpoint(eager=True)
+                new_state.unpersist()
+                new_state = truncated
+            else:
+                new_state.count()  # materialize before dropping the parent
+            state.unpersist()
 
-        state.unpersist()
+        # old localCheckpoint blocks are released by the ContextCleaner once
+        # the previous DataFrame reference drops
         state = new_state
         metrics = {"round": rnd, "sec": time.time() - t0, **metrics}
         history.append(metrics)
