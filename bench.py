@@ -1,0 +1,234 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line (driver contract).
+
+Phases:
+  1. per-query wall time for every queries() entry at $SPARK_GRAFT_SF_DIR
+     (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], fully
+     materialized via the noop sink (count() would let Catalyst prune the
+     computed columns away).
+  2. corpus extraction throughput (synthetic corpus → file-dep edges →
+     repo-link edges), files/sec.
+  3. the north-rule scaling evidence: PageRank (10 rounds) on a synthetic
+     power-law edge table at two parallelism levels — local[8] (N) and
+     local[$SPARK_GRAFT_CPUS] (4N) on the SAME input (strong scaling), plus
+     local[$SPARK_GRAFT_CPUS] on 4x the input (weak scaling). GTEPS =
+     |E|·iters / wall-clock. Results also written to BENCH/BASELINE.md.
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
+SPARK_GRAFT_BENCH_EDGES (default 8_000_000), SPARK_GRAFT_SKIP_SCALING=1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_EDGES = int(os.environ.get("SPARK_GRAFT_BENCH_EDGES", "8000000"))
+SMALL_CORES = max(CPUS // 4, 1)
+
+
+def _session(cores: int, sp: int):
+    from graphscope_spark.session import get_spark
+
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "40g")
+    return get_spark(
+        app_name=f"bench_local_{cores}", master=f"local[{cores}]", shuffle_partitions=sp
+    )
+
+
+def _materialize(df) -> int:
+    df.write.mode("overwrite").format("noop").save()
+    return 0
+
+
+def bench_queries(spark) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+
+    out = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.time()
+        _materialize(fn(spark, SF_DIR))
+        out[name] = round(time.time() - t0, 3)
+        print(f"# query {name}: {out[name]}s", file=sys.stderr)
+    return out
+
+
+def bench_corpus(spark, n_files: int = 100_000, n_repos: int = 2_000) -> dict:
+    from graphscope_spark.corpus.extractor import extract_file_deps, repo_link_edges
+    from graphscope_spark.corpus.generator import synth_corpus
+
+    t0 = time.time()
+    files = synth_corpus(spark, n_files, n_repos).persist()
+    nf = files.count()
+    gen_sec = time.time() - t0
+    t0 = time.time()
+    deps = extract_file_deps(files)
+    links = repo_link_edges(files, deps).persist()
+    n_links = links.count()
+    extract_sec = time.time() - t0
+    files.unpersist()
+    links.unpersist()
+    return {
+        "n_files": nf,
+        "gen_sec": round(gen_sec, 2),
+        "extract_sec": round(extract_sec, 2),
+        "files_per_sec": round(nf / extract_sec, 1),
+        "repo_link_edges": n_links,
+    }
+
+
+_SCALING_SCRIPT = """
+import json, sys, time
+sys.path.insert(0, {repo!r})
+import os
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "40g")
+from graphscope_spark.session import get_spark
+spark = get_spark(app_name="bench_scaling", master=f"local[{cores}]",
+                  shuffle_partitions={sp})
+from graphscope_spark.algorithms.pagerank import _pagerank_loop
+from graphscope_spark.graph.graph import Graph
+from graphscope_spark.sources.synthetic import power_law_edges
+g = Graph(power_law_edges(spark, {n_edges}, {n_edges} // 10), num_partitions={sp})
+ne = g.num_edges
+t0 = time.time()
+res = _pagerank_loop(g, alpha=0.85, max_iter={rounds}, tol=0.0, weight_col=None,
+                     checkpoint_dir=None, checkpoint_every=0, resume=False,
+                     mode="dataframe")
+total = time.time() - t0
+secs = sorted(h["sec"] for h in res.history if "sec" in h)
+print("BENCHJSON" + json.dumps({{
+    "cores": {cores}, "edges": ne, "rounds": {rounds},
+    "total_sec": round(total, 2),
+    "sec_per_iter": round(total / {rounds}, 3),
+    "sec_per_iter_median": round(secs[len(secs) // 2], 3),
+    "gteps": round(ne * {rounds} / total / 1e9, 6),
+    "mteps": round(ne * {rounds} / total / 1e6, 2)}}))
+spark.stop()
+"""
+
+
+def _pagerank_run(cores: int, n_edges: int, rounds: int = 10) -> dict:
+    """Each scaling level runs in a FRESH subprocess: reusing one JVM across
+    local[N] sessions contaminates later runs (heap fragmentation + leftover
+    blocks measured 3-4x slowdowns)."""
+    import subprocess
+
+    code = _SCALING_SCRIPT.format(
+        repo=os.path.dirname(os.path.abspath(__file__)),
+        cores=cores, sp=max(cores, 8), n_edges=n_edges, rounds=rounds,
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=1200
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("BENCHJSON"):
+            return json.loads(line[len("BENCHJSON"):])
+    raise RuntimeError(
+        f"scaling run failed (cores={cores}): {proc.stderr[-2000:]}"
+    )
+
+
+def write_report(payload: dict) -> None:
+    os.makedirs("BENCH", exist_ok=True)
+    s = payload.get("scaling", {})
+    lines = [
+        "# BENCH — measured numbers (this engine)",
+        "",
+        f"Machine: local JVM, {CPUS} cores visible; data `{SF_DIR}`.",
+        "",
+        "## North metric: PageRank GTEPS + sec/iteration + N→4N scaling",
+        "",
+        "Two parallelism levels on the same synthetic power-law edge table",
+        f"({payload.get('bench_edges')} edges) stand in for N and 4N executors",
+        "(no real cluster in this sandbox; see BASELINE.md note).",
+        "",
+        "| run | cores | edges | total s | s/iter (median) | MTEPS | GTEPS |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for key in ("small", "large", "large_4x_data"):
+        r = s.get(key)
+        if r:
+            lines.append(
+                f"| {key} | {r['cores']} | {r['edges']} | {r['total_sec']} "
+                f"| {r['sec_per_iter_median']} | {r['mteps']} | {r['gteps']} |"
+            )
+    if "strong_efficiency" in s:
+        lines += [
+            "",
+            f"- strong scaling efficiency ({SMALL_CORES}→{CPUS} cores, same input): "
+            f"**{s['strong_efficiency']}**",
+        ]
+    if "weak_efficiency" in s:
+        lines += [
+            f"- weak scaling efficiency ({SMALL_CORES} cores/{{E}} → {CPUS} cores/4·E): "
+            f"**{s['weak_efficiency']}** (throughput per input ratio)",
+        ]
+    lines += [
+        "",
+        "## Per-query wall time at " + SF_DIR,
+        "",
+        "| query | sec |",
+        "|---|---|",
+    ]
+    for k, v in sorted(payload.get("queries", {}).items()):
+        lines.append(f"| {k} | {v} |")
+    c = payload.get("corpus", {})
+    if c:
+        lines += [
+            "",
+            "## Corpus extraction throughput",
+            "",
+            f"- {c.get('n_files')} files generated in {c.get('gen_sec')}s; "
+            f"extraction (sha256 + import regex + symbol join + repo agg): "
+            f"{c.get('extract_sec')}s = {c.get('files_per_sec')} files/s; "
+            f"{c.get('repo_link_edges')} repo-link edges.",
+        ]
+    with open("BENCH/BASELINE.md", "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+
+def main() -> None:
+    payload: dict = {"sf": SF_DIR.rstrip("/").split("sf")[-1]}
+
+    spark = _session(CPUS, CPUS)
+    try:
+        payload["queries"] = bench_queries(spark)
+        payload["corpus"] = bench_corpus(spark)
+    finally:
+        spark.stop()
+        time.sleep(2)
+
+    scaling: dict = {}
+    if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
+        payload["bench_edges"] = BENCH_EDGES
+        scaling["small"] = _pagerank_run(SMALL_CORES, BENCH_EDGES)
+        scaling["large"] = _pagerank_run(CPUS, BENCH_EDGES)
+        scaling["large_4x_data"] = _pagerank_run(CPUS, BENCH_EDGES * 4)
+        ratio = CPUS / SMALL_CORES
+        scaling["strong_efficiency"] = round(
+            scaling["small"]["total_sec"] / scaling["large"]["total_sec"] / ratio, 3
+        )
+        scaling["weak_efficiency"] = round(
+            scaling["small"]["total_sec"] / scaling["large_4x_data"]["total_sec"], 3
+        )
+        payload["scaling"] = scaling
+
+    payload["metric"] = "pagerank_10round_total_sec_local32_synthetic"
+    head = scaling.get("large") or {}
+    payload["value"] = head.get("total_sec", sum(payload["queries"].values()))
+    payload["unit"] = "sec"
+    payload["gteps"] = head.get("gteps")
+    payload["sec_per_iteration"] = head.get("sec_per_iter_median")
+
+    write_report(payload)
+    print(json.dumps(payload))
+
+
+if __name__ == "__main__":
+    main()

@@ -80,8 +80,16 @@ def pagerank_ldbc(
     rounds: int = 10,
     weight_col: str | None = None,
     mode: str = "dataframe",
+    fuse_rounds: int = 1,
 ) -> DataFrame:
-    """Fixed-round LDBC/grape PageRank (no convergence test)."""
+    """Fixed-round LDBC/grape PageRank (no convergence test).
+
+    ``fuse_rounds=K`` chains K power-iteration rounds into one Spark job
+    before materializing (dangling mass computed in-plan via a broadcast
+    1-row aggregate), amortizing per-job scheduling + checkpoint overhead —
+    the fixed-round mode needs no driver scalar between rounds, so fusion is
+    semantics-preserving.
+    """
     res = _pagerank_loop(
         graph,
         alpha=damping,
@@ -92,6 +100,7 @@ def pagerank_ldbc(
         checkpoint_every=0,
         resume=False,
         mode=mode,
+        fuse_rounds=fuse_rounds,
     )
     return res.state.select("id", F.col("rank").alias("pagerank"))
 
@@ -106,6 +115,7 @@ def _pagerank_loop(
     checkpoint_every: int,
     resume: bool,
     mode: str,
+    fuse_rounds: int = 1,
 ) -> SuperstepResult:
     P = graph.num_partitions
     n = graph.num_vertices
@@ -144,9 +154,81 @@ def _pagerank_loop(
     # Driver-carried scalar (grape all-reduce result). None → recompute from
     # state, which happens on the first round and after a resume.
     ds_cell: list[float | None] = [None]
+    # If the graph has no dangling vertices AND no convergence test is
+    # requested (fixed-round LDBC mode), the per-round all-reduce is pure
+    # overhead — skip it entirely.
+    has_dangling = (
+        graph.vertices.join(
+            out_w.withColumnRenamed("src", "id"), "id", "left_anti"
+        ).limit(1).count()
+        > 0
+    )
+    skip_reduce = (not has_dangling) and tol <= 0
+
+    def one_round_fused(cur: DataFrame) -> DataFrame:
+        """One power-iteration round as a pure plan (no driver scalar):
+        union-aggregate form — contributions and the per-vertex base term are
+        unioned and summed in ONE shuffle; the dangling mass enters as a
+        broadcast 1-row aggregate (the all-reduce folded into the plan)."""
+        contribs = (
+            links.join(
+                cur.select("id", "rank").hint("shuffle_hash"),
+                links.src == F.col("id"),
+            )
+            .select(
+                F.col("dst").alias("id"),
+                (F.lit(alpha) * F.col("share") * F.col("rank")).alias("c"),
+                F.lit(None).cast("boolean").alias("dangling"),
+            )
+        )
+        if has_dangling:
+            dsdf = cur.groupBy().agg(
+                F.sum(F.when(F.col("dangling"), F.col("rank")).otherwise(0.0)).alias(
+                    "_ds"
+                )
+            )
+            base = (
+                F.lit(alpha) * F.coalesce(F.col("_ds"), F.lit(0.0)) / n
+                + F.lit((1.0 - alpha) / n)
+            )
+            based = cur.crossJoin(F.broadcast(dsdf)).select(
+                "id", base.alias("c"), "dangling"
+            )
+        else:
+            based = cur.select(
+                "id", F.lit((1.0 - alpha) / n).alias("c"), "dangling"
+            )
+        return contribs.unionByName(based).groupBy("id").agg(
+            F.sum("c").alias("rank"), F.max("dangling").alias("dangling")
+        )
+
+    def body_fused(state: DataFrame, superstep: int) -> tuple[DataFrame, dict]:
+        done = (superstep - 1) * fuse_rounds
+        k = min(fuse_rounds, max_iter - done)
+        cur = state.select("id", "rank", "dangling")
+        for _ in range(k):
+            cur = one_round_fused(cur)
+        return cur, lambda st: {"converged": False, "fused_rounds": k}
+
+    if fuse_rounds > 1 and tol <= 0 and mode == "dataframe":
+        import math
+
+        try:
+            res = run_supersteps(
+                init, body_fused,
+                max_rounds=math.ceil(max_iter / fuse_rounds),
+                checkpoint_dir=checkpoint_dir,
+                checkpoint_every=checkpoint_every or 5,
+                resume=resume,
+            )
+            return res
+        finally:
+            links.unpersist()
 
     def body(state: DataFrame, rnd: int) -> tuple[DataFrame, dict]:
-        if ds_cell[0] is None:
+        if skip_reduce:
+            ds_cell[0] = 0.0
+        elif ds_cell[0] is None:
             ds_cell[0] = (
                 state.filter("dangling").agg(F.sum("rank")).collect()[0][0] or 0.0
             )
@@ -177,6 +259,8 @@ def _pagerank_loop(
         )
 
         def finalize(st: DataFrame) -> dict:
+            if skip_reduce:
+                return {"converged": False, "eps": None, "dangling_sum": 0.0}
             # one scalar all-reduce per round: eps for the stop test AND the
             # next round's dangling mass (grape::Communicator::Sum analog)
             row = st.agg(

@@ -1,0 +1,267 @@
+"""Deduplication operators over document tables.
+
+Five tiers, cheapest first (driver brief; each is a ``queries()`` entry or
+pytest-verified):
+
+* exact            — sha256 hash groupBy (one shuffle)
+* fingerprint      — normalized xxhash64 (whitespace/case-insensitive exact)
+* n-gram Jaccard   — word-shingle overlap above a threshold (exact set
+                     similarity; quadratic within shingle-sharing candidates)
+* MinHash + LSH    — shingle → K minhashes → B bands; band-bucket join gives
+                     candidates in one equijoin, verified by signature
+                     similarity (the 100 TB path: no pairwise cross product)
+* SimHash          — 64-bit weighted-bit fingerprint; near-dups = small
+                     Hamming distance, bucketed by 16-bit chunks
+                     (Charikar'02 via block-permutation candidates)
+
+All hashing is ``xxhash64``/``md5`` built-ins — deterministic across runs
+and cluster sizes; no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "exact_duplicates",
+    "with_shingles",
+    "ngram_jaccard_pairs",
+    "with_minhash",
+    "minhash_lsh_pairs",
+    "with_simhash",
+    "simhash_pairs",
+]
+
+# 2^31 - 1 (Mersenne prime): keeps h·a+b < 2^62, no int64 overflow under ANSI
+_P = 2_147_483_647
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(sha256, n_docs, canonical_id, doc_ids) — groups with n_docs > 1 are
+    exact duplicate sets; canonical = min id."""
+    return (
+        df.select(F.col(id_col).alias("id"), F.sha2(F.col(text_col), 256).alias("sha256"))
+        .groupBy("sha256")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("id").alias("canonical_id"),
+            F.sort_array(F.collect_list("id")).alias("doc_ids"),
+        )
+    )
+
+
+def with_shingles(
+    df: DataFrame, text_col: str = "text", n: int = 3, out: str = "shingles"
+) -> DataFrame:
+    """Distinct word n-gram shingles as an array column (built-in transform
+    over a token sequence — no UDF)."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )
+    return df.withColumn(out, F.array_distinct(grams))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) for pairs sharing ≥1 shingle with exact word
+    n-gram Jaccard ≥ threshold. The shingle equijoin prunes the cross
+    product; at scale, frequent shingles should additionally be capped
+    (df > ceiling → drop) — see minhash_lsh_pairs for the sublinear path."""
+    sh = with_shingles(df.select(F.col(id_col).alias("id"), text_col), text_col, n)
+    sizes = sh.select("id", F.size("shingles").alias("n_sh"))
+    ex = sh.select("id", F.explode("shingles").alias("sh"))
+    pairs = (
+        ex.alias("a")
+        .join(ex.alias("b"), "sh")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        pairs.join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb")), "id_b")
+        .select(
+            "id_a", "id_b",
+            (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+def with_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    out: str = "minhash",
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signature (array<long> of length num_hashes) over word
+    n-gram shingles: h_i(s) = (a_i·xxhash64(s) + b_i) mod p, min over s."""
+    sh = with_shingles(df, text_col, n, out="_sh")
+    base = F.transform(F.col("_sh"), lambda s: F.abs(F.xxhash64(s)) % F.lit(_P))
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    base,
+                    lambda h: (
+                        h * F.lit(2 * (seed + i) + 1) + F.lit(7919 * (i + 1))
+                    ) % F.lit(_P),
+                )
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return sh.withColumn(out, sig).drop("_sh")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    """(id_a, id_b, est_jaccard) near-dup pairs: band-bucket collisions →
+    signature-estimated Jaccard ≥ threshold.
+
+    rows/band = num_hashes/bands; collision prob ≈ 1-(1-j^r)^b — with 64/16
+    the S-curve knees near j≈0.5. The bucket join is the only pair-producing
+    operator: at 100 TB this is a single shuffle on (band, bucket-hash)."""
+    r = num_hashes // bands
+    mh = with_minhash(
+        df.select(F.col(id_col).alias("id"), text_col), text_col, n, num_hashes,
+        seed=seed,
+    )
+    bucket_rows = mh.select(
+        "id",
+        "minhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",", *[F.col("minhash")[b * r + j] for j in range(r)]
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "minhash", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    cand = (
+        bucket_rows.alias("a")
+        .join(bucket_rows.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.minhash").alias("ma"),
+            F.col("b.minhash").alias("mb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("ma"), F.col("mb"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    ) / F.lit(float(num_hashes))
+    return cand.select("id_a", "id_b", est.alias("est_jaccard")).filter(
+        F.col("est_jaccard") >= threshold
+    )
+
+
+def with_simhash(
+    df: DataFrame, text_col: str = "text", out: str = "simhash"
+) -> DataFrame:
+    """64-bit SimHash over word tokens: bit k of the fingerprint is the sign
+    of Σ_tokens (±1 per token's hash bit k). Built-in-only: per-bit sums via
+    aggregate over the token hash array."""
+    toks = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    bit_exprs = []
+    for k in range(64):
+        votes = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        bit_val = (1 << k) if k < 63 else -(1 << 63)  # bit 63 = int64 sign bit
+        bit_exprs.append(
+            F.when(votes > 0, F.lit(bit_val).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    fp = bit_exprs[0]
+    for e in bit_exprs[1:]:
+        fp = fp + e
+    return df.withColumn(out, fp)
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs with Hamming(simhash) ≤ max_hamming.
+
+    Candidates via the block-permutation trick: split 64 bits into 4 16-bit
+    chunks; any pair within distance ≤3 shares at least one exact chunk, so
+    a 4-way chunk equijoin finds all of them without a cross product."""
+    sh = with_simhash(df.select(F.col(id_col).alias("id"), text_col), text_col)
+    chunks = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("simhash", c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("id", "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.val").alias("val"))
+    cand = (
+        chunks.alias("a")
+        .join(chunks.alias("b"), ["chunk", "val"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return cand.select("id_a", "id_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

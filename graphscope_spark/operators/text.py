@@ -1,0 +1,100 @@
+"""Text analysis over document tables — all JVM-side built-ins.
+
+The training-data-pipeline operators a 100 TB corpus needs (driver brief):
+language-ID (stopword-marker heuristic), quality scoring (length / punct /
+stopword ratios), token counting (whitespace + BPE-ish regex), and document
+fingerprinting. Every expression is a built-in ``pyspark.sql.functions``
+composition: whole-stage codegen, predicate-pushdown friendly, no Python in
+the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "with_token_count",
+    "with_bpe_token_estimate",
+    "with_lang_id",
+    "with_quality_score",
+    "with_fingerprint",
+    "LANG_MARKERS",
+]
+
+# marker stopwords per language (tiny, deterministic heuristic)
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "und", "die", "nicht", "das"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "los", "las", "una", "por"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+
+def with_token_count(df: DataFrame, col: str = "text", out: str = "n_tokens") -> DataFrame:
+    """Whitespace token count."""
+    return df.withColumn(
+        out, F.size(F.split(F.trim(F.col(col)), r"\s+")).cast("long")
+    )
+
+
+def with_bpe_token_estimate(
+    df: DataFrame, col: str = "text", out: str = "n_bpe_tokens"
+) -> DataFrame:
+    """BPE-ish token estimate: word pieces of ≤4 chars + digits + punctuation
+    each count as one token (a deterministic regex proxy for a real BPE)."""
+    pieces = F.regexp_extract_all(
+        F.col(col), F.lit(r"[A-Za-z]{1,4}|[0-9]|[^\sA-Za-z0-9]"), F.lit(0)
+    )
+    return df.withColumn(out, F.size(pieces).cast("long"))
+
+
+def _marker_count(col: str, words: list[str]):
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(F.col(col)), F.lit(pat), F.lit(0)))
+
+
+def with_lang_id(df: DataFrame, col: str = "text", out: str = "lang_pred") -> DataFrame:
+    """Predicted language = argmax marker-stopword count (ties → lexicographic
+    language code order, deterministic); 'und' when no marker hits."""
+    pairs = [
+        F.struct(
+            _marker_count(col, words).alias("hits"),
+            F.lit(code).alias("code"),
+        )
+        for code, words in sorted(LANG_MARKERS.items(), reverse=True)
+    ]
+    best = F.greatest(*pairs)
+    return df.withColumn(
+        out,
+        F.when(best["hits"] > 0, best["code"]).otherwise(F.lit("und")),
+    )
+
+
+def with_quality_score(df: DataFrame, col: str = "text", out: str = "quality") -> DataFrame:
+    """[0,1] quality: blend of length band, alpha ratio, stopword presence,
+    and mean word length band — the classic cheap pre-filter heuristics."""
+    txt = F.col(col)
+    n_chars = F.length(txt)
+    n_tokens = F.size(F.split(F.trim(txt), r"\s+"))
+    alpha = F.length(F.regexp_replace(txt, r"[^A-Za-z ]", ""))
+    alpha_ratio = alpha / F.greatest(n_chars, F.lit(1))
+    mean_word = n_chars / F.greatest(n_tokens, F.lit(1))
+    any_stop = _marker_count(col, LANG_MARKERS["en"]) > 0
+    len_score = F.when((n_chars >= 100) & (n_chars <= 20000), 1.0).otherwise(0.5)
+    word_score = F.when((mean_word >= 3) & (mean_word <= 12), 1.0).otherwise(0.5)
+    stop_score = F.when(any_stop, 1.0).otherwise(0.6)
+    return df.withColumn(
+        out,
+        F.round(
+            (len_score + word_score + stop_score + alpha_ratio) / 4.0, 6
+        ).cast("double"),
+    )
+
+
+def with_fingerprint(df: DataFrame, col: str = "text", out: str = "fingerprint") -> DataFrame:
+    """64-bit content fingerprint: xxhash64 of the whitespace-normalized,
+    lowercased text (rolling-hash document fingerprint analog)."""
+    normalized = F.lower(F.regexp_replace(F.trim(F.col(col)), r"\s+", " "))
+    return df.withColumn(out, F.xxhash64(normalized))

@@ -1,0 +1,138 @@
+from __future__ import annotations
+
+import hashlib
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy dog near the river bank tonight"),  # near dup
+    (3, "completely different text about spark dataframes and shuffle partitions here"),
+    (4, "der hund und die katze sind nicht das problem und der rest auch nicht"),
+    (5, "le chat et le chien et les oiseaux des villes et la mer"),
+    (6, "THE QUICK  brown fox jumps over the lazy dog near the river bank today"),  # case/ws variant of 0
+    (7, "el gato y el perro por las calles una y otra vez los dias"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+def _py_shingles(text, n=3):
+    toks = text.lower().split()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_exact_duplicates(docs):
+    from graphscope_spark.operators.dedup import exact_duplicates
+
+    rows = {r["sha256"]: r for r in exact_duplicates(docs).collect()}
+    want_hash = hashlib.sha256(DOCS[0][1].encode()).hexdigest()
+    grp = rows[want_hash]
+    assert grp["n_docs"] == 2 and grp["canonical_id"] == 0 and grp["doc_ids"] == [0, 1]
+
+
+def test_fingerprint_normalizes_case_and_ws(spark, docs):
+    from graphscope_spark.operators.text import with_fingerprint
+
+    fp = {r["doc_id"]: r["fingerprint"] for r in with_fingerprint(docs).collect()}
+    assert fp[0] == fp[1] == fp[6]
+    assert fp[0] != fp[2]
+
+
+def test_shingles_match_python(docs):
+    from graphscope_spark.operators.dedup import with_shingles
+
+    rows = with_shingles(docs, n=3).select("doc_id", "shingles").collect()
+    for r in rows:
+        want = _py_shingles(DOCS[r["doc_id"]][1])
+        assert set(r["shingles"]) == want, r["doc_id"]
+
+
+def test_ngram_jaccard_pairs(docs):
+    from graphscope_spark.operators.dedup import ngram_jaccard_pairs
+
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    # oracle: all-pairs python jaccard
+    want = {}
+    sh = {i: _py_shingles(t) for i, t in DOCS}
+    for a, b in itertools.combinations(sorted(sh), 2):
+        inter = len(sh[a] & sh[b])
+        if inter:
+            j = inter / len(sh[a] | sh[b])
+            if j >= 0.5:
+                want[(a, b)] = j
+    assert got.keys() == want.keys()
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    from graphscope_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    # the exact-dup pair and the near-dup pairs must be found
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs or (1, 2) in pairs
+    # unrelated docs must not pair
+    assert all(not (a == 3 or b == 3) for a, b in pairs)
+
+
+def test_minhash_deterministic(docs):
+    from graphscope_spark.operators.dedup import with_minhash
+
+    a = with_minhash(docs.select("doc_id", "text")).select("doc_id", "minhash").collect()
+    b = with_minhash(docs.select("doc_id", "text")).select("doc_id", "minhash").collect()
+    assert sorted(map(tuple, ((r["doc_id"], tuple(r["minhash"])) for r in a))) == \
+           sorted(map(tuple, ((r["doc_id"], tuple(r["minhash"])) for r in b)))
+
+
+def test_simhash_pairs(docs):
+    from graphscope_spark.operators.dedup import simhash_pairs, with_simhash
+
+    fps = {r["doc_id"]: r["simhash"] for r in with_simhash(docs).collect()}
+    assert fps[0] == fps[1] == fps[6]  # identical token sets
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_pairs(docs, max_hamming=3).collect()}
+    assert got[(0, 1)] == 0
+    # completeness: the 16-bit-chunk pigeonhole guarantees every pair with
+    # hamming <= 3 shares a chunk, so ALL such pairs must be found
+    want = {}
+    ids = sorted(fps)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1")
+            if h <= 3:
+                want[(a, b)] = h
+    assert got == want
+
+
+def test_lang_id(spark, docs):
+    from graphscope_spark.operators.text import with_lang_id
+
+    got = {r["doc_id"]: r["lang_pred"] for r in with_lang_id(docs).collect()}
+    assert got[0] == "en" and got[4] == "de" and got[5] == "fr" and got[7] == "es"
+
+
+def test_token_counts_and_quality(docs):
+    from graphscope_spark.operators.text import (
+        with_bpe_token_estimate,
+        with_quality_score,
+        with_token_count,
+    )
+
+    rows = with_token_count(with_bpe_token_estimate(with_quality_score(docs))).collect()
+    for r in rows:
+        assert r["n_tokens"] == len(DOCS[r["doc_id"]][1].split())
+        assert r["n_bpe_tokens"] >= r["n_tokens"]
+        assert 0.0 <= r["quality"] <= 1.0
