@@ -1,0 +1,147 @@
+"""The GIE relational/traversal operator surface (SURVEY.md §2.4).
+
+GraphScope's interactive engine lowers Gremlin/Cypher to a dataflow algebra
+(interactive_engine/executor/ir/proto/algebra.proto); every operator there
+has a direct DataFrame equivalent. This module provides the traversal
+operators that are NOT plain one-liners (`Project`→select, `Select`→filter,
+`Join`→join, `GroupBy`→groupBy().agg, `Dedup`→dropDuplicates,
+`OrderBy+Limit`→orderBy().limit, `Unfold`→explode are used directly), namely:
+
+* edge_expand  — EdgeExpand (algebra.proto:285-313, flatmap/edge_expand.rs:32)
+* get_v        — GetV endpoint extraction (:257-279)
+* expand_degree— the DegreeFusionRule form: expand-to-DEGREE without
+                 materializing edges (compiler fusion in the reference;
+                 here a groupBy.count by construction)
+* path_expand  — PathExpand with hop range + ARBITRARY/SIMPLE/TRAIL
+                 semantics (:314-358): iterative join accumulating an array
+                 path column; SIMPLE = no repeated vertex, TRAIL = no
+                 repeated edge
+* sample       — Coin/Sample (:428-450): seeded fraction + reservoir top-k
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["edge_expand", "get_v", "expand_degree", "path_expand", "sample_n"]
+
+
+def edge_expand(
+    frontier: DataFrame,
+    edges: DataFrame,
+    direction: str = "out",
+    v_col: str = "v",
+    out: str = "w",
+) -> DataFrame:
+    """One-hop expansion: rows of ``frontier`` (column ``v_col``) × matching
+    edges → frontier columns + ``out`` = neighbor. direction ∈ out|in|both."""
+    if direction == "out":
+        e = edges.select(F.col("src").alias("_f"), F.col("dst").alias("_t"))
+    elif direction == "in":
+        e = edges.select(F.col("dst").alias("_f"), F.col("src").alias("_t"))
+    else:
+        e = edges.select(F.col("src").alias("_f"), F.col("dst").alias("_t")).unionAll(
+            edges.select(F.col("dst").alias("_f"), F.col("src").alias("_t"))
+        )
+    return (
+        frontier.join(e, frontier[v_col] == e["_f"])
+        .drop("_f")
+        .withColumnRenamed("_t", out)
+    )
+
+
+def get_v(expanded: DataFrame, vertices: DataFrame, v_col: str, props: list[str] | None = None) -> DataFrame:
+    """GetV: attach vertex properties for column ``v_col`` (ExpandGetV
+    fusion is the default — only call when properties are needed)."""
+    cols = ["id"] + (props or [c for c in vertices.columns if c != "id"])
+    right = vertices.select(*cols)
+    renamed = right.select(
+        F.col("id").alias(v_col),
+        *[F.col(c).alias(f"{v_col}_{c}") for c in cols if c != "id"],
+    )
+    return expanded.join(renamed, v_col, "left")
+
+
+def expand_degree(frontier: DataFrame, edges: DataFrame, direction: str = "out",
+                  v_col: str = "v", out: str = "degree") -> DataFrame:
+    """Expand-to-DEGREE (DegreeFusionRule): count neighbors without
+    materializing them."""
+    if direction == "out":
+        deg = edges.groupBy(F.col("src").alias(v_col)).agg(F.count(F.lit(1)).alias(out))
+    elif direction == "in":
+        deg = edges.groupBy(F.col("dst").alias(v_col)).agg(F.count(F.lit(1)).alias(out))
+    else:
+        both = edges.select(F.col("src").alias(v_col)).unionAll(
+            edges.select(F.col("dst").alias(v_col))
+        )
+        deg = both.groupBy(v_col).agg(F.count(F.lit(1)).alias(out))
+    return frontier.join(deg, v_col, "left").fillna({out: 0})
+
+
+def path_expand(
+    start: DataFrame,
+    edges: DataFrame,
+    min_hops: int,
+    max_hops: int,
+    semantics: str = "arbitrary",
+    v_col: str = "v",
+) -> DataFrame:
+    """Variable-length expansion: returns (start, end, hops, path:array<long>).
+
+    semantics: arbitrary (any walk) | simple (no repeated vertex) |
+    trail (no repeated edge). Driver loop of k joins — the DataFrame
+    rendering of PathExpand's iteration scope.
+    """
+    e = edges.select(F.col("src").alias("_f"), F.col("dst").alias("_t"))
+    cur = start.select(
+        F.col(v_col).alias("start"),
+        F.col(v_col).alias("end"),
+        F.lit(0).alias("hops"),
+        F.array(F.col(v_col)).alias("path"),
+    )
+    results = [cur] if min_hops == 0 else []
+    for k in range(1, max_hops + 1):
+        nxt = cur.join(e, cur.end == e._f).select(
+            "start",
+            F.col("_t").alias("end"),
+            F.lit(k).alias("hops"),
+            F.concat("path", F.array(F.col("_t"))).alias("path"),
+        )
+        if semantics == "simple":
+            nxt = nxt.filter(
+                ~F.array_contains(F.slice("path", 1, k), F.col("end"))
+            )
+        elif semantics == "trail":
+            pairs = F.transform(
+                F.sequence(F.lit(1), F.lit(k)),
+                lambda i: F.concat_ws(
+                    "->",
+                    F.element_at(F.col("path"), i).cast("string"),
+                    F.element_at(F.col("path"), i + 1).cast("string"),
+                ),
+            )
+            nxt = nxt.filter(F.size(F.array_distinct(pairs)) == k)
+        cur = nxt
+        if k >= min_hops:
+            results.append(cur)
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def sample_n(df: DataFrame, n: int, seed: int = 42, by: str | None = None) -> DataFrame:
+    """Deterministic reservoir-style top-n sample: rank rows by a seeded hash
+    (optionally per group ``by``) — stable across partitionings, unlike
+    ``df.sample`` whose output depends on the split layout."""
+    key = F.xxhash64(*[F.col(c) for c in df.columns if not c.startswith("_")], F.lit(seed))
+    if by is None:
+        return (
+            df.withColumn("_rk", key)
+            .orderBy("_rk")
+            .limit(n)
+            .drop("_rk")
+        )
+    w = Window.partitionBy(by).orderBy(key)
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= n).drop("_rn")
