@@ -418,6 +418,125 @@ def _q_embedding_topk(spark, sf_dir, k: int = 5, n_queries: int = 5):
     return brute_force_topk(q, emb, k=k).orderBy("query_id", "rank")
 
 
+def _q_ngram_jaccard(spark, sf_dir):
+    from graphscope_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _load(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(docs, threshold=0.1)
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+def _q_lang_id(spark, sf_dir):
+    from graphscope_spark.operators.text import with_lang_id
+
+    docs = _load(spark, sf_dir, "documents")
+    return with_lang_id(docs).select("doc_id", "lang_pred").orderBy("doc_id")
+
+
+def _q_doc_quality(spark, sf_dir):
+    from graphscope_spark.operators.text import with_quality_score
+
+    docs = _load(spark, sf_dir, "documents")
+    return with_quality_score(docs).select("doc_id", "quality").orderBy("doc_id")
+
+
+def _q_bpe_tokens(spark, sf_dir):
+    from graphscope_spark.operators.text import with_bpe_token_estimate
+
+    docs = _load(spark, sf_dir, "documents")
+    return with_bpe_token_estimate(docs).select("doc_id", "n_bpe_tokens").orderBy("doc_id")
+
+
+def _q_doc_fingerprint(spark, sf_dir):
+    # xxhash64 has no DuckDB twin -> rows-only check (no oracle entry)
+    from graphscope_spark.operators.text import with_fingerprint
+
+    docs = _load(spark, sf_dir, "documents")
+    return with_fingerprint(docs).select("doc_id", "fingerprint").orderBy("doc_id")
+
+
+def _q_minhash_dups(spark, sf_dir):
+    # xxhash64-based signatures -> rows-only check
+    from graphscope_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _load(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, threshold=0.5).orderBy("id_a", "id_b")
+
+
+def _q_simhash_dups(spark, sf_dir):
+    # xxhash64-based fingerprints -> rows-only check
+    from graphscope_spark.operators.dedup import simhash_pairs
+
+    docs = _load(spark, sf_dir, "documents")
+    return simhash_pairs(docs, max_hamming=3).orderBy("id_a", "id_b")
+
+
+def _q_embedding_lsh_topk(spark, sf_dir):
+    # hyperplane LSH (xxhash64 planes) -> rows-only check; recall is
+    # pytest-verified against brute force
+    from graphscope_spark.operators.similarity import lsh_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return lsh_topk(q, emb, dim=64, k=5, bits=4, tables=16).orderBy("query_id", "rank")
+
+
+def _q_two_hop(spark, sf_dir):
+    from graphscope_spark.operators.relational import edge_expand
+
+    g = _customer_graph(spark, sf_dir)
+    frontier = g.vertices.filter(F.col("id") < 10).select(F.col("id").alias("v"))
+    one = edge_expand(frontier, g.edges, "out", "v", "w")
+    two = edge_expand(one.select("v", F.col("w").alias("x")), g.edges, "out", "x", "y")
+    return (
+        two.select("v", "y")
+        .distinct()
+        .groupBy(F.col("v").alias("id"))
+        .agg(F.count(F.lit(1)).alias("n_two_hop"))
+        .orderBy("id")
+    )
+
+
+def _q_subgraph_stats(spark, sf_dir):
+    g = _customer_graph(spark, sf_dir)
+    sub = g.induce_subgraph(g.vertices.filter(F.col("id") < 200))
+    return sub.edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("out_deg"),
+        F.min("dst").alias("min_dst"),
+    ).orderBy("id")
+
+
+def _q_topk_revenue(spark, sf_dir):
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_orderkey").alias("orderkey"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("orderkey").asc())
+        .limit(10)
+    )
+
+
+def _q_group_agg_events(spark, sf_dir):
+    ev = _load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank": _q_pagerank,
     "pagerank_converged": _q_pagerank_converged,
@@ -435,7 +554,30 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_dedup": _q_exact_dedup,
     "events_hourly": _q_events_hourly,
     "embedding_topk": _q_embedding_topk,
+    "ngram_jaccard": _q_ngram_jaccard,
+    "lang_id": _q_lang_id,
+    "doc_quality": _q_doc_quality,
+    "bpe_tokens": _q_bpe_tokens,
+    "doc_fingerprint": _q_doc_fingerprint,
+    "minhash_dups": _q_minhash_dups,
+    "simhash_dups": _q_simhash_dups,
+    "embedding_lsh_topk": _q_embedding_lsh_topk,
+    "two_hop": _q_two_hop,
+    "subgraph_stats": _q_subgraph_stats,
+    "topk_revenue": _q_topk_revenue,
+    "group_agg_events": _q_group_agg_events,
 }
+
+_EN = r"\b(the|and|of|to|is)\b"
+_LANG_COUNTS = """
+SELECT doc_id, text,
+  len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is)\\b')) AS c_en,
+  len(regexp_extract_all(lower(text), '\\b(der|und|die|nicht|das)\\b')) AS c_de,
+  len(regexp_extract_all(lower(text), '\\b(le|la|et|les|des)\\b')) AS c_fr,
+  len(regexp_extract_all(lower(text), '\\b(el|los|las|una|por)\\b')) AS c_es,
+  len(regexp_extract_all(lower(text), '\\b(的|是|了|在|我)\\b')) AS c_zh
+FROM documents
+"""
 
 ORACLES: dict[str, str] = {
     "pagerank": _pagerank_sql(10),
@@ -483,6 +625,85 @@ ORACLES: dict[str, str] = {
       SELECT query_id, neighbor_id, sim, rank::BIGINT AS rank
       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
     """,
+    "ngram_jaccard": """
+      WITH toks AS (SELECT doc_id AS id,
+                    regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+                    FROM documents),
+      sh AS (SELECT id,
+             CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(
+                  range(1, len(t) - 1),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                  ELSE [] END AS shingles
+             FROM toks),
+      sizes AS (SELECT id, len(shingles)::BIGINT AS n_sh FROM sh),
+      ex AS (SELECT id, unnest(shingles) AS s FROM sh),
+      pairs AS (SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS inter
+                FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
+                GROUP BY 1, 2)
+      SELECT id_a, id_b,
+             round(inter / (na.n_sh + nb.n_sh - inter), 6) AS jaccard
+      FROM pairs JOIN sizes na ON na.id = id_a JOIN sizes nb ON nb.id = id_b
+      WHERE inter / (na.n_sh + nb.n_sh - inter) >= 0.1
+      ORDER BY id_a, id_b
+    """,
+    "lang_id": f"""
+      WITH c AS ({_LANG_COUNTS})
+      SELECT doc_id,
+             CASE WHEN greatest(c_en, c_de, c_fr, c_es, c_zh) = 0 THEN 'und'
+                  WHEN c_zh = greatest(c_en, c_de, c_fr, c_es, c_zh) THEN 'zh'
+                  WHEN c_fr = greatest(c_en, c_de, c_fr, c_es, c_zh) THEN 'fr'
+                  WHEN c_es = greatest(c_en, c_de, c_fr, c_es, c_zh) THEN 'es'
+                  WHEN c_en = greatest(c_en, c_de, c_fr, c_es, c_zh) THEN 'en'
+                  ELSE 'de' END AS lang_pred
+      FROM c ORDER BY doc_id
+    """,
+    "doc_quality": f"""
+      WITH t AS (
+        SELECT doc_id,
+               length(text) AS nc,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS nt,
+               length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS na,
+               len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is)\\b')) AS stops
+        FROM documents)
+      SELECT doc_id,
+             round((
+               (CASE WHEN nc >= 100 AND nc <= 20000 THEN 1.0 ELSE 0.5 END)
+             + (CASE WHEN nc / greatest(nt, 1) >= 3 AND nc / greatest(nt, 1) <= 12
+                     THEN 1.0 ELSE 0.5 END)
+             + (CASE WHEN stops > 0 THEN 1.0 ELSE 0.6 END)
+             + na / greatest(nc, 1)) / 4.0, 6) AS quality
+      FROM t ORDER BY doc_id
+    """,
+    "bpe_tokens": (
+        "SELECT doc_id, len(regexp_extract_all(text, "
+        "'[A-Za-z]{1,4}|[0-9]|[^\\sA-Za-z0-9]'))::BIGINT AS n_bpe_tokens "
+        "FROM documents ORDER BY doc_id"
+    ),
+    "two_hop": _with(
+        "dummy AS (SELECT 1 AS one)"
+    ) + """
+      SELECT e1.src AS id, count(DISTINCT e2.dst)::BIGINT AS n_two_hop
+      FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+      WHERE e1.src < 10 GROUP BY e1.src ORDER BY id
+    """,
+    "subgraph_stats": _with(
+        "dummy AS (SELECT 1 AS one)"
+    ) + """
+      SELECT src AS id, count(*)::BIGINT AS out_deg, min(dst) AS min_dst
+      FROM edges WHERE src < 200 AND dst < 200 GROUP BY src ORDER BY id
+    """,
+    "topk_revenue": (
+        "SELECT l_orderkey AS orderkey, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+        "FROM lineitem GROUP BY 1 ORDER BY revenue DESC, orderkey ASC LIMIT 10"
+    ),
+    "group_agg_events": (
+        "SELECT user_id, count(*)::BIGINT AS n, "
+        "count(DISTINCT event_type)::BIGINT AS n_types, "
+                "round(sum(value), 2) AS sum_value, min(value) AS min_value, "
+        "max(value) AS max_value "
+        "FROM events GROUP BY user_id ORDER BY user_id"
+    ),
 }
 
 

@@ -60,12 +60,19 @@ def with_shingles(
     over a token sequence — no UDF)."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
         lambda i: F.concat_ws(
             " ", *[F.element_at(toks, i + j) for j in range(n)]
         ),
     )
-    return df.withColumn(out, F.array_distinct(grams))
+    # guard: Spark sequence(1, k) DESCENDS for k < 1, so short docs need an
+    # explicit empty-array branch
+    return df.withColumn(
+        out,
+        F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+            F.array().cast("array<string>")
+        ),
+    )
 
 
 def ngram_jaccard_pairs(

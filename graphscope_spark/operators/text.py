@@ -56,8 +56,9 @@ def _marker_count(col: str, words: list[str]):
 
 
 def with_lang_id(df: DataFrame, col: str = "text", out: str = "lang_pred") -> DataFrame:
-    """Predicted language = argmax marker-stopword count (ties → lexicographic
-    language code order, deterministic); 'und' when no marker hits."""
+    """Predicted language = argmax marker-stopword count (ties → greater
+    language code, via struct ordering — deterministic); 'und' when no
+    marker hits."""
     pairs = [
         F.struct(
             _marker_count(col, words).alias("hits"),

@@ -78,3 +78,29 @@ def test_all_queries_have_callables():
     qs = entrymod.queries()
     for k in entrymod.oracle_sql():
         assert k in qs
+
+
+NO_ORACLE = sorted(set(entrymod.queries()) - set(entrymod.oracle_sql()))
+
+
+@pytest.mark.parametrize("name", NO_ORACLE)
+def test_rows_only_queries_run(spark, name):
+    """Queries without a SQL oracle (xxhash64-based ops) get the driver's
+    weaker rows-only check — assert they run and return a stable schema."""
+    df = entrymod.queries()[name](spark, SF_DIR)
+    rows = df.collect()
+    assert df.columns and isinstance(rows, list)
+
+
+def test_lsh_topk_recall_vs_brute_force(spark):
+    """The LSH ANN path must recover most of the exact top-5 neighbors."""
+    from graphscope_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter("vec_id < 10")
+    exact = brute_force_topk(q, emb, k=5)
+    approx = lsh_topk(q, emb, dim=64, k=5, bits=4, tables=16)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.7, f"LSH recall too low: {recall}"
