@@ -1,0 +1,124 @@
+"""Path utilities: VoteRank, APSP-lengths, simple-path checks.
+
+Reference: ``apps/voterank/voterank.h`` (run_app.h:477-485),
+``apps/apsp/all_pairs_shortest_path_length.h``, ``apps/simple_path/*.h`` —
+SURVEY.md §2.2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphscope_spark.graph.graph import Graph
+
+__all__ = ["voterank", "all_pairs_shortest_path_length", "is_simple_path",
+           "all_simple_paths"]
+
+
+def voterank(graph: Graph, num_seeds: int) -> list[int]:
+    """Top influencers by iterative voting (voterank.h): each round every
+    vertex votes its voting ability to in-... (undirected here) neighbors;
+    the max-score vertex is elected, its voters' ability decays by 1/<k>.
+
+    Driver loop with one aggregation per elected seed — num_seeds is small
+    by construction (it selects a handful of influencers).
+    """
+    und = graph.to_undirected(dedup=True)
+    edges = und.edges
+    n = graph.num_vertices
+    avg_deg = edges.count() / max(n, 1)
+    decay = 1.0 / avg_deg if avg_deg else 1.0
+
+    ability = graph.vertices.select("id", F.lit(1.0).alias("ability"))
+    elected: list[int] = []
+    excluded = None
+    for _ in range(num_seeds):
+        votes = (
+            edges.join(ability.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("ability").alias("score"))
+        )
+        if excluded is not None:
+            votes = votes.join(excluded, "id", "left_anti")
+        top = votes.orderBy(F.col("score").desc(), F.col("id").asc()).limit(1).collect()
+        if not top:
+            break
+        winner = int(top[0]["id"])
+        elected.append(winner)
+        wdf = graph.spark.createDataFrame([(winner,)], "id long")
+        excluded = wdf if excluded is None else excluded.unionAll(wdf)
+        # decay the voting ability of the winner's neighbors; winner -> 0
+        nbrs = (
+            edges.join(wdf.withColumnRenamed("id", "src"), "src", "left_semi")
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .withColumn("_dec", F.lit(decay))
+        )
+        ability = (
+            ability.join(nbrs, "id", "left")
+            .select(
+                "id",
+                F.when(F.col("id") == winner, 0.0)
+                .otherwise(
+                    F.greatest(
+                        F.col("ability") - F.coalesce(F.col("_dec"), F.lit(0.0)),
+                        F.lit(0.0),
+                    )
+                )
+                .alias("ability"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    und.unpersist()
+    return elected
+
+
+def all_pairs_shortest_path_length(
+    graph: Graph, sources: list[int] | None = None
+) -> DataFrame:
+    """(source, id, distance) for each source (default: all vertices —
+    O(V) SSSP fan-out like the reference's APSP; pass a sample at scale)."""
+    from graphscope_spark.algorithms.traversal import bfs
+
+    if sources is None:
+        sources = [r["id"] for r in graph.vertices.select("id").collect()]
+    parts = []
+    for s in sources:
+        d = bfs(graph, s).select(
+            F.lit(int(s)).alias("source"), "id", F.col("depth").alias("distance")
+        )
+        parts.append(d)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def is_simple_path(graph: Graph, path: list[int]) -> bool:
+    """True iff ``path`` is a sequence of adjacent vertices with no repeats
+    (apps/simple_path/is_simple_path.h)."""
+    if len(path) == 0:
+        return False
+    if len(set(path)) != len(path):
+        return False
+    if len(path) == 1:
+        return graph.vertices.filter(F.col("id") == path[0]).limit(1).count() == 1
+    hops = graph.spark.createDataFrame(
+        [(int(a), int(b)) for a, b in zip(path, path[1:])], "src long, dst long"
+    )
+    found = hops.join(graph.edges.select("src", "dst"), ["src", "dst"], "left_semi")
+    return found.count() == len(path) - 1
+
+
+def all_simple_paths(
+    graph: Graph, source: int, target: int, cutoff: int
+) -> DataFrame:
+    """All simple paths source→target with ≤ cutoff hops: iterative
+    path-extension joins with a visited-set filter (apps/simple_path/
+    all_simple_paths.h). Returns (hops, path)."""
+    from graphscope_spark.operators.relational import path_expand
+
+    start = graph.spark.createDataFrame([(int(source),)], "v long")
+    paths = path_expand(start, graph.edges, 1, cutoff, semantics="simple")
+    return paths.filter(F.col("end") == target).select("hops", "path")
