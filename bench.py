@@ -36,7 +36,7 @@ SMALL_CORES = max(CPUS // 4, 1)
 def _session(cores: int, sp: int):
     from graphscope_spark.session import get_spark
 
-    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "40g")
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
     return get_spark(
         app_name=f"bench_local_{cores}", master=f"local[{cores}]", shuffle_partitions=sp
     )
@@ -87,7 +87,7 @@ _SCALING_SCRIPT = """
 import json, sys, time
 sys.path.insert(0, {repo!r})
 import os
-os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "40g")
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
 from graphscope_spark.session import get_spark
 spark = get_spark(app_name="bench_scaling", master=f"local[{cores}]",
                   shuffle_partitions={sp})

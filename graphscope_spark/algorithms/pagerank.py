@@ -85,10 +85,12 @@ def pagerank_ldbc(
     """Fixed-round LDBC/grape PageRank (no convergence test).
 
     ``fuse_rounds=K`` chains K power-iteration rounds into one Spark job
-    before materializing (dangling mass computed in-plan via a broadcast
-    1-row aggregate), amortizing per-job scheduling + checkpoint overhead —
-    the fixed-round mode needs no driver scalar between rounds, so fusion is
-    semantics-preserving.
+    (dangling mass computed in-plan via a broadcast 1-row aggregate) —
+    semantics-preserving and correctness-tested, but MEASURED SLOWER than
+    per-round materialization (4.5x at 2M edges, AQE on or off): each fused
+    round references the previous round's plan 2-3x and Spark's exchange
+    reuse does not deduplicate them, so work grows exponentially in K. Kept
+    as a documented negative result; leave the default of 1.
     """
     res = _pagerank_loop(
         graph,

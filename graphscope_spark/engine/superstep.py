@@ -100,6 +100,22 @@ def run_supersteps(
     else:
         state = init()
 
+    spark = _spark_of(init)
+    # AQE re-plans every tiny per-round query; for iteration loops the static
+    # plan (with our co-partitioning + shuffle_hash hints) is already right,
+    # and skipping replanning measures ~20% faster per round. Restored after.
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return _loop(state, body, start_round, max_rounds, ckpt,
+                     checkpoint_every, truncate_every, storage_level,
+                     history, resumed_from)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+
+
+def _loop(state, body, start_round, max_rounds, ckpt, checkpoint_every,
+          truncate_every, storage_level, history, resumed_from):
     state = state.localCheckpoint(eager=True)  # materialize PEval + truncate
 
     converged = False
