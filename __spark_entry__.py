@@ -421,7 +421,9 @@ def _q_embedding_topk(spark, sf_dir, k: int = 5, n_queries: int = 5):
 def _q_ngram_jaccard(spark, sf_dir):
     from graphscope_spark.operators.dedup import ngram_jaccard_pairs
 
-    docs = _load(spark, sf_dir, "documents")
+    # capped to the first 2000 docs so the all-pairs tier stays bounded at
+    # bench scale (no effect at sf0.01; the LSH tier is the scale path)
+    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
     out = ngram_jaccard_pairs(docs, threshold=0.1)
     return out.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
@@ -461,7 +463,7 @@ def _q_minhash_dups(spark, sf_dir):
     # xxhash64-based signatures -> rows-only check
     from graphscope_spark.operators.dedup import minhash_lsh_pairs
 
-    docs = _load(spark, sf_dir, "documents")
+    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
     return minhash_lsh_pairs(docs, threshold=0.5).orderBy("id_a", "id_b")
 
 
@@ -469,7 +471,7 @@ def _q_simhash_dups(spark, sf_dir):
     # xxhash64-based fingerprints -> rows-only check
     from graphscope_spark.operators.dedup import simhash_pairs
 
-    docs = _load(spark, sf_dir, "documents")
+    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
     return simhash_pairs(docs, max_hamming=3).orderBy("id_a", "id_b")
 
 
@@ -628,7 +630,7 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard": """
       WITH toks AS (SELECT doc_id AS id,
                     regexp_split_to_array(lower(trim(text)), '\\s+') AS t
-                    FROM documents),
+                    FROM documents WHERE doc_id < 2000),
       sh AS (SELECT id,
              CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(
                   range(1, len(t) - 1),
