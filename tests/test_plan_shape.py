@@ -1,0 +1,96 @@
+"""Physical-plan regression tests — the plans we designed, not just the
+first plans that passed (driver brief: `.explain` and iterate).
+
+* the steady-state superstep has EXACTLY ONE data exchange per round (the
+  message groupBy — grape's MPI all-to-all analog); the gather join and the
+  update join reuse the persisted/co-partitioned layouts, and nothing
+  broadcasts the state (a per-round broadcast rebuild serializes the loop).
+* parquet scans receive pushed filters and pruned schemas.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_superstep_plan_one_exchange_per_round(spark):
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        from graphscope_spark.sources.synthetic import power_law_edges
+
+        edges = power_law_edges(spark, 10_000, 1_000)
+        links = (
+            edges.withColumn("share", F.lit(0.5))
+            .repartition(8, "src")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        links.count()
+        state = (
+            edges.select(F.col("src").alias("id"))
+            .distinct()
+            .select("id", F.lit(1.0).alias("rank"))
+            .repartition(8, "id")
+            .localCheckpoint(eager=True)
+        )
+        msgs = (
+            links.join(state.hint("shuffle_hash"), links.src == F.col("id"))
+            .select("dst", (F.col("share") * F.col("rank")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("msg"))
+        )
+        upd = state.join(
+            msgs.hint("shuffle_hash"), state.id == msgs.dst, "left"
+        ).select(state.id, "msg")
+        plan = _executed_plan(upd)
+
+        # exactly one runtime exchange: the message shuffle by dst
+        runtime_exchanges = re.findall(r"Exchange hashpartitioning\([^)]*\), ENSURE_REQUIREMENTS", plan)
+        assert len(runtime_exchanges) == 1, plan
+        assert "dst" in runtime_exchanges[0]
+        # never broadcast the state
+        assert "BroadcastExchange" not in plan, plan
+        # both joins are shuffled hash joins over co-partitioned inputs
+        assert plan.count("ShuffledHashJoin") == 2, plan
+        links.unpersist()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_parquet_pushdown_and_pruning(spark):
+    df = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .filter(F.col("doc_id") < 10)
+        .select("doc_id")
+    )
+    plan = _executed_plan(df)
+    assert "PushedFilters" in plan and "LessThan(doc_id,10)" in plan, plan
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and "text" not in m.group(1), plan  # column pruning reached the scan
+
+
+def test_whole_stage_codegen_covers_extraction(spark):
+    """The extraction expressions (sha2, regexp) stay inside codegen — no
+    Python, no codegen fallback markers."""
+    from graphscope_spark.corpus.extractor import with_sha256
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    plan = _executed_plan(with_sha256(docs, "text").select("doc_id", "sha256"))
+    assert re.search(r"\*\(\d+\)", plan), plan  # *(n) = WholeStageCodegen stage
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_broadcast_used_for_small_dim_join(spark):
+    """Relational joins against genuinely small dims SHOULD broadcast."""
+    cust = spark.read.parquet("/root/testdata/sf0.01/customer.parquet")
+    nation = spark.read.parquet("/root/testdata/sf0.01/nation.parquet")
+    j = cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+    plan = _executed_plan(j)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
