@@ -1,4 +1,20 @@
+from graphscope_spark.algorithms.assortativity import (
+    attribute_assortativity,
+    average_degree_connectivity,
+    degree_assortativity,
+    edge_boundary,
+    node_boundary,
+)
+from graphscope_spark.algorithms.betweenness import betweenness_centrality
 from graphscope_spark.algorithms.cdlp import cdlp, lpa
+from graphscope_spark.algorithms.louvain import louvain, modularity
+from graphscope_spark.algorithms.lpa_u2i import lpa_u2i
+from graphscope_spark.algorithms.paths import (
+    all_pairs_shortest_path_length,
+    all_simple_paths,
+    is_simple_path,
+    voterank,
+)
 from graphscope_spark.algorithms.centrality import (
     closeness_centrality,
     degree_centrality,
@@ -21,5 +37,8 @@ __all__ = [
     "pagerank", "pagerank_ldbc", "wcc", "cdlp", "lpa", "triangles", "lcc",
     "transitivity", "avg_clustering", "sssp", "bfs", "k_core", "k_shell",
     "hits", "degree_centrality", "eigenvector_centrality", "katz_centrality",
-    "closeness_centrality",
+    "closeness_centrality", "betweenness_centrality", "louvain", "modularity",
+    "lpa_u2i", "voterank", "all_pairs_shortest_path_length", "is_simple_path",
+    "all_simple_paths", "degree_assortativity", "attribute_assortativity",
+    "average_degree_connectivity", "node_boundary", "edge_boundary",
 ]
