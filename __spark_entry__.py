@@ -231,6 +231,19 @@ def _sssp_sql(source: int = 0, rounds: int = 25) -> str:
     FROM verts v LEFT JOIN d{rounds} d ON v.id = d.id ORDER BY v.id"""
 
 
+def _scc_sql() -> str:
+    body = """
+    fwd(a, b) AS (
+      SELECT id, id FROM verts
+      UNION
+      SELECT f.a, e.dst FROM fwd f JOIN edges e ON e.src = f.b
+    )"""
+    return _with(body) + """
+    SELECT f1.a AS id, max(f1.b) AS component
+    FROM fwd f1 JOIN fwd f2 ON f1.a = f2.b AND f1.b = f2.a
+    GROUP BY f1.a ORDER BY id"""
+
+
 def _kcore_sql(k: int = 3, rounds: int = 15) -> str:
     ctes = ["e0 AS MATERIALIZED (SELECT src, dst FROM und)"]
     for r in range(1, rounds + 1):
@@ -351,6 +364,12 @@ def _q_sssp(spark, sf_dir):
     return sssp(
         _customer_graph(spark, sf_dir, weighted=True), source=0
     ).orderBy("id")
+
+
+def _q_scc(spark, sf_dir):
+    from graphscope_spark.algorithms.scc import scc
+
+    return scc(_customer_graph(spark, sf_dir)).orderBy("id")
 
 
 def _q_kcore(spark, sf_dir):
@@ -550,6 +569,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bfs": _q_bfs,
     "sssp": _q_sssp,
     "kcore": _q_kcore,
+    "scc": _q_scc,
     "hits": _q_hits,
     "doc_sha256": _q_doc_sha256,
     "doc_token_stats": _q_doc_token_stats,
@@ -591,6 +611,7 @@ ORACLES: dict[str, str] = {
     "bfs": _bfs_sql(0),
     "sssp": _sssp_sql(0),
     "kcore": _kcore_sql(3),
+    "scc": _scc_sql(),
     "hits": _hits_sql(5),
     "doc_sha256": (
         "SELECT doc_id, sha256(text) AS sha256 FROM documents ORDER BY doc_id"
