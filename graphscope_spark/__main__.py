@@ -1,0 +1,107 @@
+"""spark-submit entry point (north rule: ``spark-submit --py-files``).
+
+Usage:
+  spark-submit [--master ...] --py-files graphscope_spark.zip \\
+      -m graphscope_spark <algo> --edges <parquet> [--vertices <parquet>]
+      [--output <dir>] [--source N] [--max-iter N] [--tol F] [--weight-col C]
+      [--checkpoint-dir D]
+
+or locally: ``python -m graphscope_spark pagerank --edges edges.parquet``.
+Reads an edge parquet (src, dst[, weight]), runs the algorithm, writes the
+result parquet (or prints the first rows), and emits one JSON metrics line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="graphscope_spark")
+    p.add_argument("algo", choices=[
+        "pagerank", "pagerank_ldbc", "wcc", "scc", "cdlp", "triangles", "lcc",
+        "sssp", "bfs", "kcore", "hits", "degree_centrality", "louvain",
+    ])
+    p.add_argument("--edges", required=True)
+    p.add_argument("--vertices")
+    p.add_argument("--output")
+    p.add_argument("--source", type=int, default=0)
+    p.add_argument("--k", type=int, default=3)
+    p.add_argument("--max-iter", type=int, default=100)
+    p.add_argument("--rounds", type=int, default=10)
+    p.add_argument("--tol", type=float, default=1e-6)
+    p.add_argument("--alpha", type=float, default=0.85)
+    p.add_argument("--weight-col")
+    p.add_argument("--checkpoint-dir")
+    p.add_argument("--num-partitions", type=int)
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from graphscope_spark.graph.graph import Graph
+
+    spark = SparkSession.builder.appName(f"graphscope_spark_{args.algo}").getOrCreate()
+    e = spark.read.parquet(args.edges)
+    v = spark.read.parquet(args.vertices) if args.vertices else None
+    g = Graph(e, vertices=v, num_partitions=args.num_partitions)
+
+    import graphscope_spark.algorithms as A
+
+    t0 = time.time()
+    if args.algo == "pagerank":
+        out = A.pagerank(g, alpha=args.alpha, max_iter=args.max_iter, tol=args.tol,
+                         weight_col=args.weight_col,
+                         checkpoint_dir=args.checkpoint_dir)
+    elif args.algo == "pagerank_ldbc":
+        out = A.pagerank_ldbc(g, damping=args.alpha, rounds=args.rounds,
+                              weight_col=args.weight_col)
+    elif args.algo == "wcc":
+        out = A.wcc(g, checkpoint_dir=args.checkpoint_dir)
+    elif args.algo == "scc":
+        from graphscope_spark.algorithms.scc import scc
+        out = scc(g)
+    elif args.algo == "cdlp":
+        out = A.cdlp(g, max_iter=args.rounds, checkpoint_dir=args.checkpoint_dir)
+    elif args.algo == "triangles":
+        out = A.triangles(g)
+    elif args.algo == "lcc":
+        out = A.lcc(g)
+    elif args.algo == "sssp":
+        out = A.sssp(g, source=args.source, weight_col=args.weight_col or "weight",
+                     checkpoint_dir=args.checkpoint_dir)
+    elif args.algo == "bfs":
+        out = A.bfs(g, source=args.source)
+    elif args.algo == "kcore":
+        out = A.k_core(g, k=args.k)
+    elif args.algo == "hits":
+        out = A.hits(g, max_round=args.max_iter)
+    elif args.algo == "degree_centrality":
+        out = A.degree_centrality(g)
+    elif args.algo == "louvain":
+        out = A.louvain(g, weight_col=args.weight_col)
+    else:  # pragma: no cover
+        raise SystemExit(f"unknown algo {args.algo}")
+
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+    else:
+        n = out.count()
+        out.show(10, truncate=False)
+    wall = time.time() - t0
+    print(json.dumps({
+        "algo": args.algo,
+        "rows": n,
+        "edges": g.num_edges,
+        "vertices": g.num_vertices,
+        "sec": round(wall, 3),
+        "teps": round(g.num_edges * max(args.rounds, 1) / wall, 1),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
