@@ -34,11 +34,21 @@ def wcc(
     checkpoint_every: int = 5,
     resume: bool = True,
     return_result: bool = False,
+    mode: str = "dataframe",
 ) -> DataFrame | SuperstepResult:
-    """Returns ``(id, component)`` — component = min vertex id reachable."""
+    """Returns ``(id, component)`` — component = min vertex id reachable.
+
+    ``mode="csr"`` runs the gather as the partition-local CSR kernel
+    (engine/csr.csr_label_messages) instead of the relational join."""
     P = graph.num_partitions
     und = graph.to_undirected(dedup=True)
     edges = und.edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+
+    blocks = None
+    if mode == "csr":
+        from graphscope_spark.engine.csr import build_csr_blocks, csr_label_messages
+
+        blocks = build_csr_blocks(edges.withColumn("share", F.lit(0.0)), P)
 
     def init() -> DataFrame:
         return graph.vertices.select(
@@ -46,12 +56,17 @@ def wcc(
         ).repartition(P, "id")
 
     def body(state: DataFrame, rnd: int) -> tuple[DataFrame, dict]:
-        frontier = state.filter("changed").select("id", "label")
-        msgs = (
-            edges.join(frontier, edges.src == frontier.id)
-            .groupBy("dst")
-            .agg(F.min("label").alias("cand"))
-        )
+        if mode == "csr":
+            msgs = csr_label_messages(
+                blocks, state.select("id", "label", "changed"), P, combine="min"
+            )
+        else:
+            frontier = state.filter("changed").select("id", "label")
+            msgs = (
+                edges.join(frontier, edges.src == frontier.id)
+                .groupBy("dst")
+                .agg(F.min("label").alias("cand"))
+            )
         new_label = F.when(
             F.col("cand").isNotNull() & (F.col("cand") < F.col("label")),
             F.col("cand"),
@@ -82,6 +97,8 @@ def wcc(
     finally:
         edges.unpersist()
         und.unpersist()
+        if blocks is not None:
+            blocks.unpersist()
     if return_result:
         return res
     return res.state.select("id", F.col("label").alias("component"))

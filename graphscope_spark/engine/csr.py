@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-__all__ = ["build_csr_blocks", "csr_messages"]
+__all__ = ["build_csr_blocks", "csr_messages", "csr_label_messages"]
 
 _BLOCK_SCHEMA = (
     "part long, src_ids array<long>, indptr array<long>, "
@@ -140,4 +140,73 @@ def csr_messages(blocks: DataFrame, ranks: DataFrame, num_partitions: int) -> Da
         .applyInPandas(gather_scatter, "dst long, msg double")
         .groupBy("dst")
         .agg(F.sum("msg").alias("msg"))
+    )
+
+
+def csr_label_messages(
+    blocks: DataFrame,
+    state: DataFrame,
+    num_partitions: int,
+    combine: str = "min",
+) -> DataFrame:
+    """Label-propagation superstep over CSR blocks: state = (id, label
+    [, changed]); emits (dst, cand) locally combined by min/max per
+    partition. Vertices with ``changed`` false are skipped in the gather
+    (the frontier optimization of wcc_projected.h:140-144), done
+    vectorized: their contributions are masked out before the scatter."""
+
+    def gather_scatter(blocks_pdf, state_pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame({"dst": pd.Series(dtype="int64"),
+                              "cand": pd.Series(dtype="int64")})
+        if len(blocks_pdf) == 0 or len(state_pdf) == 0:
+            return empty
+        ids = state_pdf["id"].to_numpy(dtype=np.int64)
+        lab = state_pdf["label"].to_numpy(dtype=np.int64)
+        if "changed" in state_pdf.columns:
+            chg = state_pdf["changed"].to_numpy(dtype=bool)
+        else:
+            chg = np.ones(len(ids), dtype=bool)
+        order = np.argsort(ids, kind="mergesort")
+        ids, lab, chg = ids[order], lab[order], chg[order]
+
+        out_dst, out_lab = [], []
+        for row in blocks_pdf.itertuples(index=False):
+            src_ids = np.asarray(row.src_ids, dtype=np.int64)
+            indptr = np.asarray(row.indptr, dtype=np.int64)
+            dsts = np.asarray(row.dsts, dtype=np.int64)
+            pos = np.searchsorted(ids, src_ids)
+            src_lab = lab[pos]
+            src_chg = chg[pos]
+            counts = np.diff(indptr)
+            mask = np.repeat(src_chg, counts)
+            if not mask.any():
+                continue
+            out_dst.append(dsts[mask])
+            out_lab.append(np.repeat(src_lab, counts)[mask])
+        if not out_dst:
+            return empty
+        dst = np.concatenate(out_dst)
+        lv = np.concatenate(out_lab)
+        uniq, inv = np.unique(dst, return_inverse=True)
+        best = np.full(len(uniq), np.iinfo(np.int64).max if combine == "min"
+                       else np.iinfo(np.int64).min, dtype=np.int64)
+        if combine == "min":
+            np.minimum.at(best, inv, lv)
+        else:
+            np.maximum.at(best, inv, lv)
+        return pd.DataFrame({"dst": uniq, "cand": best})
+
+    state_p = state.withColumn(
+        "part", F.pmod(F.xxhash64(F.col("id")), F.lit(num_partitions))
+    )
+    agg = F.min("cand") if combine == "min" else F.max("cand")
+    return (
+        blocks.groupby("part")
+        .cogroup(state_p.groupby("part"))
+        .applyInPandas(gather_scatter, "dst long, cand long")
+        .groupBy("dst")
+        .agg(agg.alias("cand"))
     )

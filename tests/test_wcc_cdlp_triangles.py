@@ -21,6 +21,16 @@ def test_wcc_fixtures(spark, name):
     g.unpersist()
 
 
+def test_wcc_csr_mode(spark):
+    from graphscope_spark.algorithms.wcc import wcc
+
+    vertices, edges = p2p_mid(n=200, m=300)
+    g = make_graph(spark, edges, vertices)
+    got = _collect_map(wcc(g, mode="csr"), "component")
+    assert got == wcc_oracle(vertices, edges)
+    g.unpersist()
+
+
 def test_wcc_p2p_mid_sparse(spark):
     # sparse → multiple components
     from graphscope_spark.algorithms.wcc import wcc
