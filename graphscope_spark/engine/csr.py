@@ -27,7 +27,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-__all__ = ["build_csr_blocks", "csr_messages", "csr_label_messages"]
+__all__ = [
+    "build_csr_blocks",
+    "csr_messages",
+    "csr_label_messages",
+    "csr_label_counts",
+]
 
 _BLOCK_SCHEMA = (
     "part long, src_ids array<long>, indptr array<long>, "
@@ -209,4 +214,53 @@ def csr_label_messages(
         .applyInPandas(gather_scatter, "dst long, cand long")
         .groupBy("dst")
         .agg(agg.alias("cand"))
+    )
+
+
+def csr_label_counts(
+    blocks: DataFrame, state: DataFrame, num_partitions: int
+) -> DataFrame:
+    """CDLP-style superstep: emit per-(dst, label) counts, locally combined
+    per partition (the two-level hub-skew combine happens in numpy before
+    the shuffle). state = (id, label). Caller finishes with
+    groupBy(dst, label).sum + the tie-break reduction."""
+
+    def gather_scatter(blocks_pdf, state_pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame({
+            "dst": pd.Series(dtype="int64"),
+            "label": pd.Series(dtype="int64"),
+            "cnt": pd.Series(dtype="int64"),
+        })
+        if len(blocks_pdf) == 0 or len(state_pdf) == 0:
+            return empty
+        ids = state_pdf["id"].to_numpy(dtype=np.int64)
+        lab = state_pdf["label"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids, kind="mergesort")
+        ids, lab = ids[order], lab[order]
+        out_dst, out_lab = [], []
+        for row in blocks_pdf.itertuples(index=False):
+            src_ids = np.asarray(row.src_ids, dtype=np.int64)
+            indptr = np.asarray(row.indptr, dtype=np.int64)
+            dsts = np.asarray(row.dsts, dtype=np.int64)
+            pos = np.searchsorted(ids, src_ids)
+            out_dst.append(dsts)
+            out_lab.append(np.repeat(lab[pos], np.diff(indptr)))
+        dst = np.concatenate(out_dst)
+        lv = np.concatenate(out_lab)
+        pairs = np.stack([dst, lv], axis=1)
+        uniq, counts = np.unique(pairs, axis=0, return_counts=True)
+        return pd.DataFrame({"dst": uniq[:, 0], "label": uniq[:, 1], "cnt": counts})
+
+    state_p = state.withColumn(
+        "part", F.pmod(F.xxhash64(F.col("id")), F.lit(num_partitions))
+    )
+    return (
+        blocks.groupby("part")
+        .cogroup(state_p.groupby("part"))
+        .applyInPandas(gather_scatter, "dst long, label long, cnt long")
+        .groupBy("dst", "label")
+        .agg(F.sum("cnt").alias("cnt"))
     )

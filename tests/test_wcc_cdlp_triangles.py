@@ -129,3 +129,14 @@ def test_lcc_and_global_metrics(spark):
     a = avg_clustering(g)
     assert abs(a - ((1 + 1 + 1 + 0.5 + 0) / 5.0)) < 1e-12
     g.unpersist()
+
+
+def test_cdlp_csr_mode(spark):
+    from graphscope_spark.algorithms.cdlp import cdlp
+
+    vertices, edges = p2p_mid(n=150, m=600)
+    g = make_graph(spark, edges, vertices)
+    got = _collect_map(cdlp(g, max_iter=5, mode="csr"), "label")
+    assert got == _collect_map(cdlp(g, max_iter=5), "label")
+    assert got == cdlp_oracle(vertices, edges, rounds=5)
+    g.unpersist()
