@@ -543,6 +543,48 @@ def _q_topk_revenue(spark, sf_dir):
     )
 
 
+def _q_exists_subquery(spark, sf_dir):
+    """GIE Apply / correlated subquery: Catalyst decorrelates EXISTS into a
+    semi-join (SURVEY §2.4 Apply row)."""
+    _load(spark, sf_dir, "customer").createOrReplaceTempView("_gs_customer")
+    _load(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
+    return spark.sql("""
+        SELECT c_custkey AS id FROM _gs_customer c
+        WHERE EXISTS (SELECT 1 FROM _gs_orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+          AND NOT EXISTS (SELECT 1 FROM _gs_orders o2
+                          WHERE o2.o_custkey = c.c_custkey
+                            AND o2.o_orderstatus = 'F'
+                            AND o2.o_totalprice < 1000)
+        ORDER BY id
+    """)
+
+
+def _q_expr_surface(spark, sf_dir):
+    """The GIE expression surface (SURVEY §2.5): date extraction, bit ops,
+    regex/string predicates, WITHIN, ISNULL — all built-in Spark SQL."""
+    ev = _load(spark, sf_dir, "events")
+    return ev.selectExpr(
+        "event_id",
+        "CAST(year(ts) AS BIGINT) AS y",
+        "CAST(month(ts) AS BIGINT) AS mo",
+        "CAST(day(ts) AS BIGINT) AS d",
+        "CAST(hour(ts) AS BIGINT) AS h",
+        "CAST(minute(ts) AS BIGINT) AS mi",
+        "CAST(second(ts) AS BIGINT) AS s",
+        "CAST(event_id & 255 AS BIGINT) AS band",
+        "CAST(event_id | 7 AS BIGINT) AS bor",
+        "CAST(event_id ^ 42 AS BIGINT) AS bxor",
+        "CAST(shiftleft(event_id, 2) AS BIGINT) AS shl",
+        "CAST(shiftright(event_id, 1) AS BIGINT) AS shr",
+        "event_type RLIKE '^(click|view)$' AS is_cv",
+        "startswith(event_type, 'cl') AS sw",
+        "endswith(event_type, 'up') AS ew",
+        "event_type IN ('error', 'signup') AS within",
+        "props IS NULL AS isn",
+    ).orderBy("event_id")
+
+
 def _q_group_agg_events(spark, sf_dir):
     ev = _load(spark, sf_dir, "events")
     return (
@@ -588,6 +630,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "subgraph_stats": _q_subgraph_stats,
     "topk_revenue": _q_topk_revenue,
     "group_agg_events": _q_group_agg_events,
+    "exists_subquery": _q_exists_subquery,
+    "expr_surface": _q_expr_surface,
 }
 
 _EN = r"\b(the|and|of|to|is)\b"
@@ -720,6 +764,28 @@ ORACLES: dict[str, str] = {
         "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
         "FROM lineitem GROUP BY 1 ORDER BY revenue DESC, orderkey ASC LIMIT 10"
     ),
+    "exists_subquery": (
+        "SELECT c_custkey AS id FROM customer c "
+        "WHERE EXISTS (SELECT 1 FROM orders o "
+        "  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000) "
+        "AND NOT EXISTS (SELECT 1 FROM orders o2 "
+        "  WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F' "
+        "    AND o2.o_totalprice < 1000) ORDER BY id"
+    ),
+    "expr_surface": """
+      SELECT event_id,
+             year(ts)::BIGINT AS y, month(ts)::BIGINT AS mo, day(ts)::BIGINT AS d,
+             hour(ts)::BIGINT AS h, minute(ts)::BIGINT AS mi, second(ts)::BIGINT AS s,
+             (event_id & 255)::BIGINT AS band, (event_id | 7)::BIGINT AS bor,
+             xor(event_id, 42)::BIGINT AS bxor,
+             (event_id << 2)::BIGINT AS shl, (event_id >> 1)::BIGINT AS shr,
+             regexp_matches(event_type, '^(click|view)$') AS is_cv,
+             starts_with(event_type, 'cl') AS sw,
+             (event_type LIKE '%up') AS ew,
+             (event_type IN ('error', 'signup')) AS within,
+             (props IS NULL) AS isn
+      FROM events ORDER BY event_id
+    """,
     "group_agg_events": (
         "SELECT user_id, count(*)::BIGINT AS n, "
         "count(DISTINCT event_type)::BIGINT AS n_types, "
