@@ -262,6 +262,49 @@ def _kcore_sql(k: int = 3, rounds: int = 15) -> str:
     ORDER BY v.id"""
 
 
+def _katz_sql(rounds: int = 5, alpha: float = 0.1, beta: float = 1.0) -> str:
+    ctes = ["x0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM nv) AS x FROM verts)"]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        ctes.append(
+            f"""raw{k} AS MATERIALIZED (
+              SELECT v.id, {alpha} * coalesce(s.m, 0) + {beta} AS raw FROM verts v
+              LEFT JOIN (SELECT e.dst AS id, sum(x.x) AS m FROM edges e
+                         JOIN x{p} x ON e.src = x.id GROUP BY e.dst) s
+              ON v.id = s.id)"""
+        )
+        ctes.append(
+            f"""n{k} AS MATERIALIZED (SELECT CASE WHEN sqrt(sum(raw*raw)) = 0 THEN 1
+                       ELSE sqrt(sum(raw*raw)) END AS nrm FROM raw{k})"""
+        )
+        ctes.append(
+            f"x{k} AS MATERIALIZED (SELECT id, raw / (SELECT nrm FROM n{k}) AS x FROM raw{k})"
+        )
+    return _with(",".join(ctes)) + f"""
+    SELECT id, round(x, 6) AS centrality FROM x{rounds} ORDER BY id"""
+
+
+def _closeness_sql(n_sources: int = 5, bound: int = 60) -> str:
+    body = f"""
+    seeds AS MATERIALIZED (SELECT id FROM verts WHERE id < {n_sources}),
+    walk(source, id, depth) AS (
+      SELECT id, id, 0 FROM seeds
+      UNION
+      SELECT w.source, e.src, w.depth + 1
+      FROM walk w JOIN edges e ON e.dst = w.id
+      WHERE w.depth < {bound}
+    ),
+    md AS MATERIALIZED (SELECT source, id, min(depth) AS d FROM walk GROUP BY source, id),
+    st AS MATERIALIZED (SELECT source, count(*)::BIGINT AS r, sum(d)::DOUBLE AS tot
+                        FROM md WHERE d > 0 OR id = source GROUP BY source)
+    """
+    return _with(body) + """
+    SELECT s.id, round(CASE WHEN st.tot > 0 AND (SELECT n FROM nv) > 1
+                 THEN ((st.r - 1.0) / ((SELECT n FROM nv) - 1.0)) * ((st.r - 1.0) / st.tot)
+                 ELSE 0.0 END, 6) AS centrality
+    FROM seeds s LEFT JOIN st ON st.source = s.id ORDER BY s.id"""
+
+
 def _hits_sql(rounds: int = 5) -> str:
     ctes = ["h0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM nv) AS hub FROM verts)"]
     for kk in range(1, rounds + 1):
@@ -376,6 +419,22 @@ def _q_kcore(spark, sf_dir):
     from graphscope_spark.algorithms.kcore import k_core
 
     return k_core(_customer_graph(spark, sf_dir), k=3).orderBy("id")
+
+
+def _q_katz(spark, sf_dir):
+    from graphscope_spark.algorithms.centrality import katz_centrality
+
+    out = katz_centrality(
+        _customer_graph(spark, sf_dir), alpha=0.1, beta=1.0, max_iter=5, tol=0.0
+    )
+    return out.select("id", F.round("centrality", 6).alias("centrality")).orderBy("id")
+
+
+def _q_closeness(spark, sf_dir):
+    from graphscope_spark.algorithms.centrality import closeness_centrality
+
+    out = closeness_centrality(_customer_graph(spark, sf_dir), sources=[0, 1, 2, 3, 4])
+    return out.select("id", F.round("centrality", 6).alias("centrality")).orderBy("id")
 
 
 def _q_hits(spark, sf_dir):
@@ -613,6 +672,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kcore": _q_kcore,
     "scc": _q_scc,
     "hits": _q_hits,
+    "katz": _q_katz,
+    "closeness": _q_closeness,
     "doc_sha256": _q_doc_sha256,
     "doc_token_stats": _q_doc_token_stats,
     "exact_dedup": _q_exact_dedup,
@@ -657,6 +718,8 @@ ORACLES: dict[str, str] = {
     "kcore": _kcore_sql(3),
     "scc": _scc_sql(),
     "hits": _hits_sql(5),
+    "katz": _katz_sql(5),
+    "closeness": _closeness_sql(5),
     "doc_sha256": (
         "SELECT doc_id, sha256(text) AS sha256 FROM documents ORDER BY doc_id"
     ),
