@@ -1,0 +1,68 @@
+"""NetworkX-style API façade (SURVEY §3.3).
+
+The reference ships 52 NetworkX-compatible wrappers over the same builtins
+(python/graphscope/nx/algorithms/builtin.py). This façade gives the familiar
+names over :class:`Graph` — thin aliases, same engines underneath.
+"""
+
+from __future__ import annotations
+
+from graphscope_spark.algorithms import (
+    avg_clustering as average_clustering,
+)
+from graphscope_spark.algorithms import (
+    bfs,
+    betweenness_centrality,
+    cdlp,
+    closeness_centrality,
+    degree_centrality,
+    eigenvector_centrality,
+    hits,
+    k_core,
+    k_shell,
+    katz_centrality,
+    lcc as clustering,
+    louvain as louvain_communities,
+    pagerank,
+    sssp,
+    transitivity,
+    triangles,
+    voterank,
+    wcc as connected_components,
+)
+from graphscope_spark.algorithms.paths import (
+    all_pairs_shortest_path_length,
+    all_simple_paths,
+    is_simple_path,
+)
+from graphscope_spark.algorithms.scc import scc as strongly_connected_components
+from graphscope_spark.algorithms.traversal import (
+    bfs as bfs_tree_depths,
+)
+from graphscope_spark.algorithms.traversal import (
+    sssp as single_source_dijkstra_path_length,
+)
+from graphscope_spark.algorithms.assortativity import (
+    attribute_assortativity as attribute_assortativity_coefficient,
+    degree_assortativity as degree_assortativity_coefficient,
+    average_degree_connectivity,
+    edge_boundary,
+    node_boundary,
+)
+
+label_propagation_communities = cdlp
+shortest_path_length = single_source_dijkstra_path_length
+
+__all__ = [
+    "pagerank", "connected_components", "strongly_connected_components",
+    "label_propagation_communities", "louvain_communities", "triangles",
+    "clustering", "average_clustering", "transitivity", "bfs",
+    "bfs_tree_depths", "sssp", "single_source_dijkstra_path_length",
+    "shortest_path_length", "k_core", "k_shell", "hits", "degree_centrality",
+    "eigenvector_centrality", "katz_centrality", "closeness_centrality",
+    "betweenness_centrality", "voterank", "all_pairs_shortest_path_length",
+    "all_simple_paths", "is_simple_path",
+    "attribute_assortativity_coefficient",
+    "degree_assortativity_coefficient", "average_degree_connectivity",
+    "edge_boundary", "node_boundary",
+]
