@@ -24,6 +24,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("algo", choices=[
         "pagerank", "pagerank_ldbc", "wcc", "scc", "cdlp", "triangles", "lcc",
         "sssp", "bfs", "kcore", "hits", "degree_centrality", "louvain",
+        "closeness", "betweenness", "apsp",
     ])
     p.add_argument("--edges", required=True)
     p.add_argument("--vertices")
@@ -37,6 +38,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--weight-col")
     p.add_argument("--checkpoint-dir")
     p.add_argument("--num-partitions", type=int)
+    p.add_argument("--sources", help="comma-separated source ids for "
+                   "closeness/betweenness/apsp (default: 0-4)")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -80,6 +83,22 @@ def main(argv: list[str] | None = None) -> int:
         out = A.hits(g, max_round=args.max_iter)
     elif args.algo == "degree_centrality":
         out = A.degree_centrality(g)
+    elif args.algo in ("closeness", "betweenness", "apsp"):
+        try:
+            srcs = [int(s) for s in (args.sources or "0,1,2,3,4").split(",")]
+        except ValueError:
+            p.error(f"--sources must be comma-separated integers, got: {args.sources}")
+        if args.algo == "closeness":
+            from graphscope_spark.algorithms.centrality import closeness_centrality
+            out = closeness_centrality(g, sources=srcs)
+        elif args.algo == "betweenness":
+            from graphscope_spark.algorithms.betweenness import betweenness_centrality
+            out = betweenness_centrality(g, sources=srcs)
+        else:
+            from graphscope_spark.algorithms.paths import (
+                all_pairs_shortest_path_length,
+            )
+            out = all_pairs_shortest_path_length(g, sources=srcs)
     elif args.algo == "louvain":
         out = A.louvain(g, weight_col=args.weight_col)
     else:  # pragma: no cover

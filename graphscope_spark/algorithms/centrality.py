@@ -45,41 +45,69 @@ def degree_centrality(graph: Graph, degree_type: str = "both") -> DataFrame:
 def _power_iteration(
     graph: Graph, update_base, alpha: float, max_iter: int, tol: float
 ) -> DataFrame:
+    """x ← (α·Aᵀx + β) / ||·||₂ with DEFERRED normalization: the state holds
+    raw (pre-division) values, the driver carries the L2-norm scalar, and the
+    division folds into the next round's plan as α' = α/n2 — one
+    materialization + one scalar all-reduce per round (plan+finalize
+    protocol), plus a second cheap scan over the materialized state for the
+    tolerance test only when tol > 0."""
     P = graph.num_partitions
     n = graph.num_vertices
-    edges = graph.edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    edges = (
+        graph.edges.select("src", "dst")
+        .repartition(P, "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    scal = {"n2": 1.0}
 
     def init() -> DataFrame:
-        return graph.vertices.select("id", F.lit(1.0 / n).alias("x")).repartition(
-            P, "id"
+        return graph.vertices.select(
+            "id", F.lit(1.0 / n).alias("raw")
+        ).repartition(P, "id")
+
+    def body(state: DataFrame, rnd: int):
+        n2_prev = scal["n2"]
+        msgs = (
+            edges.join(
+                state.select("id", "raw").hint("shuffle_hash"),
+                edges.src == F.col("id"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("raw").alias("m"))
+        )
+        new_raw = (
+            F.lit(alpha / n2_prev) * F.coalesce(F.col("m"), F.lit(0.0))
+            + F.lit(update_base)
+        )
+        plan = state.join(
+            msgs.hint("shuffle_hash"), state.id == msgs.dst, "left"
+        ).select(
+            state.id.alias("id"),
+            new_raw.alias("raw"),
+            (F.col("raw") / F.lit(n2_prev)).alias("x_old"),
         )
 
-    def body(state: DataFrame, rnd: int) -> tuple[DataFrame, dict]:
-        msgs = (
-            edges.join(state.select("id", "x").hint("shuffle_hash"), edges.src == F.col("id"))
-            .groupBy("dst")
-            .agg(F.sum("x").alias("m"))
-        )
-        raw = alpha * F.coalesce(F.col("m"), F.lit(0.0)) + F.lit(update_base)
-        tmp = (
-            state.join(msgs.hint("shuffle_hash"), state.id == msgs.dst, "left")
-            .select(state.id.alias("id"), raw.alias("raw"), F.col("x").alias("x_old"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        norm_row = tmp.agg(F.sqrt(F.sum(F.col("raw") * F.col("raw"))).alias("n2")).collect()[0]
-        n2 = norm_row["n2"] or 1.0
-        n2 = n2 if n2 != 0 else 1.0
-        new_state = tmp.select(
-            "id", (F.col("raw") / n2).alias("x"),
-            F.abs(F.col("raw") / n2 - F.col("x_old")).alias("delta"),
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        eps = new_state.agg(F.sum("delta")).collect()[0][0] or 0.0
-        tmp.unpersist()
-        return new_state.select("id", "x"), {"converged": eps < n * tol, "eps": eps}
+        def finalize(st: DataFrame) -> dict:
+            n2 = (
+                st.agg(F.sqrt(F.sum(F.col("raw") * F.col("raw")))).collect()[0][0]
+                or 1.0
+            )
+            scal["n2"] = n2 if n2 != 0 else 1.0
+            if tol <= 0:
+                return {"converged": False, "n2": n2}
+            eps = (
+                st.agg(
+                    F.sum(F.abs(F.col("raw") / F.lit(scal["n2"]) - F.col("x_old")))
+                ).collect()[0][0]
+                or 0.0
+            )
+            return {"converged": eps < n * tol, "eps": eps, "n2": n2}
+
+        return plan, finalize
 
     res = run_supersteps(init, body, max_rounds=max_iter)
     edges.unpersist()
-    return res.state
+    return res.state.select("id", (F.col("raw") / F.lit(scal["n2"])).alias("x"))
 
 
 def eigenvector_centrality(
@@ -102,27 +130,39 @@ def katz_centrality(
     return out.select("id", F.col("x").alias("centrality"))
 
 
-def closeness_centrality(graph: Graph, sources: list[int] | None = None) -> DataFrame:
-    """(id, centrality) for the given vertex ids (default: all — expensive;
-    the reference's closeness app is likewise a per-source BFS fan-out).
-    Wasserman-Faust scaling: ((r-1)/(n-1)) · ((r-1)/Σdist), r = #reachable
-    via *incoming* paths (distance measured on the reversed graph, matching
-    NetworkX/GraphScope convention)."""
-    from graphscope_spark.algorithms.traversal import sssp
+def closeness_centrality(
+    graph: Graph,
+    sources: list[int] | DataFrame | None = None,
+    max_all_vertices: int = 65_536,
+) -> DataFrame:
+    """(id, centrality) for the given vertex ids — ONE composite-state
+    multi-source BFS for the whole batch (diameter rounds total, not
+    |sources| × diameter jobs; engine/multisource.py). Wasserman-Faust
+    scaling: ((r-1)/(n-1)) · ((r-1)/Σdist), r = #reachable via *incoming*
+    paths (distance on reversed edges, matching NetworkX/GraphScope —
+    reference apps/centrality/closeness/closeness_centrality.h).
+
+    ``sources=None`` computes all vertices, refused above
+    ``max_all_vertices`` (exact all-sources closeness is O(V·E) work by any
+    algorithm — pass an explicit sample at scale).
+    """
+    from graphscope_spark.engine.multisource import multi_source_bfs
 
     n = graph.num_vertices
-    rev = graph.reverse()
     if sources is None:
-        sources = [r["id"] for r in graph.vertices.select("id").collect()]
-    rows = []
-    for s in sources:
-        d = sssp(rev, s, weight_col=None).filter(F.col("distance").isNotNull())
-        agg = d.agg(F.sum("distance").alias("t"), F.count(F.lit(1)).alias("r")).collect()[0]
-        tot, r = agg["t"], agg["r"]
-        if tot and tot > 0 and n > 1:
-            c = ((r - 1) / (n - 1)) * ((r - 1) / tot)
-        else:
-            c = 0.0
-        rows.append((int(s), float(c)))
-    rev.unpersist()
-    return graph.spark.createDataFrame(rows, "id long, centrality double")
+        if n > max_all_vertices:
+            raise ValueError(
+                f"closeness over all {n} vertices is O(V*E); pass an explicit "
+                "sources list/DataFrame (e.g. a seeded sample) at this scale"
+            )
+        sources = graph.vertices.select(F.col("id").alias("source"))
+    dist = multi_source_bfs(graph, sources, reverse=True)
+    st = dist.groupBy("source").agg(
+        F.count(F.lit(1)).alias("r"), F.sum("depth").cast("double").alias("tot")
+    )
+    c = F.when(
+        (F.col("tot") > 0) & (F.lit(n) > 1),
+        ((F.col("r") - 1) / F.lit(float(n - 1)))
+        * ((F.col("r") - 1) / F.col("tot")),
+    ).otherwise(0.0)
+    return st.select(F.col("source").alias("id"), c.alias("centrality"))

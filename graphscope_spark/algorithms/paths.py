@@ -75,24 +75,30 @@ def voterank(graph: Graph, num_seeds: int) -> list[int]:
 
 
 def all_pairs_shortest_path_length(
-    graph: Graph, sources: list[int] | None = None
+    graph: Graph,
+    sources: list[int] | DataFrame | None = None,
+    max_all_vertices: int = 16_384,
 ) -> DataFrame:
-    """(source, id, distance) for each source (default: all vertices —
-    O(V) SSSP fan-out like the reference's APSP; pass a sample at scale)."""
-    from graphscope_spark.algorithms.traversal import bfs
+    """(source, id, distance) for reachable pairs — ONE composite-state
+    multi-source BFS for the whole batch (engine/multisource.py), diameter
+    rounds total regardless of |sources|. Unreachable pairs are absent
+    (at scale the full V² matrix must stay sparse).
+
+    ``sources=None`` = true APSP, refused above ``max_all_vertices``
+    (output is O(V²) pairs by definition — sample at scale)."""
+    from graphscope_spark.engine.multisource import multi_source_bfs
 
     if sources is None:
-        sources = [r["id"] for r in graph.vertices.select("id").collect()]
-    parts = []
-    for s in sources:
-        d = bfs(graph, s).select(
-            F.lit(int(s)).alias("source"), "id", F.col("depth").alias("distance")
-        )
-        parts.append(d)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        n = graph.num_vertices
+        if n > max_all_vertices:
+            raise ValueError(
+                f"APSP over all {n} vertices materializes O(V^2) pairs; pass "
+                "an explicit sources list/DataFrame at this scale"
+            )
+        sources = graph.vertices.select(F.col("id").alias("source"))
+    return multi_source_bfs(graph, sources).select(
+        "source", "id", F.col("depth").cast("int").alias("distance")
+    )
 
 
 def is_simple_path(graph: Graph, path: list[int]) -> bool:

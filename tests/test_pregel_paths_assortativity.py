@@ -74,7 +74,8 @@ def test_apsp_and_simple_paths(spark):
         (r["source"], r["id"]): r["distance"]
         for r in all_pairs_shortest_path_length(g, [1, 2]).collect()
     }
-    assert d[(1, 4)] == 2 and d[(1, 2)] == 1 and d[(2, 3)] == -1
+    # unreachable pairs are absent (sparse contract): 2 cannot reach 3
+    assert d[(1, 4)] == 2 and d[(1, 2)] == 1 and (2, 3) not in d
     assert is_simple_path(g, [1, 2, 4])
     assert not is_simple_path(g, [1, 4])
     assert not is_simple_path(g, [1, 2, 1])
