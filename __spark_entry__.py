@@ -65,7 +65,8 @@ edges AS MATERIALIZED (
   WHERE o_custkey <> (o_orderkey * 97) % (SELECT c FROM params)
 ),
 verts AS MATERIALIZED (SELECT c_custkey AS id FROM customer),
-und AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
+und AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+  SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges) t),
 undm AS MATERIALIZED (SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges),
 wedges AS MATERIALIZED (SELECT src, dst, CAST(1 + (src * 7 + dst * 13) % 5 AS DOUBLE) AS w FROM edges)
 """
@@ -340,6 +341,311 @@ def _hits_sql(rounds: int = 5) -> str:
     FROM h{rounds} h JOIN a{rounds} a ON h.id = a.id ORDER BY h.id"""
 
 
+def _eigenvector_sql(rounds: int = 5) -> str:
+    # power iteration == Katz with alpha=1, beta=0 (same unrolled algebra)
+    return _katz_sql(rounds=rounds, alpha=1.0, beta=0.0)
+
+
+def _kshell_sql(max_k: int = 18, peel_rounds: int = 10) -> str:
+    """Unrolled chained peel: the k-core is computed from the surviving
+    (k-1)-core edges (k-core ⊆ (k-1)-core), mirroring algorithms/kcore.py
+    k_shell exactly."""
+    ctes = ["pe0_0 AS MATERIALIZED (SELECT src, dst FROM und)"]
+    prev = "pe0_0"
+    shells = []
+    for k in range(1, max_k + 1):
+        cur = prev
+        for r in range(1, peel_rounds + 1):
+            s = f"ps{k}_{r}"
+            e = f"pe{k}_{r}"
+            ctes.append(
+                f"""{s} AS MATERIALIZED (SELECT src AS id FROM {cur} GROUP BY src
+                        HAVING count(*) >= {k})"""
+            )
+            ctes.append(
+                f"""{e} AS MATERIALIZED (SELECT e.src, e.dst FROM {cur} e
+                        JOIN {s} a ON e.src = a.id JOIN {s} b ON e.dst = b.id)"""
+            )
+            cur = e
+        ctes.append(
+            f"core{k} AS MATERIALIZED (SELECT DISTINCT src AS id FROM {cur})"
+        )
+        shells.append(f"SELECT id, {k} AS k FROM core{k}")
+        prev = cur
+    ctes.append(
+        "allshell AS MATERIALIZED (SELECT id, max(k) AS shell FROM ("
+        + " UNION ALL ".join(shells)
+        + ") t GROUP BY id)"
+    )
+    return _with(",".join(ctes)) + """
+    SELECT v.id, coalesce(s.shell, 0)::INT AS shell
+    FROM verts v LEFT JOIN allshell s ON v.id = s.id ORDER BY v.id"""
+
+
+def _clustering_global_sql() -> str:
+    return _with(_TRI_BASE) + """
+    , lccs AS MATERIALIZED (
+      SELECT v.id,
+             CASE WHEN coalesce(d.deg, 0) >= 2
+                  THEN coalesce(t.cnt, 0) / (d.deg * (d.deg - 1) / 2.0)
+                  ELSE 0.0 END AS l
+      FROM verts v LEFT JOIN adeg d ON v.id = d.id LEFT JOIN tcnt t ON v.id = t.id),
+    ntri AS MATERIALIZED (SELECT count(*)::DOUBLE AS t3 FROM tris),
+    trip AS MATERIALIZED (SELECT sum(deg * (deg - 1) / 2.0) AS tr FROM adeg)
+    SELECT round(CASE WHEN (SELECT tr FROM trip) > 0
+                 THEN 3.0 * (SELECT t3 FROM ntri) / (SELECT tr FROM trip)
+                 ELSE 0.0 END, 6) AS transitivity,
+           round((SELECT avg(l) FROM lccs), 6) AS avg_clustering"""
+
+
+def _apsp_sql(n_sources: int = 5, bound: int = 12) -> str:
+    body = f"""
+    seeds AS MATERIALIZED (SELECT id FROM verts WHERE id < {n_sources}),
+    walk(source, id, depth) AS (
+      SELECT id, id, 0 FROM seeds
+      UNION
+      SELECT w.source, e.dst, w.depth + 1
+      FROM walk w JOIN edges e ON e.src = w.id
+      WHERE w.depth < {bound}
+    )"""
+    return _with(body) + """
+    SELECT source, id, min(depth)::INT AS distance
+    FROM walk GROUP BY source, id ORDER BY source, id"""
+
+
+def _betweenness_sql(
+    n_sources: int = 5, max_level: int = 8, n_hint: str = "(SELECT n FROM nv)"
+) -> str:
+    """Unrolled batched Brandes (directed, normalized, sources 0..k-1):
+    per-level σ accumulation downward then δ dependencies upward."""
+    ctes = [
+        f"seeds AS MATERIALIZED (SELECT id FROM verts WHERE id < {n_sources})",
+        f"""walk(source, id, depth) AS (
+             SELECT id, id, 0 FROM seeds
+             UNION
+             SELECT w.source, e.dst, w.depth + 1
+             FROM walk w JOIN edges e ON e.src = w.id
+             WHERE w.depth < {max_level + 2})""",
+        "md AS MATERIALIZED (SELECT source, id, min(depth) AS d FROM walk GROUP BY 1, 2)",
+        "sigL0 AS MATERIALIZED (SELECT id AS source, id, 1.0::DOUBLE AS sigma FROM seeds)",
+    ]
+    for k in range(1, max_level + 1):
+        ctes.append(
+            f"""sigL{k} AS MATERIALIZED (
+              SELECT m.source, m.id, sum(p.sigma) AS sigma
+              FROM sigL{k - 1} p JOIN edges e ON e.src = p.id
+              JOIN md m ON m.source = p.source AND m.id = e.dst AND m.d = {k}
+              GROUP BY m.source, m.id)"""
+        )
+    # delta: top level has delta 0
+    ctes.append(
+        f"wd{max_level} AS MATERIALIZED (SELECT source, id, sigma, 0.0::DOUBLE AS delta FROM sigL{max_level})"
+    )
+    for k in range(max_level - 1, 0, -1):
+        ctes.append(
+            f"""fl{k} AS MATERIALIZED (
+              SELECT s.source, s.id,
+                     sum(s.sigma / w.sigma * (1.0 + w.delta)) AS val
+              FROM sigL{k} s JOIN edges e ON e.src = s.id
+              JOIN wd{k + 1} w ON w.source = s.source AND w.id = e.dst
+              GROUP BY s.source, s.id)"""
+        )
+        ctes.append(
+            f"""wd{k} AS MATERIALIZED (
+              SELECT s.source, s.id, s.sigma, coalesce(f.val, 0.0) AS delta
+              FROM sigL{k} s LEFT JOIN fl{k} f
+              ON f.source = s.source AND f.id = s.id)"""
+        )
+    deltas = " UNION ALL ".join(
+        f"SELECT id, delta FROM wd{k}" for k in range(1, max_level + 1)
+    )
+    ctes.append(f"alldel AS MATERIALIZED (SELECT id, sum(delta) AS score FROM ({deltas}) t GROUP BY id)")
+    n = n_hint
+    scale = (
+        f"(({n}::DOUBLE / {n_sources}) / (({n} - 1.0) * ({n} - 2.0)))"
+    )
+    return _with(",".join(ctes)) + f"""
+    SELECT v.id, round(coalesce(a.score, 0.0) * {scale}, 6) AS centrality
+    FROM verts v LEFT JOIN alldel a ON v.id = a.id ORDER BY v.id"""
+
+
+def _voterank_sql(num_seeds: int = 5) -> str:
+    ctes = [
+        "nedges AS MATERIALIZED (SELECT count(*)::DOUBLE AS m FROM und)",
+        "dec AS MATERIALIZED (SELECT (SELECT n FROM nv) / (SELECT m FROM nedges) AS d)",
+        "ab0 AS MATERIALIZED (SELECT id, 1.0::DOUBLE AS ability FROM verts)",
+        "el0 AS MATERIALIZED (SELECT NULL::BIGINT AS id WHERE 1=0)",
+    ]
+    for t in range(1, num_seeds + 1):
+        p = t - 1
+        ctes.append(
+            f"""vt{t} AS MATERIALIZED (
+              SELECT u.dst AS id, sum(a.ability) AS score
+              FROM und u JOIN ab{p} a ON a.id = u.src
+              WHERE u.dst NOT IN (SELECT id FROM el{p})
+              GROUP BY u.dst)"""
+        )
+        ctes.append(
+            f"""win{t} AS MATERIALIZED (
+              SELECT id FROM vt{t} ORDER BY score DESC, id ASC LIMIT 1)"""
+        )
+        ctes.append(
+            f"el{t} AS MATERIALIZED (SELECT id FROM el{p} UNION ALL SELECT id FROM win{t})"
+        )
+        ctes.append(
+            f"""nb{t} AS MATERIALIZED (
+              SELECT DISTINCT u.dst AS id FROM und u
+              WHERE u.src = (SELECT id FROM win{t}))"""
+        )
+        ctes.append(
+            f"""ab{t} AS MATERIALIZED (
+              SELECT a.id,
+                     CASE WHEN a.id = (SELECT id FROM win{t}) THEN 0.0
+                          WHEN a.id IN (SELECT id FROM nb{t})
+                          THEN greatest(a.ability - (SELECT d FROM dec), 0.0)
+                          ELSE a.ability END AS ability
+              FROM ab{p} a)"""
+        )
+    sel = " UNION ALL ".join(
+        f"SELECT {t}::BIGINT AS rank, id FROM win{t}" for t in range(1, num_seeds + 1)
+    )
+    return _with(",".join(ctes)) + f" SELECT rank, id FROM ({sel}) t ORDER BY rank"
+
+
+def _dfs_sql() -> str:
+    """DFS preorder on the deterministic binary-heap tree (parent(i) =
+    (i-1)/2): preorder rank = lexicographic rank of the root→vertex path."""
+    body = """
+    tedges AS MATERIALIZED (
+      SELECT ((id - 1) // 2) AS src, id AS dst FROM verts WHERE id > 0),
+    dwalk(id, path) AS (
+      SELECT 0::BIGINT, lpad('0', 8, '0')
+      UNION ALL
+      SELECT t.dst, w.path || lpad(t.dst::VARCHAR, 8, '0')
+      FROM dwalk w JOIN tedges t ON t.src = w.id
+    ),
+    ordered AS MATERIALIZED (
+      SELECT id, (row_number() OVER (ORDER BY path) - 1)::INT AS ord
+      FROM dwalk)
+    """
+    return _with(body) + """
+    SELECT o.id, o.ord AS "order",
+           CASE WHEN o.id = 0 THEN NULL ELSE (o.id - 1) // 2 END AS parent
+    FROM ordered o ORDER BY o.id"""
+
+
+def _louvain_cliques_sql(clique: int = 6, n_max: int = 600) -> str:
+    return f"""
+    SELECT c_custkey AS id, (c_custkey // {clique}) * {clique} AS community
+    FROM customer WHERE c_custkey < {n_max} ORDER BY id"""
+
+
+def _simple_paths_sql(source: int = 0, target: int = 7, cutoff: int = 3) -> str:
+    body = f"""
+    sp(id, path, hops) AS (
+      SELECT {source}::BIGINT, [{source}::BIGINT], 0
+      UNION ALL
+      SELECT e.dst, list_append(w.path, e.dst), w.hops + 1
+      FROM sp w JOIN edges e ON e.src = w.id
+      WHERE w.hops < {cutoff} AND NOT list_contains(w.path, e.dst)
+    )"""
+    return _with(body) + f"""
+    SELECT hops::INT AS hops, array_to_string(path, '->') AS path
+    FROM sp WHERE id = {target} AND hops >= 1 ORDER BY hops, path"""
+
+
+def _degree_assortativity_sql() -> str:
+    body = """
+    od AS MATERIALIZED (SELECT src, count(*)::DOUBLE AS odeg FROM edges GROUP BY src),
+    idg AS MATERIALIZED (SELECT dst, count(*)::DOUBLE AS ideg FROM edges GROUP BY dst),
+    joined AS MATERIALIZED (
+      SELECT o.odeg, i.ideg FROM edges e
+      JOIN od o ON o.src = e.src JOIN idg i ON i.dst = e.dst)
+    """
+    return _with(body) + """
+    SELECT round(covar_pop(odeg, ideg) / (stddev_pop(odeg) * stddev_pop(ideg)),
+                 6) AS coefficient
+    FROM joined"""
+
+
+def _avg_degree_connectivity_sql() -> str:
+    body = """
+    adeg2 AS MATERIALIZED (SELECT src AS id, count(*)::BIGINT AS deg FROM und GROUP BY src),
+    j AS MATERIALIZED (
+      SELECT a.deg AS degree, b.deg AS ndeg FROM und u
+      JOIN adeg2 a ON a.id = u.src JOIN adeg2 b ON b.id = u.dst)
+    """
+    return _with(body) + """
+    SELECT degree, count(*)::BIGINT AS n, sum(ndeg)::BIGINT AS sum_nbr_degree
+    FROM j GROUP BY degree ORDER BY degree"""
+
+
+def _node_boundary_sql(s_max: int = 100) -> str:
+    return _with("dummy AS (SELECT 1 AS one)") + f"""
+    SELECT DISTINCT dst AS id FROM edges
+    WHERE src < {s_max} AND dst >= {s_max} ORDER BY id"""
+
+
+def _edge_boundary_sql(s_max: int = 100) -> str:
+    return _with("dummy AS (SELECT 1 AS one)") + f"""
+    SELECT src, dst FROM edges
+    WHERE src < {s_max} AND dst >= {s_max} ORDER BY src, dst"""
+
+
+def _lpa_u2i_sql(max_round: int = 5) -> str:
+    ctes = [
+        """bedges AS MATERIALIZED (
+          SELECT DISTINCT o_custkey % 100 AS u, 1000 + o_orderkey % 50 AS i
+          FROM orders)""",
+        "odeg AS MATERIALIZED (SELECT u, count(*)::DOUBLE AS od FROM bedges GROUP BY u)",
+        "ideg AS MATERIALIZED (SELECT i, count(*)::DOUBLE AS idg FROM bedges GROUP BY i)",
+        """onids AS MATERIALIZED (
+          SELECT e.u, sum(d.idg) AS oni FROM bedges e
+          JOIN ideg d ON d.i = e.i GROUP BY e.u)""",
+        """u0 AS MATERIALIZED (
+          SELECT c_custkey AS u,
+                 CASE c_custkey % 3 WHEN 0 THEN 1.0 WHEN 1 THEN 0.0
+                      ELSE 0.5 END::DOUBLE AS value
+          FROM customer WHERE c_custkey < 100)""",
+    ]
+    ucur, icur, ui = "u0", None, 0
+    for step in range(2, max_round + 1):
+        if step % 2 == 0:
+            icur = f"i{step}"
+            ctes.append(
+                f"""{icur} AS MATERIALIZED (
+                  SELECT e.i, sum(l.value) AS value
+                  FROM bedges e JOIN {ucur} l ON l.u = e.u GROUP BY e.i)"""
+            )
+        else:
+            ui += 1
+            ctes.append(
+                f"""tmp{step} AS MATERIALIZED (
+                  SELECT e.u, sum(l.value) AS tmp
+                  FROM bedges e JOIN {icur} l ON l.i = e.i GROUP BY e.u)"""
+            )
+            nxt = f"u{step}"
+            ctes.append(
+                f"""{nxt} AS MATERIALIZED (
+                  SELECT l.u,
+                         CASE WHEN l.value = 0.0 OR l.value = 1.0 THEN l.value
+                              WHEN coalesce(o.oni, 0) <> coalesce(d.od, 0)
+                              THEN (coalesce(t.tmp, 0.0) - coalesce(d.od, 0) * l.value)
+                                   / (o.oni - d.od)
+                              ELSE l.value END AS value
+                  FROM {ucur} l
+                  LEFT JOIN tmp{step} t ON t.u = l.u
+                  LEFT JOIN odeg d ON d.u = l.u
+                  LEFT JOIN onids o ON o.u = l.u)"""
+            )
+            ucur = nxt
+    return (
+        "WITH " + ",".join(ctes)
+        + f""" SELECT u AS id, 0 AS prop_id, round(value, 6) AS value
+               FROM {ucur} ORDER BY id"""
+    )
+
+
 # ---------------------------------------------------------------------------
 # Spark query callables
 # ---------------------------------------------------------------------------
@@ -443,6 +749,165 @@ def _q_hits(spark, sf_dir):
     out = hits(_customer_graph(spark, sf_dir), tolerance=0.0, max_round=5)
     return out.select(
         "id", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth")
+    ).orderBy("id")
+
+
+def _q_eigenvector(spark, sf_dir):
+    from graphscope_spark.algorithms.centrality import eigenvector_centrality
+
+    out = eigenvector_centrality(_customer_graph(spark, sf_dir), max_iter=5, tol=0.0)
+    return out.select("id", F.round("centrality", 6).alias("centrality")).orderBy("id")
+
+
+def _q_kshell(spark, sf_dir):
+    from graphscope_spark.algorithms.kcore import k_shell
+
+    return k_shell(_customer_graph(spark, sf_dir)).selectExpr(
+        "id", "CAST(shell AS INT) AS shell"
+    ).orderBy("id")
+
+
+def _q_clustering_global(spark, sf_dir):
+    from graphscope_spark.algorithms.triangles import avg_clustering, transitivity
+
+    g = _customer_graph(spark, sf_dir)
+    t = transitivity(g)
+    a = avg_clustering(g)
+    return spark.createDataFrame(
+        [(round(t, 6), round(a, 6))], "transitivity double, avg_clustering double"
+    )
+
+
+def _q_apsp(spark, sf_dir):
+    from graphscope_spark.algorithms.paths import all_pairs_shortest_path_length
+
+    g = _customer_graph(spark, sf_dir)
+    return all_pairs_shortest_path_length(g, sources=[0, 1, 2, 3, 4]).orderBy(
+        "source", "id"
+    )
+
+
+def _q_betweenness(spark, sf_dir):
+    from graphscope_spark.algorithms.betweenness import betweenness_centrality
+
+    g = _customer_graph(spark, sf_dir)
+    out = betweenness_centrality(g, sources=[0, 1, 2, 3, 4], normalized=True)
+    return out.select("id", F.round("centrality", 6).alias("centrality")).orderBy("id")
+
+
+def _q_voterank(spark, sf_dir):
+    from graphscope_spark.algorithms.paths import voterank
+
+    g = _customer_graph(spark, sf_dir)
+    seeds = voterank(g, 5)
+    return spark.createDataFrame(
+        [(i + 1, int(v)) for i, v in enumerate(seeds)], "rank long, id long"
+    )
+
+
+def _q_dfs_preorder(spark, sf_dir):
+    """DFS on the deterministic binary-heap tree over customer ids (tree so
+    the preorder has a closed-form SQL oracle: lexicographic path rank)."""
+    from graphscope_spark.algorithms.dfs import dfs
+    from graphscope_spark.graph.graph import Graph
+
+    customer = _load(spark, sf_dir, "customer")
+    verts = customer.selectExpr("c_custkey AS id")
+    n = customer.count()
+    edges = (
+        verts.selectExpr("CAST((id - 1) / 2 AS LONG) AS src", "id AS dst")
+        .where("dst > 0")
+    )
+    g = Graph(edges, vertices=verts, num_partitions=NUM_PARTITIONS)
+    return dfs(g, source=0).orderBy("id")
+
+
+def _q_louvain_cliques(spark, sf_dir):
+    """Louvain on 100 disjoint 6-cliques (edges derived from customer ids):
+    any correct modularity optimizer assigns each clique one community;
+    labels are canonicalized to the min member id."""
+    from graphscope_spark.algorithms.louvain import louvain
+    from graphscope_spark.graph.graph import Graph
+
+    customer = _load(spark, sf_dir, "customer")
+    verts = customer.selectExpr("c_custkey AS id").where("id < 600")
+    a = verts.selectExpr("id AS src", "CAST(id / 6 AS LONG) AS grp")
+    b = verts.selectExpr("id AS dst", "CAST(id / 6 AS LONG) AS grp")
+    edges = a.join(b, "grp").where("src < dst").select("src", "dst")
+    g = Graph(edges, vertices=verts, num_partitions=NUM_PARTITIONS)
+    out = louvain(g)
+    canon = out.groupBy("community").agg(F.min("id").alias("canon"))
+    return (
+        out.join(canon, "community")
+        .select("id", F.col("canon").alias("community"))
+        .orderBy("id")
+    )
+
+
+def _q_simple_paths(spark, sf_dir):
+    from graphscope_spark.algorithms.paths import all_simple_paths
+
+    g = _customer_graph(spark, sf_dir)
+    out = all_simple_paths(g, source=0, target=1231, cutoff=4)
+    return out.select(
+        F.col("hops").cast("int").alias("hops"),
+        F.concat_ws("->", F.transform("path", lambda x: x.cast("string"))).alias(
+            "path"
+        ),
+    ).orderBy("hops", "path")
+
+
+def _q_degree_assortativity(spark, sf_dir):
+    from graphscope_spark.algorithms.assortativity import degree_assortativity
+
+    g = _customer_graph(spark, sf_dir)
+    return spark.createDataFrame(
+        [(round(degree_assortativity(g), 6),)], "coefficient double"
+    )
+
+
+def _q_avg_degree_connectivity(spark, sf_dir):
+    from graphscope_spark.algorithms.assortativity import average_degree_connectivity
+
+    g = _customer_graph(spark, sf_dir)
+    return average_degree_connectivity(g).select(
+        "degree", "n", "sum_nbr_degree"
+    ).orderBy("degree")
+
+
+def _q_node_boundary(spark, sf_dir):
+    from graphscope_spark.algorithms.assortativity import node_boundary
+
+    g = _customer_graph(spark, sf_dir)
+    s = g.vertices.filter(F.col("id") < 100)
+    return node_boundary(g, s).orderBy("id")
+
+
+def _q_edge_boundary(spark, sf_dir):
+    from graphscope_spark.algorithms.assortativity import edge_boundary
+
+    g = _customer_graph(spark, sf_dir)
+    s = g.vertices.filter(F.col("id") < 100)
+    return edge_boundary(g, s).orderBy("src", "dst")
+
+
+def _q_lpa_u2i(spark, sf_dir):
+    from graphscope_spark.algorithms.lpa_u2i import lpa_u2i
+
+    orders = _load(spark, sf_dir, "orders")
+    customer = _load(spark, sf_dir, "customer")
+    edges = orders.selectExpr(
+        "o_custkey % 100 AS u", "1000 + o_orderkey % 50 AS i"
+    ).distinct()
+    u_labels = customer.where("c_custkey < 100").selectExpr(
+        "c_custkey AS id",
+        "0 AS prop_id",
+        "CASE CAST(c_custkey % 3 AS INT) WHEN 0 THEN 1.0D WHEN 1 THEN 0.0D "
+        "ELSE 0.5D END AS value",
+    )
+    u_lab, _ = lpa_u2i(u_labels, edges, max_round=5, weight_col=None)
+    return u_lab.select(
+        "id", "prop_id", F.round("value", 6).alias("value")
     ).orderBy("id")
 
 
@@ -687,6 +1152,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_dups": _q_minhash_dups,
     "simhash_dups": _q_simhash_dups,
     "embedding_lsh_topk": _q_embedding_lsh_topk,
+    "eigenvector": _q_eigenvector,
+    "kshell": _q_kshell,
+    "clustering_global": _q_clustering_global,
+    "apsp": _q_apsp,
+    "betweenness": _q_betweenness,
+    "voterank": _q_voterank,
+    "dfs_preorder": _q_dfs_preorder,
+    "louvain_cliques": _q_louvain_cliques,
+    "simple_paths": _q_simple_paths,
+    "degree_assortativity": _q_degree_assortativity,
+    "avg_degree_connectivity": _q_avg_degree_connectivity,
+    "node_boundary": _q_node_boundary,
+    "edge_boundary": _q_edge_boundary,
+    "lpa_u2i": _q_lpa_u2i,
     "two_hop": _q_two_hop,
     "subgraph_stats": _q_subgraph_stats,
     "topk_revenue": _q_topk_revenue,
@@ -720,6 +1199,20 @@ ORACLES: dict[str, str] = {
     "hits": _hits_sql(5),
     "katz": _katz_sql(5),
     "closeness": _closeness_sql(5),
+    "eigenvector": _eigenvector_sql(5),
+    "kshell": _kshell_sql(),
+    "clustering_global": _clustering_global_sql(),
+    "apsp": _apsp_sql(5),
+    "betweenness": _betweenness_sql(5),
+    "voterank": _voterank_sql(5),
+    "dfs_preorder": _dfs_sql(),
+    "louvain_cliques": _louvain_cliques_sql(),
+    "simple_paths": _simple_paths_sql(0, 1231, 4),
+    "degree_assortativity": _degree_assortativity_sql(),
+    "avg_degree_connectivity": _avg_degree_connectivity_sql(),
+    "node_boundary": _node_boundary_sql(100),
+    "edge_boundary": _edge_boundary_sql(100),
+    "lpa_u2i": _lpa_u2i_sql(5),
     "doc_sha256": (
         "SELECT doc_id, sha256(text) AS sha256 FROM documents ORDER BY doc_id"
     ),

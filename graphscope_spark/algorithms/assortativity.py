@@ -79,7 +79,9 @@ def average_degree_connectivity(graph: Graph) -> DataFrame:
         .join(deg.select(F.col("id").alias("dst"), F.col("degree").alias("ddeg")), "dst")
     )
     out = e.groupBy(F.col("sdeg").alias("degree")).agg(
-        F.avg("ddeg").alias("avg_nbr_degree")
+        F.count(F.lit(1)).alias("n"),
+        F.sum("ddeg").alias("sum_nbr_degree"),
+        F.avg("ddeg").alias("avg_nbr_degree"),
     )
     und.unpersist()
     return out

@@ -1,12 +1,13 @@
-"""DFS — sequential token passing (apps/dfs/dfs.h, run_app.h:459-467).
+"""DFS — sequential by nature (apps/dfs/dfs.h, run_app.h:459-467).
 
 DFS order is inherently sequential: the reference passes a single token
-around the graph, one step per superstep. The Spark rendering is the same
-loop (documented poor fit, SURVEY §2.2): one active vertex per round, so the
-runtime is O(V) supersteps — correct on any size, sensible only on small
-graphs or as a semantics reference. Each step pushes the token to the
-smallest-id unvisited out-neighbor, backtracking via a parent pointer kept
-in the state.
+around the graph, one step per superstep, O(V) supersteps. A faithful
+distributed rendering is O(V) Spark jobs AND O(V) driver round-trips — the
+worst possible shape (documented poor fit, SURVEY §2.2). Instead the
+adjacency is collected to the driver ONCE (a single distributed sort +
+collect) and the token walk runs in-memory, guarded by ``max_collect_edges``
+with a loud error: DFS on a graph too big to collect is refused, because no
+execution strategy makes a sequential token walk scale anyway.
 """
 
 from __future__ import annotations
@@ -19,26 +20,36 @@ from graphscope_spark.graph.graph import Graph
 __all__ = ["dfs"]
 
 
-def dfs(graph: Graph, source: int, max_steps: int | None = None) -> DataFrame:
-    """(id, order, parent) in DFS preorder from ``source``; unreachable →
-    order -1, parent null. Driver-held visited set mirrors the reference's
-    token state; adjacency stays distributed (one lookup query per step)."""
-    edges = graph.edges.select("src", "dst").persist()
+def dfs(
+    graph: Graph, source: int, max_collect_edges: int = 5_000_000
+) -> DataFrame:
+    """(id, order, parent) in DFS preorder from ``source`` (smallest-id
+    neighbor first); unreachable → order -1, parent null."""
+    n_edges = graph.num_edges
+    if n_edges > max_collect_edges:
+        raise ValueError(
+            f"dfs is a sequential token walk; {n_edges} edges exceed "
+            f"max_collect_edges={max_collect_edges}. DFS order on a graph "
+            "this size is not computable by any parallel strategy — sample "
+            "or use bfs()."
+        )
+    # one distributed job: adjacency sorted so the driver walk is a replay
+    adj: dict[int, list[int]] = {}
+    for r in (
+        graph.edges.groupBy("src")
+        .agg(F.sort_array(F.collect_set("dst")).alias("nbrs"))
+        .collect()
+    ):
+        adj[int(r["src"])] = [int(x) for x in r["nbrs"]]
+
     visited: dict[int, int] = {int(source): 0}
     parent: dict[int, int | None] = {int(source): None}
     stack = [int(source)]
     order = 1
-    steps = 0
-    limit = max_steps or (graph.num_vertices * 4)
-    while stack and steps < limit:
-        steps += 1
+    while stack:
         v = stack[-1]
-        nbrs = [
-            r["dst"]
-            for r in edges.filter(F.col("src") == v).select("dst").collect()
-        ]
         nxt = None
-        for u in sorted(nbrs):
+        for u in adj.get(v, ()):  # sorted ascending
             if u not in visited:
                 nxt = u
                 break
@@ -49,7 +60,6 @@ def dfs(graph: Graph, source: int, max_steps: int | None = None) -> DataFrame:
             parent[nxt] = v
             order += 1
             stack.append(nxt)
-    edges.unpersist()
     rows = [
         (int(r["id"]), visited.get(int(r["id"]), -1), parent.get(int(r["id"])))
         for r in graph.vertices.select("id").collect()
