@@ -160,6 +160,7 @@ def louvain(
     community representatives at the deepest level."""
     P = graph.num_partitions
     spark = graph.spark
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         sym = _sym(graph.edges, weight_col).repartition(P, "src").persist(
@@ -211,4 +212,4 @@ def louvain(
         sym.unpersist()
         return mapping.select("id", F.col("v").alias("community"))
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)

@@ -38,13 +38,46 @@ _P = 2_147_483_647
 
 
 def exact_duplicates(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt_buckets: int = 0,
 ) -> DataFrame:
     """(sha256, n_docs, canonical_id, doc_ids) — groups with n_docs > 1 are
-    exact duplicate sets; canonical = min id."""
+    exact duplicate sets; canonical = min id.
+
+    ``collect_list`` is a HOLISTIC aggregate: map-side partial aggregation
+    still ships one element per row, so a viral duplicate (one sha256 shared
+    by millions of docs) funnels its whole group through a single reduce
+    task. ``salt_buckets > 0`` enables the explicit two-level combine of
+    engine/aggregate.py — partial lists per (sha256, salt), flattened in a
+    second exact shuffle — bounding any single task's fan-in to group/buckets
+    (north-rule skew splitting; regression test on a 50k-fan-in hub fixture
+    in tests/test_skew.py)."""
+    hashed = df.select(
+        F.col(id_col).alias("id"), F.sha2(F.col(text_col), 256).alias("sha256")
+    )
+    if salt_buckets > 0:
+        from graphscope_spark.engine.aggregate import salted_agg
+
+        return salted_agg(
+            hashed,
+            key="sha256",
+            partial_aggs=[
+                F.count(F.lit(1)).alias("_n"),
+                F.min("id").alias("_min"),
+                F.collect_list("id").alias("_ids"),
+            ],
+            final_aggs=[
+                F.sum("_n").alias("n_docs"),
+                F.min("_min").alias("canonical_id"),
+                F.sort_array(F.flatten(F.collect_list("_ids"))).alias("doc_ids"),
+            ],
+            salt_from="id",
+            buckets=salt_buckets,
+        )
     return (
-        df.select(F.col(id_col).alias("id"), F.sha2(F.col(text_col), 256).alias("sha256"))
-        .groupBy("sha256")
+        hashed.groupBy("sha256")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.min("id").alias("canonical_id"),
@@ -81,14 +114,29 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
+    max_shingle_df: int | None = 10_000,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) for pairs sharing ≥1 shingle with exact word
     n-gram Jaccard ≥ threshold. The shingle equijoin prunes the cross
-    product; at scale, frequent shingles should additionally be capped
-    (df > ceiling → drop) — see minhash_lsh_pairs for the sublinear path."""
+    product; ``max_shingle_df`` drops shingles whose document frequency
+    exceeds the ceiling BEFORE the self-join — without it one boilerplate
+    shingle shared by 1M docs creates ~5·10¹¹ candidate pairs. Dropping a
+    df>C shingle only removes candidate pairs glued together by text that
+    C+ documents share (boilerplate, not near-duplication), so the
+    threshold regime is preserved; Jaccard for surviving pairs still uses
+    the FULL shingle-set sizes (a dropped shared shingle can only lower the
+    estimate). See minhash_lsh_pairs for the fully sublinear path."""
     sh = with_shingles(df.select(F.col(id_col).alias("id"), text_col), text_col, n)
     sizes = sh.select("id", F.size("shingles").alias("n_sh"))
     ex = sh.select("id", F.explode("shingles").alias("sh"))
+    if max_shingle_df is not None:
+        rare = (
+            ex.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("sh")
+        )
+        ex = ex.join(rare, "sh", "left_semi")
     pairs = (
         ex.alias("a")
         .join(ex.alias("b"), "sh")

@@ -56,7 +56,9 @@ def from_numpy_coo(spark: SparkSession, src, dst, weight=None, **kw) -> Graph:
     return from_pandas(spark, pd.DataFrame(data), **kw)
 
 
-def dense_ids(df: DataFrame, col: str, out: str = "id") -> DataFrame:
+def dense_ids(
+    df: DataFrame, col: str, out: str = "id", num_partitions: int | None = None
+) -> DataFrame:
     """Assign dense contiguous long ids (0..n-1) to the distinct values of
     ``col`` — the Spark rendering of the reference's GID assignment
     (fid ‖ per-fragment offset, docs/frag_intro.md): per-partition local
@@ -66,8 +68,12 @@ def dense_ids(df: DataFrame, col: str, out: str = "id") -> DataFrame:
     hash-partitioned then ordered within partitions, and offsets are by
     partition id.
     """
+    P = int(
+        num_partitions
+        or df.sparkSession.conf.get("spark.sql.shuffle.partitions", "64")
+    )
     distinct = df.select(F.col(col).alias("_v")).distinct()
-    parted = distinct.repartition(64, "_v").withColumn(
+    parted = distinct.repartition(P, "_v").withColumn(
         "_pid", F.spark_partition_id()
     )
     w = Window.partitionBy("_pid").orderBy("_v")
