@@ -667,6 +667,14 @@ def _q_pagerank_converged(spark, sf_dir):
     return out.select("id", F.round("pagerank", 6).alias("pagerank")).orderBy("id")
 
 
+def _q_pagerank_push(spark, sf_dir):
+    from graphscope_spark.algorithms.pagerank import pagerank_push
+
+    g = _customer_graph(spark, sf_dir)
+    out = pagerank_push(g, damping=0.85, rounds=10)
+    return out.select("id", F.round("pagerank", 6).alias("pagerank")).orderBy("id")
+
+
 def _q_wcc(spark, sf_dir):
     from graphscope_spark.algorithms.wcc import wcc
 
@@ -1127,6 +1135,7 @@ def _q_group_agg_events(spark, sf_dir):
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank": _q_pagerank,
     "pagerank_converged": _q_pagerank_converged,
+    "pagerank_push": _q_pagerank_push,
     "wcc": _q_wcc,
     "cdlp": _q_cdlp,
     "triangles": _q_triangles,
@@ -1187,6 +1196,7 @@ FROM documents
 
 ORACLES: dict[str, str] = {
     "pagerank": _pagerank_sql(10),
+    "pagerank_push": _pagerank_sql(10),
     "wcc": _wcc_sql(),
     "cdlp": _cdlp_sql(5),
     "triangles": _triangles_sql(),

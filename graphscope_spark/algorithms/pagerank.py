@@ -42,7 +42,105 @@ from pyspark.storagelevel import StorageLevel
 from graphscope_spark.engine.superstep import SuperstepResult, run_supersteps
 from graphscope_spark.graph.graph import Graph
 
-__all__ = ["pagerank", "pagerank_ldbc"]
+__all__ = ["pagerank", "pagerank_ldbc", "pagerank_push"]
+
+
+def pagerank_push(
+    graph: Graph,
+    damping: float = 0.85,
+    rounds: int = 10,
+    tol: float = 0.0,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Push/delta PageRank (reference python surface app/pagerank.py:65-86
+    ``pagerank_push``): algebraically identical to :func:`pagerank_ldbc`,
+    but each round only the CHANGED vertices (δ ≠ 0) push messages —
+    m_k = m_{k-1} + Σ share·δ_{k-1}, r_k = α·m_k + base_k. On converging
+    graphs the frontier (and the shuffle volume) shrinks toward zero while
+    the full-recompute variant keeps shipping |E| messages every round.
+
+    ``tol > 0`` additionally stops when Σ|δ| < tol·N.
+    """
+    P = graph.num_partitions
+    n = graph.num_vertices
+    alpha = damping
+
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    ew = graph.edges.select("src", "dst", w.alias("w"))
+    out_w = ew.groupBy("src").agg(F.sum("w").alias("wdeg"))
+    links = (
+        ew.join(out_w, "src")
+        .select("src", "dst", (F.col("w") / F.col("wdeg")).alias("share"))
+        .repartition(P, "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    def init() -> DataFrame:
+        # round 0: r = 1/n, m = 0, δ = r (everything is "changed")
+        return (
+            graph.vertices.select("id")
+            .join(out_w.withColumnRenamed("src", "id"), "id", "left")
+            .select(
+                "id",
+                F.lit(1.0 / n).alias("rank"),
+                F.lit(0.0).alias("msum"),
+                F.lit(1.0 / n).alias("delta"),
+                F.col("wdeg").isNull().alias("dangling"),
+            )
+            .repartition(P, "id")
+        )
+
+    ds_cell: list[float | None] = [None]
+
+    def body(state: DataFrame, rnd: int):
+        if ds_cell[0] is None:
+            ds_cell[0] = (
+                state.filter("dangling").agg(F.sum("rank")).collect()[0][0] or 0.0
+            )
+        base = alpha * ds_cell[0] / n + (1.0 - alpha) / n
+
+        frontier = state.filter(F.col("delta") != 0.0).select("id", "delta")
+        msgs = (
+            links.join(frontier.hint("shuffle_hash"), links.src == frontier.id)
+            .select("dst", (F.col("share") * F.col("delta")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("dm"))
+        )
+        new_msum = F.col("msum") + F.coalesce(F.col("dm"), F.lit(0.0))
+        new_rank = F.lit(alpha) * new_msum + F.lit(base)
+        plan = state.join(
+            msgs.hint("shuffle_hash"), state.id == msgs.dst, "left"
+        ).select(
+            state.id.alias("id"),
+            new_rank.alias("rank"),
+            new_msum.alias("msum"),
+            (new_rank - F.col("rank")).alias("delta"),
+            "dangling",
+        )
+
+        def finalize(st: DataFrame) -> dict:
+            row = st.agg(
+                F.sum(F.abs(F.col("delta"))).alias("eps"),
+                F.sum(
+                    F.when(F.col("dangling"), F.col("rank")).otherwise(0.0)
+                ).alias("ds"),
+                F.count(F.when(F.col("delta") != 0.0, 1)).alias("active"),
+            ).collect()[0]
+            ds_cell[0] = row["ds"] or 0.0
+            eps = row["eps"] or 0.0
+            return {
+                "converged": tol > 0 and eps < n * tol,
+                "eps": eps,
+                "active": row["active"],
+            }
+
+        return plan, finalize
+
+    try:
+        res = run_supersteps(init, body, max_rounds=rounds)
+    finally:
+        links.unpersist()
+    return res.state.select("id", F.col("rank").alias("pagerank"))
 
 
 def pagerank(

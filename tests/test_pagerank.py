@@ -61,3 +61,17 @@ def test_pagerank_weighted(spark):
     ids = sorted(want)
     np.testing.assert_allclose([got[i] for i in ids], [want[i] for i in ids], atol=1e-6)
     g.unpersist()
+
+
+def test_pagerank_push_matches_full_recompute(spark):
+    from graphscope_spark.algorithms.pagerank import pagerank_ldbc, pagerank_push
+
+    from tests.conftest import make_graph, p2p_mid
+
+    vertices, edges = p2p_mid(n=150, m=900)
+    g = make_graph(spark, edges, vertices)
+    full = {r["id"]: r["pagerank"] for r in pagerank_ldbc(g, rounds=8).collect()}
+    push = {r["id"]: r["pagerank"] for r in pagerank_push(g, rounds=8).collect()}
+    for v in vertices:
+        assert abs(full[v] - push[v]) < 1e-12, (v, full[v], push[v])
+    g.unpersist()
