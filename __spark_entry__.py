@@ -341,6 +341,124 @@ def _hits_sql(rounds: int = 5) -> str:
     FROM h{rounds} h JOIN a{rounds} a ON h.id = a.id ORDER BY h.id"""
 
 
+_SPARSE = """
+sed AS MATERIALIZED (SELECT src, dst FROM edges
+  WHERE (src*131 + dst*17) % 10 = 0 AND src < 2000 AND dst < 2000),
+sund AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+  SELECT src, dst FROM sed UNION ALL SELECT dst AS src, src AS dst FROM sed) t)
+"""
+
+
+def _bridges_sql() -> str:
+    """Brute force: {a,b} is a bridge iff b is unreachable from a when the
+    edge is removed (per-edge BFS closure — affordable at sf0.01 only)."""
+    body = _SPARSE + """,
+    spairs AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+                            greatest(src, dst) AS b FROM sed),
+    bwalk(a, b, id) AS (
+      SELECT a, b, a FROM spairs
+      UNION
+      SELECT w.a, w.b, u.dst FROM bwalk w JOIN sund u ON u.src = w.id
+      WHERE NOT ((u.src = w.a AND u.dst = w.b) OR (u.src = w.b AND u.dst = w.a))
+    )"""
+    return _with(body) + """
+    SELECT a AS src, b AS dst FROM spairs p
+    WHERE NOT EXISTS (SELECT 1 FROM bwalk w
+                      WHERE w.a = p.a AND w.b = p.b AND w.id = p.b)
+    ORDER BY src, dst"""
+
+
+def _articulation_sql() -> str:
+    """Brute force: w is an articulation point iff a BFS from another vertex
+    of w's component, avoiding w, misses part of the component."""
+    body = _SPARSE + """,
+    lab(id, l) AS (
+      SELECT src, src FROM sund
+      UNION
+      SELECT u.dst, lab.l FROM lab JOIN sund u ON u.src = lab.id
+    ),
+    comp AS MATERIALIZED (SELECT id, min(l) AS c FROM lab GROUP BY id),
+    csize AS MATERIALIZED (SELECT c, count(*) AS n FROM comp GROUP BY c),
+    seeds AS MATERIALIZED (
+      SELECT w.id AS w, min(o.id) AS s FROM comp w
+      JOIN comp o ON o.c = w.c AND o.id <> w.id GROUP BY w.id),
+    awalk(w, id) AS (
+      SELECT w, s FROM seeds
+      UNION
+      SELECT t.w, u.dst FROM awalk t JOIN sund u ON u.src = t.id
+      WHERE u.dst <> t.w
+    ),
+    reach AS MATERIALIZED (SELECT w, count(*) AS r FROM awalk GROUP BY w)
+    """
+    return _with(body) + """
+    SELECT s.w AS id FROM seeds s
+    JOIN comp ON comp.id = s.w
+    JOIN csize ON csize.c = comp.c
+    JOIN reach ON reach.w = s.w
+    WHERE reach.r < csize.n - 1
+    ORDER BY id"""
+
+
+def _four_cliques_sql() -> str:
+    """Count 4-cliques on the id<600 subgraph enriched with the 6-clique
+    fixture edges; degree-then-id orientation makes each clique one ordered
+    tuple, counted by a 6-way oriented-edge join."""
+    body = """
+    cextra AS MATERIALIZED (
+      SELECT a.c_custkey AS src, b.c_custkey AS dst
+      FROM customer a JOIN customer b
+        ON (a.c_custkey // 6) = (b.c_custkey // 6)
+       AND a.c_custkey < b.c_custkey
+      WHERE a.c_custkey < 600 AND b.c_custkey < 600),
+    cedges AS MATERIALIZED (
+      SELECT src, dst FROM edges WHERE src < 600 AND dst < 600
+      UNION ALL SELECT src, dst FROM cextra),
+    cunds AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+                           greatest(src, dst) AS b FROM cedges WHERE src <> dst),
+    cdeg AS MATERIALIZED (SELECT id, count(*)::BIGINT AS deg FROM (
+      SELECT a AS id FROM cunds UNION ALL SELECT b AS id FROM cunds) t GROUP BY id),
+    cornt AS MATERIALIZED (
+      SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+                  THEN u.a ELSE u.b END AS s,
+             CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+                  THEN u.b ELSE u.a END AS d
+      FROM cunds u JOIN cdeg da ON da.id = u.a JOIN cdeg db ON db.id = u.b)
+    """
+    return _with(body) + """
+    SELECT count(*)::BIGINT AS n_cliques
+    FROM cornt ab
+    JOIN cornt ac ON ac.s = ab.s AND ac.d <> ab.d
+    JOIN cornt ad ON ad.s = ab.s AND ad.d <> ab.d AND ad.d <> ac.d
+    JOIN cornt bc ON bc.s = ab.d AND bc.d = ac.d
+    JOIN cornt bd ON bd.s = ab.d AND bd.d = ad.d
+    JOIN cornt cd ON cd.s = ac.d AND cd.d = ad.d"""
+
+
+def _diameter_sql(bound: int = 40) -> str:
+    body = f"""
+    w1(id, depth) AS (
+      SELECT (SELECT min(id) FROM verts), 0
+      UNION
+      SELECT u.dst, w.depth + 1 FROM w1 w JOIN und u ON u.src = w.id
+      WHERE w.depth < {bound}
+    ),
+    m1 AS MATERIALIZED (SELECT id, min(depth) AS d FROM w1 GROUP BY id),
+    farv AS MATERIALIZED (
+      SELECT id FROM m1 ORDER BY d DESC, id ASC LIMIT 1),
+    w2(id, depth) AS (
+      SELECT (SELECT id FROM farv), 0
+      UNION
+      SELECT u.dst, w.depth + 1 FROM w2 w JOIN und u ON u.src = w.id
+      WHERE w.depth < {bound}
+    ),
+    m2 AS MATERIALIZED (SELECT id, min(depth) AS d FROM w2 GROUP BY id)
+    """
+    return _with(body) + """
+    SELECT (SELECT min(id) FROM verts) AS start,
+           (SELECT id FROM farv) AS far,
+           (SELECT max(d) FROM m2)::BIGINT AS diameter_lb"""
+
+
 def _eigenvector_sql(rounds: int = 5) -> str:
     # power iteration == Katz with alpha=1, beta=0 (same unrolled algebra)
     return _katz_sql(rounds=rounds, alpha=1.0, beta=0.0)
@@ -919,6 +1037,58 @@ def _q_lpa_u2i(spark, sf_dir):
     ).orderBy("id")
 
 
+def _sparse_customer_graph(spark, sf_dir):
+    """~10% modulus-sampled edge subset — sparse enough (avg degree ~2) to
+    have a rich bridge/articulation/BCC structure."""
+    from graphscope_spark.graph.graph import Graph
+
+    g = _customer_graph(spark, sf_dir)
+    # the < 2000 cap is a no-op at sf0.01 (1500 vertices) where the oracle
+    # runs; it bounds the O(diameter)-round tree passes at bench scale
+    sed = g.edges.where(
+        "(src*131 + dst*17) % 10 = 0 AND src < 2000 AND dst < 2000"
+    )
+    verts = g.vertices.where("id < 2000")
+    return Graph(sed, vertices=verts, num_partitions=NUM_PARTITIONS)
+
+
+def _q_bridges(spark, sf_dir):
+    from graphscope_spark.algorithms.biconnectivity import bridges
+
+    g = _sparse_customer_graph(spark, sf_dir)
+    return bridges(g).orderBy("src", "dst")
+
+
+def _q_articulation(spark, sf_dir):
+    from graphscope_spark.algorithms.biconnectivity import articulation_points
+
+    g = _sparse_customer_graph(spark, sf_dir)
+    return articulation_points(g).orderBy("id")
+
+
+def _q_four_cliques(spark, sf_dir):
+    from graphscope_spark.algorithms.cliques import count_k_cliques
+    from graphscope_spark.graph.graph import Graph
+
+    g = _customer_graph(spark, sf_dir)
+    verts = g.vertices.where("id < 600")
+    base = g.edges.where("src < 600 AND dst < 600").select("src", "dst")
+    a = verts.selectExpr("id AS src", "CAST(id / 6 AS LONG) AS grp")
+    b = verts.selectExpr("id AS dst", "CAST(id / 6 AS LONG) AS grp")
+    extra = a.join(b, "grp").where("src < dst").select("src", "dst")
+    sub = Graph(
+        base.unionByName(extra), vertices=verts, num_partitions=NUM_PARTITIONS
+    )
+    n = count_k_cliques(sub, 4)
+    return spark.createDataFrame([(n,)], "n_cliques long")
+
+
+def _q_diameter(spark, sf_dir):
+    from graphscope_spark.algorithms.diameter import diameter_approx
+
+    return diameter_approx(_customer_graph(spark, sf_dir))
+
+
 def _q_doc_sha256(spark, sf_dir):
     docs = _load(spark, sf_dir, "documents")
     return docs.select("doc_id", F.sha2("text", 256).alias("sha256")).orderBy("doc_id")
@@ -1175,6 +1345,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "node_boundary": _q_node_boundary,
     "edge_boundary": _q_edge_boundary,
     "lpa_u2i": _q_lpa_u2i,
+    "bridges": _q_bridges,
+    "articulation": _q_articulation,
+    "four_cliques": _q_four_cliques,
+    "diameter_2sweep": _q_diameter,
     "two_hop": _q_two_hop,
     "subgraph_stats": _q_subgraph_stats,
     "topk_revenue": _q_topk_revenue,
@@ -1223,6 +1397,10 @@ ORACLES: dict[str, str] = {
     "node_boundary": _node_boundary_sql(100),
     "edge_boundary": _edge_boundary_sql(100),
     "lpa_u2i": _lpa_u2i_sql(5),
+    "bridges": _bridges_sql(),
+    "articulation": _articulation_sql(),
+    "four_cliques": _four_cliques_sql(),
+    "diameter_2sweep": _diameter_sql(),
     "doc_sha256": (
         "SELECT doc_id, sha256(text) AS sha256 FROM documents ORDER BY doc_id"
     ),
