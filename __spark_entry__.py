@@ -1089,6 +1089,34 @@ def _q_diameter(spark, sf_dir):
     return diameter_approx(_customer_graph(spark, sf_dir))
 
 
+def _q_match_triangle(spark, sf_dir):
+    from graphscope_spark.operators.match import match
+
+    g = _customer_graph(spark, sf_dir)
+    m = match(g, [("a", "out", "b"), ("b", "out", "c"), ("a", "out", "c")])
+    return m.agg(F.count(F.lit(1)).alias("n")).selectExpr("CAST(n AS BIGINT) AS n")
+
+
+def _q_match_diamond(spark, sf_dir):
+    from graphscope_spark.operators.match import match
+
+    g = _customer_graph(spark, sf_dir)
+    m = match(
+        g,
+        [("a", "out", "b"), ("a", "out", "c"), ("b", "out", "d"), ("c", "out", "d")],
+        distinct_vertices=True,
+    )
+    return m.agg(F.count(F.lit(1)).alias("n")).selectExpr("CAST(n AS BIGINT) AS n")
+
+
+def _q_match_3path(spark, sf_dir):
+    from graphscope_spark.operators.match import match
+
+    g = _customer_graph(spark, sf_dir)
+    m = match(g, [("a", "out", "b"), ("b", "out", "c"), ("c", "out", "d")])
+    return m.agg(F.count(F.lit(1)).alias("n")).selectExpr("CAST(n AS BIGINT) AS n")
+
+
 def _q_doc_sha256(spark, sf_dir):
     docs = _load(spark, sf_dir, "documents")
     return docs.select("doc_id", F.sha2("text", 256).alias("sha256")).orderBy("doc_id")
@@ -1349,6 +1377,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "articulation": _q_articulation,
     "four_cliques": _q_four_cliques,
     "diameter_2sweep": _q_diameter,
+    "match_triangle": _q_match_triangle,
+    "match_diamond": _q_match_diamond,
+    "match_3path": _q_match_3path,
     "two_hop": _q_two_hop,
     "subgraph_stats": _q_subgraph_stats,
     "topk_revenue": _q_topk_revenue,
@@ -1401,6 +1432,21 @@ ORACLES: dict[str, str] = {
     "articulation": _articulation_sql(),
     "four_cliques": _four_cliques_sql(),
     "diameter_2sweep": _diameter_sql(),
+    "match_triangle": _with("dummy AS (SELECT 1 AS one)") + """
+      SELECT count(*)::BIGINT AS n
+      FROM edges e1 JOIN edges e2 ON e2.src = e1.dst
+      JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst""",
+    "match_diamond": _with("dummy AS (SELECT 1 AS one)") + """
+      SELECT count(*)::BIGINT AS n
+      FROM edges ab JOIN edges ac ON ac.src = ab.src
+      JOIN edges bd ON bd.src = ab.dst
+      JOIN edges cd ON cd.src = ac.dst AND cd.dst = bd.dst
+      WHERE ab.src <> ab.dst AND ab.src <> ac.dst AND ab.src <> bd.dst
+        AND ab.dst <> ac.dst AND ab.dst <> bd.dst AND ac.dst <> bd.dst""",
+    "match_3path": _with("dummy AS (SELECT 1 AS one)") + """
+      SELECT count(*)::BIGINT AS n
+      FROM edges e1 JOIN edges e2 ON e2.src = e1.dst
+      JOIN edges e3 ON e3.src = e2.dst""",
     "doc_sha256": (
         "SELECT doc_id, sha256(text) AS sha256 FROM documents ORDER BY doc_id"
     ),

@@ -1,0 +1,108 @@
+"""Declarative pattern matching: MATCH sentences → a join DAG.
+
+Reference: the GIE ``Pattern`` operator
+(interactive_engine/executor/ir/proto/algebra.proto:407-427) whose compiler
+lowers Cypher MATCH sentences into an extend/intersect plan
+(``ExtendIntersectRule``, compiler/.../planner/rules/ExtendIntersectRule.java).
+This is the minimal Spark rendering: each sentence ``(src_tag, direction,
+dst_tag)`` is an edge-table reference; the plan greedily EXTENDS from bound
+tags (one-bound sentence → inner join) and turns fully-bound sentences into
+existence checks (two-bound sentence → left-semi join, the binary-join
+flavor of the intersect step). Catalyst handles the physical join strategy;
+the greedy closing-first order keeps intermediate growth minimal, which is
+what the CBO rule buys in the reference.
+
+Semantics: homomorphic bindings (tags may repeat vertices) like the
+reference's default; ``distinct_vertices=True`` adds pairwise ≠ filters
+(isomorphic matching).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphscope_spark.graph.graph import Graph
+
+__all__ = ["match"]
+
+
+def _edge_for(graph: Graph, direction: str) -> DataFrame:
+    e = graph.edges.select("src", "dst")
+    if direction == "out":
+        return e
+    if direction == "in":
+        return e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    if direction == "both":
+        return e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+    raise ValueError(f"direction must be out/in/both, got {direction!r}")
+
+
+def match(
+    graph: Graph,
+    pattern: list[tuple[str, str, str]],
+    distinct_vertices: bool = False,
+) -> DataFrame:
+    """Match a list of sentences ``(src_tag, direction, dst_tag)`` against
+    the graph; returns one column per tag with the bound vertex ids.
+
+    Example — directed triangle::
+
+        match(g, [("a", "out", "b"), ("b", "out", "c"), ("a", "out", "c")])
+    """
+    if not pattern:
+        raise ValueError("empty pattern")
+    remaining = list(pattern)
+    bound: set[str] = set()
+    out: DataFrame | None = None
+
+    def pick() -> tuple[str, str, str]:
+        # closing edges first (both tags bound -> cheap semi-join), then
+        # extensions (one bound), cross products last
+        best, best_score = None, -1
+        for s in remaining:
+            score = (s[0] in bound) + (s[2] in bound)
+            if score > best_score:
+                best, best_score = s, score
+        remaining.remove(best)
+        return best
+
+    while remaining:
+        a, direction, b = pick()
+        e = _edge_for(graph, direction)
+        if out is None:
+            out = e.select(F.col("src").alias(a), F.col("dst").alias(b))
+            bound.update((a, b))
+            continue
+        a_bound, b_bound = a in bound, b in bound
+        if a_bound and b_bound:
+            # existence check: keep bindings where the closing edge exists
+            out = out.join(
+                e.select(F.col("src").alias(a), F.col("dst").alias(b)),
+                [a, b],
+                "left_semi",
+            )
+        elif a_bound:
+            out = out.join(
+                e.select(F.col("src").alias(a), F.col("dst").alias(b)), a
+            )
+            bound.add(b)
+        elif b_bound:
+            out = out.join(
+                e.select(F.col("src").alias(a), F.col("dst").alias(b)), b
+            )
+            bound.add(a)
+        else:
+            out = out.crossJoin(
+                e.select(F.col("src").alias(a), F.col("dst").alias(b))
+            )
+            bound.update((a, b))
+
+    if distinct_vertices:
+        tags = sorted(bound)
+        for i in range(len(tags)):
+            for j in range(i + 1, len(tags)):
+                out = out.filter(F.col(tags[i]) != F.col(tags[j]))
+    return out.select(*sorted(bound))
