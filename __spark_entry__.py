@@ -764,6 +764,143 @@ def _lpa_u2i_sql(max_round: int = 5) -> str:
     )
 
 
+# -- portable-hash dedup/ANN oracles ----------------------------------------
+# graphscope_spark.operators.dedup.portable_str_hash replicated in DuckDB:
+# identical left-fold (acc*31 + codepoint) mod (2^31-1) over characters.
+
+_PMOD = 2_147_483_647
+
+
+def _roll(expr: str, seed: int = 7) -> str:
+    return (
+        f"list_reduce(list_prepend({seed}::BIGINT, "
+        f"list_transform(string_split({expr}, ''), c -> ascii(c)::BIGINT)), "
+        f"(acc, c) -> (acc*31 + c) % {_PMOD})"
+    )
+
+
+def _minhash_sql(threshold: float = 0.5, seed: int = 42) -> str:
+    a = lambda i: 2 * (seed + i) + 1  # noqa: E731
+    b = lambda i: 7919 * (i + 1)  # noqa: E731
+    sig_items = ", ".join(
+        f"list_min(list_transform(hs, h -> (h*{a(i)} + {b(i)}) % {_PMOD}))"
+        for i in range(64)
+    )
+    bucket_items = ", ".join(
+        "("
+        + " || ',' || ".join(f"sig[{4 * bb + j + 1}]::VARCHAR" for j in range(4))
+        + ")"
+        for bb in range(16)
+    )
+    eq_items = " + ".join(
+        f"(CASE WHEN a.sig[{i + 1}] = b.sig[{i + 1}] THEN 1 ELSE 0 END)"
+        for i in range(64)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id AS id,
+           regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+           FROM documents WHERE doc_id < 2000),
+    shg AS (SELECT id,
+           CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(
+                range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                ELSE [] END AS shingles FROM toks),
+    hsx AS (SELECT id, list_transform(shingles, s -> {_roll('s')}) AS hs FROM shg),
+    sig AS (SELECT id, [{sig_items}] AS sig FROM hsx),
+    bks AS (SELECT id, sig, [{bucket_items}] AS buckets FROM sig),
+    fl AS (SELECT id, sig, unnest(buckets) AS bucket,
+                  unnest(range(0, 16)) AS band FROM bks),
+    cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+             FROM fl a JOIN fl b ON a.band = b.band AND a.bucket = b.bucket
+             WHERE a.id < b.id),
+    est AS (SELECT c.id_a, c.id_b, ({eq_items}) / 64.0 AS est_jaccard
+            FROM cand c JOIN sig a ON a.id = c.id_a JOIN sig b ON b.id = c.id_b)
+    SELECT id_a, id_b, round(est_jaccard, 6) AS est_jaccard
+    FROM est WHERE est_jaccard >= {threshold} ORDER BY id_a, id_b"""
+
+
+def _simhash_sql(max_hamming: int = 3) -> str:
+    bit_items = []
+    for k in range(60):
+        src, sb = ("h1", k) if k < 30 else ("h2", k - 30)
+        bit_items.append(
+            f"(CASE WHEN list_sum(list_transform({src}, "
+            f"h -> CASE WHEN (h >> {sb}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
+            f"THEN {1 << k}::BIGINT ELSE 0::BIGINT END)"
+        )
+    fp = " + ".join(bit_items)
+    return f"""
+    WITH toks AS (SELECT doc_id AS id,
+           list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+           FROM documents WHERE doc_id < 2000),
+    hh AS (SELECT id, list_transform(t, x -> {_roll('x', 7)}) AS h1,
+                  list_transform(t, x -> {_roll('x', 13)}) AS h2 FROM toks),
+    fp AS (SELECT id, ({fp}) AS simhash FROM hh),
+    ch AS (SELECT id, simhash, unnest(range(0, 4)) AS chunk FROM fp),
+    chv AS (SELECT id, simhash, chunk,
+                   (simhash >> (chunk * 15)::INT) & 32767 AS val FROM ch),
+    cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                    a.simhash AS sa, b.simhash AS sb
+             FROM chv a JOIN chv b ON a.chunk = b.chunk AND a.val = b.val
+             WHERE a.id < b.id)
+    SELECT id_a, id_b, bit_count(xor(sa, sb))::INT AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+    ORDER BY id_a, id_b"""
+
+
+def _fingerprint_sql() -> str:
+    norm = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+    return (
+        f"SELECT doc_id, {_roll(norm)} AS fingerprint "
+        "FROM documents ORDER BY doc_id"
+    )
+
+
+def _lsh_topk_sql(dim: int = 64, k: int = 5, bits: int = 4, tables: int = 16) -> str:
+    def plane(t: int, b: int) -> str:
+        base = t * 1_000_003 + b * 10_007
+        return (
+            f"(((((({base} + d) * ({base} + d)) % 1000000007) * 2654435761) "
+            f"% 1000000007) % 2000001 - 1000000)::DOUBLE"
+        )
+
+    def proj(t: int, b: int) -> str:
+        return (
+            f"list_reduce(list_prepend(0.0::DOUBLE, "
+            f"list_transform(range(0, {dim}), d -> e[d+1] * {plane(t, b)})), "
+            "(acc, x) -> acc + x)"
+        )
+
+    sig_items = ", ".join(
+        "("
+        + " + ".join(
+            f"(CASE WHEN {proj(t, b)} >= 0 THEN {1 << b} ELSE 0 END)"
+            for b in range(bits)
+        )
+        + f" + {t * (1 << 32)}::BIGINT)"
+        for t in range(tables)
+    )
+    return f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    sig AS (SELECT vec_id, e, [{sig_items}] AS sigs FROM emb),
+    fl AS (SELECT vec_id, e, unnest(sigs) AS bucket FROM sig),
+    q AS (SELECT vec_id AS query_id, e AS qe, bucket FROM fl WHERE vec_id < 5),
+    cand AS (SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id, q.qe, c.e AS ce
+             FROM q JOIN fl c ON q.bucket = c.bucket
+             WHERE q.query_id <> c.vec_id),
+    sims AS (SELECT query_id, neighbor_id,
+                    round(list_dot_product(qe, ce)
+                          / sqrt(list_dot_product(qe, qe)
+                                 * list_dot_product(ce, ce)), 5) AS sim
+             FROM cand),
+    ranked AS (SELECT query_id, neighbor_id, sim,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY sim DESC, neighbor_id ASC)
+                          AS rank
+               FROM sims)
+    SELECT query_id, neighbor_id, sim, rank::BIGINT AS rank
+    FROM ranked WHERE rank <= {k} ORDER BY query_id, rank"""
+
+
 # ---------------------------------------------------------------------------
 # Spark query callables
 # ---------------------------------------------------------------------------
@@ -1201,37 +1338,43 @@ def _q_bpe_tokens(spark, sf_dir):
 
 
 def _q_doc_fingerprint(spark, sf_dir):
-    # xxhash64 has no DuckDB twin -> rows-only check (no oracle entry)
+    # portable rolling hash -> full DuckDB oracle (xxhash64 fast path keeps
+    # identical plan shape; pytest covers it)
     from graphscope_spark.operators.text import with_fingerprint
 
     docs = _load(spark, sf_dir, "documents")
-    return with_fingerprint(docs).select("doc_id", "fingerprint").orderBy("doc_id")
+    return with_fingerprint(docs, hash_fn="portable").select(
+        "doc_id", "fingerprint"
+    ).orderBy("doc_id")
 
 
 def _q_minhash_dups(spark, sf_dir):
-    # xxhash64-based signatures -> rows-only check
     from graphscope_spark.operators.dedup import minhash_lsh_pairs
 
     docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
-    return minhash_lsh_pairs(docs, threshold=0.5).orderBy("id_a", "id_b")
+    out = minhash_lsh_pairs(docs, threshold=0.5, hash_fn="portable")
+    return out.select(
+        "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")
+    ).orderBy("id_a", "id_b")
 
 
 def _q_simhash_dups(spark, sf_dir):
-    # xxhash64-based fingerprints -> rows-only check
     from graphscope_spark.operators.dedup import simhash_pairs
 
     docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
-    return simhash_pairs(docs, max_hamming=3).orderBy("id_a", "id_b")
+    return simhash_pairs(docs, max_hamming=3, hash_fn="portable").selectExpr(
+        "id_a", "id_b", "CAST(hamming AS INT) AS hamming"
+    ).orderBy("id_a", "id_b")
 
 
 def _q_embedding_lsh_topk(spark, sf_dir):
-    # hyperplane LSH (xxhash64 planes) -> rows-only check; recall is
-    # pytest-verified against brute force
     from graphscope_spark.operators.similarity import lsh_topk
 
     emb = _load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
-    return lsh_topk(q, emb, dim=64, k=5, bits=4, tables=16).orderBy("query_id", "rank")
+    return lsh_topk(
+        q, emb, dim=64, k=5, bits=4, tables=16, hash_fn="portable"
+    ).orderBy("query_id", "rank")
 
 
 def _q_two_hop(spark, sf_dir):
@@ -1447,6 +1590,10 @@ ORACLES: dict[str, str] = {
       SELECT count(*)::BIGINT AS n
       FROM edges e1 JOIN edges e2 ON e2.src = e1.dst
       JOIN edges e3 ON e3.src = e2.dst""",
+    "doc_fingerprint": _fingerprint_sql(),
+    "minhash_dups": _minhash_sql(0.5),
+    "simhash_dups": _simhash_sql(3),
+    "embedding_lsh_topk": _lsh_topk_sql(64, 5, 4, 16),
     "doc_sha256": (
         "SELECT doc_id, sha256(text) AS sha256 FROM documents ORDER BY doc_id"
     ),

@@ -37,6 +37,33 @@ __all__ = [
 _P = 2_147_483_647
 
 
+def portable_str_hash(col, seed: int = 7):
+    """Engine-portable string hash: left-fold ``(acc·31 + codepoint) mod p``
+    over the characters. Bit-identical in Spark (``aggregate``/``ascii``)
+    and DuckDB (``list_reduce``/``ascii``), so pipelines built on it are
+    fully oracle-checkable — the xxhash64 default stays the fast path
+    (JVM-intrinsic), this is the verification path with identical plan
+    shape. DuckDB twin::
+
+        list_reduce(list_prepend(SEED::BIGINT,
+          list_transform(string_split(s, ''), c -> ascii(c)::BIGINT)),
+          (acc, c) -> (acc*31 + c) % 2147483647)
+    """
+    if isinstance(col, str):
+        col = F.col(col)
+    return F.aggregate(
+        F.split(col, ""),
+        F.lit(seed).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % F.lit(_P),
+    )
+
+
+def _shingle_hash(hash_fn: str):
+    if hash_fn == "portable":
+        return lambda s: portable_str_hash(s)
+    return lambda s: F.abs(F.xxhash64(s)) % F.lit(_P)
+
+
 def exact_duplicates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -163,11 +190,13 @@ def with_minhash(
     num_hashes: int = 64,
     out: str = "minhash",
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signature (array<long> of length num_hashes) over word
-    n-gram shingles: h_i(s) = (a_i·xxhash64(s) + b_i) mod p, min over s."""
+    n-gram shingles: h_i(s) = (a_i·h(s) + b_i) mod p, min over s; h =
+    xxhash64 (fast path) or :func:`portable_str_hash` (oracle path)."""
     sh = with_shingles(df, text_col, n, out="_sh")
-    base = F.transform(F.col("_sh"), lambda s: F.abs(F.xxhash64(s)) % F.lit(_P))
+    base = F.transform(F.col("_sh"), _shingle_hash(hash_fn))
     sig = F.array(
         *[
             F.array_min(
@@ -193,6 +222,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.7,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id_a, id_b, est_jaccard) near-dup pairs: band-bucket collisions →
     signature-estimated Jaccard ≥ threshold.
@@ -203,8 +233,15 @@ def minhash_lsh_pairs(
     r = num_hashes // bands
     mh = with_minhash(
         df.select(F.col(id_col).alias("id"), text_col), text_col, n, num_hashes,
-        seed=seed,
+        seed=seed, hash_fn=hash_fn,
     )
+
+    def _bucket(b):
+        key = F.concat_ws(",", *[F.col("minhash")[b * r + j] for j in range(r)])
+        # fast path re-hashes the band key to a long; portable path keeps the
+        # raw string key (identically joinable in DuckDB)
+        return key if hash_fn == "portable" else F.xxhash64(key)
+
     bucket_rows = mh.select(
         "id",
         "minhash",
@@ -212,12 +249,7 @@ def minhash_lsh_pairs(
             F.array(
                 *[
                     F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",", *[F.col("minhash")[b * r + j] for j in range(r)]
-                            )
-                        ).alias("bucket"),
+                        F.lit(b).alias("band"), _bucket(b).alias("bucket")
                     )
                     for b in range(bands)
                 ]
@@ -248,27 +280,47 @@ def minhash_lsh_pairs(
 
 
 def with_simhash(
-    df: DataFrame, text_col: str = "text", out: str = "simhash"
+    df: DataFrame, text_col: str = "text", out: str = "simhash",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """64-bit SimHash over word tokens: bit k of the fingerprint is the sign
-    of Σ_tokens (±1 per token's hash bit k). Built-in-only: per-bit sums via
-    aggregate over the token hash array."""
+    """SimHash over word tokens: bit k of the fingerprint is the sign of
+    Σ_tokens (±1 per token's hash bit k). Built-in-only: per-bit sums via
+    aggregate over the token hash array.
+
+    ``hash_fn="xxhash64"`` → 64-bit fingerprint (bit 63 = sign bit);
+    ``hash_fn="portable"`` → 60-bit fingerprint from two 31-bit portable
+    hashes (bits 0-29 from seed 7, bits 30-59 from seed 13), bit-identical
+    in DuckDB for the oracle path."""
     toks = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def _votes(hashes, bit):
+        # factory keeps the merge lambda strictly 2-arg (PySpark resolves
+        # higher-order-function arity from the signature)
+        def merge(acc, h):
+            return acc + F.when(
+                F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+
+        return F.aggregate(hashes, F.lit(0), merge)
+
     bit_exprs = []
-    for k in range(64):
-        votes = F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-        bit_val = (1 << k) if k < 63 else -(1 << 63)  # bit 63 = int64 sign bit
-        bit_exprs.append(
-            F.when(votes > 0, F.lit(bit_val).cast("long")).otherwise(
-                F.lit(0).cast("long")
+    if hash_fn == "portable":
+        h1 = F.transform(toks, lambda t: portable_str_hash(t, 7))
+        h2 = F.transform(toks, lambda t: portable_str_hash(t, 13))
+        specs = [(h1, k) for k in range(30)] + [(h2, k) for k in range(30)]
+        for k, (hashes, src_bit) in enumerate(specs):
+            bit_exprs.append(
+                F.when(_votes(hashes, src_bit) > 0, F.lit(1 << k).cast("long"))
+                .otherwise(F.lit(0).cast("long"))
             )
-        )
+    else:
+        hashes = F.transform(toks, lambda t: F.xxhash64(t))
+        for k in range(64):
+            bit_val = (1 << k) if k < 63 else -(1 << 63)  # bit 63 = sign bit
+            bit_exprs.append(
+                F.when(_votes(hashes, k) > 0, F.lit(bit_val).cast("long"))
+                .otherwise(F.lit(0).cast("long"))
+            )
     fp = bit_exprs[0]
     for e in bit_exprs[1:]:
         fp = fp + e
@@ -280,13 +332,20 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id_a, id_b, hamming) pairs with Hamming(simhash) ≤ max_hamming.
 
-    Candidates via the block-permutation trick: split 64 bits into 4 16-bit
-    chunks; any pair within distance ≤3 shares at least one exact chunk, so
+    Candidates via the block-permutation trick: split the fingerprint into 4
+    chunks (16 bits for the 64-bit fast path, 15 for the 60-bit portable
+    path); any pair within distance ≤3 shares at least one exact chunk, so
     a 4-way chunk equijoin finds all of them without a cross product."""
-    sh = with_simhash(df.select(F.col(id_col).alias("id"), text_col), text_col)
+    sh = with_simhash(
+        df.select(F.col(id_col).alias("id"), text_col), text_col,
+        hash_fn=hash_fn,
+    )
+    cw = 15 if hash_fn == "portable" else 16
+    mask = (1 << cw) - 1
     chunks = sh.select(
         "id",
         "simhash",
@@ -295,8 +354,8 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftright("simhash", c * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright("simhash", c * cw)
+                        .bitwiseAND(F.lit(mask))
                         .alias("val"),
                     )
                     for c in range(4)

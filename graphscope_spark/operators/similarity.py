@@ -75,9 +75,23 @@ def brute_force_topk(
     )
 
 
-def _hyperplane(dim: int, table: int, bit: int):
+def _hyperplane(dim: int, table: int, bit: int, hash_fn: str = "xxhash64"):
     """Deterministic pseudo-random hyperplane as an array expression: component
-    d = a centered hash of (table, bit, d) — seeded, reproducible."""
+    d = a centered hash of (table, bit, d) — seeded, reproducible.
+
+    ``portable``: pure-integer squaring hash replicable verbatim in DuckDB
+    (x² mod p breaks the linear lattice a multiplicative hash alone would
+    put in the components); recall vs brute force is pytest-asserted."""
+    if hash_fn == "portable":
+        base = table * 1_000_003 + bit * 10_007
+
+        def comp(d):
+            x = F.lit(base).cast("long") + d.cast("long")
+            u = (x * x) % F.lit(1_000_000_007)
+            w = (u * F.lit(2_654_435_761)) % F.lit(1_000_000_007)
+            return (w % F.lit(2_000_001) - F.lit(1_000_000)).cast("double")
+
+        return F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), comp)
     return F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda d: (
@@ -94,6 +108,7 @@ def with_lsh_signature(
     tables: int = 4,
     vec_col: str = "embedding",
     out: str = "_sig",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Add ``out`` = array of ``tables`` signatures (one long per table),
     each the sign-pattern of ``bits`` random hyperplane projections."""
@@ -102,7 +117,7 @@ def with_lsh_signature(
     for t in range(tables):
         bitsum = None
         for b in range(bits):
-            proj = _dot(v, _hyperplane(dim, t, b))
+            proj = _dot(v, _hyperplane(dim, t, b, hash_fn))
             bit = F.when(proj >= 0, F.lit(1 << b)).otherwise(F.lit(0))
             bitsum = bit if bitsum is None else (bitsum + bit)
         sigs.append((bitsum + F.lit(t * (1 << 32))).cast("long"))
@@ -118,6 +133,7 @@ def lsh_topk(
     tables: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Approximate top-k via hyperplane-LSH bucket collisions + exact re-rank.
 
@@ -126,11 +142,11 @@ def lsh_topk(
     """
     q = with_lsh_signature(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")),
-        dim, bits, tables, "_qv",
+        dim, bits, tables, "_qv", hash_fn=hash_fn,
     ).select("query_id", "_qv", F.explode("_sig").alias("bucket"))
     c = with_lsh_signature(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
-        dim, bits, tables, "_cv",
+        dim, bits, tables, "_cv", hash_fn=hash_fn,
     ).select("neighbor_id", "_cv", F.explode("_sig").alias("bucket"))
     cand = (
         q.join(c, "bucket")

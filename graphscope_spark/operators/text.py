@@ -94,8 +94,16 @@ def with_quality_score(df: DataFrame, col: str = "text", out: str = "quality") -
     )
 
 
-def with_fingerprint(df: DataFrame, col: str = "text", out: str = "fingerprint") -> DataFrame:
-    """64-bit content fingerprint: xxhash64 of the whitespace-normalized,
-    lowercased text (rolling-hash document fingerprint analog)."""
+def with_fingerprint(
+    df: DataFrame, col: str = "text", out: str = "fingerprint",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Content fingerprint of the whitespace-normalized, lowercased text:
+    xxhash64 (fast path) or the portable rolling hash (oracle path,
+    bit-identical in DuckDB)."""
     normalized = F.lower(F.regexp_replace(F.trim(F.col(col)), r"\s+", " "))
+    if hash_fn == "portable":
+        from graphscope_spark.operators.dedup import portable_str_hash
+
+        return df.withColumn(out, portable_str_hash(normalized))
     return df.withColumn(out, F.xxhash64(normalized))

@@ -104,3 +104,19 @@ def test_lsh_topk_recall_vs_brute_force(spark):
     a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.7, f"LSH recall too low: {recall}"
+
+
+def test_lsh_topk_recall_portable_planes(spark):
+    """The portable (squaring-hash) hyperplanes must be as useful as the
+    xxhash64 ones — guards against lattice-structured planes."""
+    from graphscope_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter("vec_id < 20")
+    exact = brute_force_topk(q, emb, k=5)
+    approx = lsh_topk(q, emb, dim=64, k=5, bits=4, tables=16,
+                      hash_fn="portable")
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.7, f"portable-plane LSH recall too low: {recall}"
