@@ -1254,6 +1254,44 @@ def _q_match_3path(spark, sf_dir):
     return m.agg(F.count(F.lit(1)).alias("n")).selectExpr("CAST(n AS BIGINT) AS n")
 
 
+def _q_hetero_degree(spark, sf_dir):
+    """Multi-label property graph (SURVEY §1.1): customer + supplier vertex
+    labels, customer→customer 'knows' edges and customer→supplier
+    'buys_from' edges, projected to the simple graph (ADD_LABELS +
+    PROJECT_TO_SIMPLE) and degree-reported."""
+    from graphscope_spark.algorithms.centrality import degree_centrality
+    from graphscope_spark.graph.property_graph import PropertyGraph
+
+    customer = _load(spark, sf_dir, "customer")
+    supplier = _load(spark, sf_dir, "supplier")
+    orders = _load(spark, sf_dir, "orders")
+    c = customer.count()
+    knows = (
+        orders.selectExpr("o_custkey AS src", f"(o_orderkey * 97) % {c} AS dst")
+        .where("src <> dst")
+        .distinct()
+    )
+    ns = supplier.count()
+    buys = orders.selectExpr(
+        "o_custkey AS src", f"1000000 + (o_orderkey % {ns}) AS dst"
+    ).distinct()
+    pg = (
+        PropertyGraph()
+        .add_vertices("customer", customer.selectExpr("c_custkey AS id", "c_name"))
+        .add_vertices(
+            "supplier", supplier.selectExpr("1000000 + s_suppkey AS id", "s_name")
+        )
+        .add_edges("knows", "customer", "customer", knows)
+        .add_edges("buys_from", "customer", "supplier", buys)
+    )
+    g = pg.to_simple(num_partitions=NUM_PARTITIONS)
+    out = degree_centrality(g, "out")
+    n = g.num_vertices
+    return out.select(
+        "id", F.round(F.col("centrality") * (n - 1), 0).cast("long").alias("out_deg")
+    ).orderBy("id")
+
+
 def _q_doc_sha256(spark, sf_dir):
     docs = _load(spark, sf_dir, "documents")
     return docs.select("doc_id", F.sha2("text", 256).alias("sha256")).orderBy("doc_id")
@@ -1520,6 +1558,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "articulation": _q_articulation,
     "four_cliques": _q_four_cliques,
     "diameter_2sweep": _q_diameter,
+    "hetero_degree": _q_hetero_degree,
     "match_triangle": _q_match_triangle,
     "match_diamond": _q_match_diamond,
     "match_3path": _q_match_3path,
@@ -1575,6 +1614,23 @@ ORACLES: dict[str, str] = {
     "articulation": _articulation_sql(),
     "four_cliques": _four_cliques_sql(),
     "diameter_2sweep": _diameter_sql(),
+    "hetero_degree": """
+      WITH knows AS (
+        SELECT DISTINCT o_custkey AS src,
+               (o_orderkey * 97) % (SELECT count(*) FROM customer) AS dst
+        FROM orders
+        WHERE o_custkey <> (o_orderkey * 97) % (SELECT count(*) FROM customer)),
+      buys AS (
+        SELECT DISTINCT o_custkey AS src,
+               1000000 + (o_orderkey % (SELECT count(*) FROM supplier)) AS dst
+        FROM orders),
+      alledges AS (SELECT * FROM knows UNION ALL SELECT * FROM buys),
+      verts AS (SELECT c_custkey AS id FROM customer
+                UNION ALL SELECT 1000000 + s_suppkey FROM supplier),
+      od AS (SELECT src, count(*)::BIGINT AS c FROM alledges GROUP BY src)
+      SELECT v.id, coalesce(o.c, 0)::BIGINT AS out_deg
+      FROM verts v LEFT JOIN od o ON o.src = v.id ORDER BY v.id
+    """,
     "match_triangle": _with("dummy AS (SELECT 1 AS one)") + """
       SELECT count(*)::BIGINT AS n
       FROM edges e1 JOIN edges e2 ON e2.src = e1.dst
