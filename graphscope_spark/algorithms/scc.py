@@ -66,6 +66,42 @@ def scc(graph: Graph, max_iter: int = 10_000) -> DataFrame:
         assigned: DataFrame | None = None
 
         while not remaining_v.isEmpty():
+            # ---- trim: vertices with no in- or no out-edge (in the
+            # remaining graph) are singleton SCCs — peel to fixpoint before
+            # the expensive color/match rounds (standard FW-BW trim; on
+            # graphs dominated by small SCCs this removes most vertices
+            # without any propagation fixpoint).
+            while True:
+                has_in = remaining_e.select(F.col("dst").alias("id")).distinct()
+                has_out = remaining_e.select(F.col("src").alias("id")).distinct()
+                core = (
+                    remaining_v.join(has_in, "id", "left_semi")
+                    .join(has_out, "id", "left_semi")
+                    .localCheckpoint(eager=True)
+                )
+                trimmed = remaining_v.join(core, "id", "left_anti")
+                part = trimmed.select("id", F.col("id").alias("component"))
+                n_trimmed = part.count()
+                if n_trimmed == 0:
+                    break
+                assigned = (
+                    part if assigned is None else assigned.unionByName(part)
+                ).localCheckpoint(eager=True)
+                remaining_v = core
+                remaining_e = (
+                    remaining_e.join(
+                        remaining_v.withColumnRenamed("id", "src"), "src",
+                        "left_semi",
+                    )
+                    .join(
+                        remaining_v.withColumnRenamed("id", "dst"), "dst",
+                        "left_semi",
+                    )
+                    .select("src", "dst")
+                    .localCheckpoint(eager=True)
+                )
+            if remaining_v.isEmpty():
+                break
             colors = _propagate_max(remaining_v, remaining_e, max_iter)
             # backward propagation of "matched" from roots within same color
             roots = colors.filter(F.col("id") == F.col("color"))

@@ -40,13 +40,24 @@ def _edge_for(graph: Graph, direction: str) -> DataFrame:
     raise ValueError(f"direction must be out/in/both, got {direction!r}")
 
 
+_INV = {"out": "in", "in": "out", "both": "both"}
+
+
 def match(
     graph: Graph,
     pattern: list[tuple[str, str, str]],
     distinct_vertices: bool = False,
+    wco: bool = False,
 ) -> DataFrame:
     """Match a list of sentences ``(src_tag, direction, dst_tag)`` against
     the graph; returns one column per tag with the bound vertex ids.
+
+    ``wco=True`` enables the worst-case-optimal step: when ≥2 remaining
+    sentences introduce the SAME unbound tag from bound endpoints, the new
+    tag is bound by intersecting the endpoints' adjacency lists
+    (operators/wco.expand_intersect — the ExtendIntersectRule plan shape)
+    instead of extend-then-filter; intermediates stay within the output
+    bound on clique-like patterns.
 
     Example — directed triangle::
 
@@ -57,6 +68,43 @@ def match(
     remaining = list(pattern)
     bound: set[str] = set()
     out: DataFrame | None = None
+
+    adj_cache: dict[str, DataFrame] = {}
+
+    def adj_for(direction: str) -> DataFrame:
+        if direction not in adj_cache:
+            from graphscope_spark.operators.wco import adjacency_lists
+
+            adj_cache[direction] = adjacency_lists(graph.edges, direction)
+        return adj_cache[direction]
+
+    def try_wco() -> bool:
+        """Bind one tag by multi-way adjacency intersection if ≥2 remaining
+        sentences introduce it from bound endpoints. Returns True if bound."""
+        nonlocal out
+        from collections import defaultdict
+
+        from graphscope_spark.operators.wco import expand_intersect
+
+        cand: dict[str, list] = defaultdict(list)
+        for s in remaining:
+            a, d, b = s
+            if a in bound and b not in bound:
+                cand[b].append((s, a, d))  # new tag is a d-neighbor of a
+            elif b in bound and a not in bound:
+                cand[a].append((s, b, _INV[d]))
+        multi = {t: ss for t, ss in cand.items() if len(ss) >= 2}
+        if not multi:
+            return False
+        tag = max(multi, key=lambda t: len(multi[t]))
+        sents = multi[tag]
+        tags = [bt for _, bt, _ in sents]
+        adjs = [adj_for(d) for _, _, d in sents]
+        out = expand_intersect(out, adjs, tags, tag)
+        bound.add(tag)
+        for s, _, _ in sents:
+            remaining.remove(s)
+        return True
 
     def pick() -> tuple[str, str, str]:
         # closing edges first (both tags bound -> cheap semi-join), then
@@ -70,6 +118,8 @@ def match(
         return best
 
     while remaining:
+        if wco and out is not None and try_wco():
+            continue
         a, direction, b = pick()
         e = _edge_for(graph, direction)
         if out is None:

@@ -61,3 +61,37 @@ def test_match_diamond_distinct_and_both(spark):
     got = {tuple(r) for r in match(g, wedge).collect()}
     assert got == _brute(vertices, edges, wedge)
     g.unpersist()
+
+
+def test_match_wco_parity(spark):
+    """WCO expand-intersect plan must produce the same bindings as the
+    binary-join plan on triangle and 4-clique patterns."""
+    from graphscope_spark.operators.match import match
+
+    vertices, edges = p2p_mid(n=40, m=400, seed=9)
+    g = make_graph(spark, edges, vertices)
+    tri = [("a", "out", "b"), ("b", "out", "c"), ("a", "out", "c")]
+    plain = {tuple(r) for r in match(g, tri).collect()}
+    wco = {tuple(r) for r in match(g, tri, wco=True).collect()}
+    assert wco == plain and len(plain) > 0
+
+    k4 = [("a", "both", "b"), ("a", "both", "c"), ("a", "both", "d"),
+          ("b", "both", "c"), ("b", "both", "d"), ("c", "both", "d")]
+    plain = {tuple(r) for r in match(g, k4, distinct_vertices=True).collect()}
+    wco = {tuple(r) for r in match(g, k4, distinct_vertices=True,
+                                   wco=True).collect()}
+    assert wco == plain
+    g.unpersist()
+
+
+def test_expand_intersect_operator(spark):
+    from graphscope_spark.operators.wco import adjacency_lists, expand_intersect
+
+    edges = spark.createDataFrame(
+        [(0, 2), (1, 2), (0, 3), (1, 3), (0, 4)], "src long, dst long"
+    )
+    adj = adjacency_lists(edges, "out")
+    bindings = spark.createDataFrame([(0, 1)], "a long, b long")
+    got = {r["c"] for r in
+           expand_intersect(bindings, adj, ["a", "b"], "c").collect()}
+    assert got == {2, 3}
