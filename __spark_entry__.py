@@ -772,10 +772,10 @@ _PMOD = 2_147_483_647
 
 
 def _roll(expr: str, seed: int = 7) -> str:
+    # DuckDB twin of operators.dedup.portable_str_hash (md5-based)
     return (
-        f"list_reduce(list_prepend({seed}::BIGINT, "
-        f"list_transform(string_split({expr}, ''), c -> ascii(c)::BIGINT)), "
-        f"(acc, c) -> (acc*31 + c) % {_PMOD})"
+        f"(('0x' || substr(md5('{seed}:' || {expr}), 1, 15))::BIGINT"
+        f" % {_PMOD})"
     )
 
 

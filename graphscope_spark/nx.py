@@ -50,10 +50,22 @@ from graphscope_spark.algorithms.assortativity import (
     node_boundary,
 )
 
+from graphscope_spark.algorithms.biconnectivity import (
+    articulation_points,
+    bcc_edges as biconnected_components,
+    bridges,
+)
+from graphscope_spark.algorithms.cliques import k_cliques as enumerate_k_cliques
+from graphscope_spark.algorithms.diameter import diameter_approx as diameter
+from graphscope_spark.algorithms.dfs import dfs as dfs_preorder_nodes
+from graphscope_spark.algorithms.pagerank import pagerank_push
+
 label_propagation_communities = cdlp
 shortest_path_length = single_source_dijkstra_path_length
 
 __all__ = [
+    "articulation_points", "biconnected_components", "bridges",
+    "enumerate_k_cliques", "diameter", "dfs_preorder_nodes", "pagerank_push",
     "pagerank", "connected_components", "strongly_connected_components",
     "label_propagation_communities", "louvain_communities", "triangles",
     "clustering", "average_clustering", "transitivity", "bfs",

@@ -38,24 +38,21 @@ _P = 2_147_483_647
 
 
 def portable_str_hash(col, seed: int = 7):
-    """Engine-portable string hash: left-fold ``(acc·31 + codepoint) mod p``
-    over the characters. Bit-identical in Spark (``aggregate``/``ascii``)
-    and DuckDB (``list_reduce``/``ascii``), so pipelines built on it are
-    fully oracle-checkable — the xxhash64 default stays the fast path
-    (JVM-intrinsic), this is the verification path with identical plan
-    shape. DuckDB twin::
+    """Engine-portable string hash: first 60 bits of ``md5(seed ':' s)``
+    mod 2³¹−1. Bit-identical in Spark
+    (``conv(substring(md5(.),1,15),16,10)``, md5 is JVM-intrinsic — a
+    per-character fold was measured ~4× slower) and DuckDB
+    (``('0x' || substr(md5(.),1,15))::BIGINT``), so pipelines built on it
+    are fully oracle-checkable — the xxhash64 default stays the fastest
+    path; this is the verification path with identical plan shape.
+    DuckDB twin::
 
-        list_reduce(list_prepend(SEED::BIGINT,
-          list_transform(string_split(s, ''), c -> ascii(c)::BIGINT)),
-          (acc, c) -> (acc*31 + c) % 2147483647)
+        ('0x' || substr(md5(SEED || ':' || s), 1, 15))::BIGINT % 2147483647
     """
     if isinstance(col, str):
         col = F.col(col)
-    return F.aggregate(
-        F.split(col, ""),
-        F.lit(seed).cast("long"),
-        lambda acc, c: (acc * 31 + F.ascii(c)) % F.lit(_P),
-    )
+    hx = F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)), 1, 15)
+    return F.conv(hx, 16, 10).cast("long") % F.lit(_P)
 
 
 def _shingle_hash(hash_fn: str):

@@ -107,3 +107,33 @@ def test_pregel_vertex_sssp_matches_oracle(spark):
         else:
             assert abs(got[v] - want[v]) < 1e-9, (v, got[v], want[v])
     g.unpersist()
+
+
+def test_graphar_roundtrip(spark, tmp_path):
+    from graphscope_spark.graph.property_graph import PropertyGraph
+    from graphscope_spark.sources.graphar import read_graphar, write_graphar
+
+    users = spark.createDataFrame(
+        [(i, f"u{i}") for i in range(50)], "id long, name string"
+    )
+    knows = spark.createDataFrame(
+        [(i, (i * 7) % 50) for i in range(50) if i != (i * 7) % 50],
+        "src long, dst long",
+    )
+    pg = PropertyGraph().add_vertices("user", users).add_edges(
+        "knows", "user", "user", knows
+    )
+    base = str(tmp_path / "ar")
+    write_graphar(pg, base, name="g", chunk_size=16)
+    back = read_graphar(spark, base, name="g")
+    assert set(back.vertices) == {"user"}
+    assert set(back.edges) == {("knows", "user", "user")}
+    assert sorted(map(tuple, back.vertices["user"].collect())) == sorted(
+        map(tuple, users.collect())
+    )
+    assert sorted(map(tuple, back.edges[("knows", "user", "user")].collect())) \
+        == sorted(map(tuple, knows.collect()))
+    # chunked layout on disk: multiple part files for chunk_size < n
+    import glob
+
+    assert len(glob.glob(f"{base}/vertex/user/chunks/part-*")) >= 3
