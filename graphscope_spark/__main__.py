@@ -25,6 +25,7 @@ def main(argv: list[str] | None = None) -> int:
         "pagerank", "pagerank_ldbc", "wcc", "scc", "cdlp", "triangles", "lcc",
         "sssp", "bfs", "kcore", "hits", "degree_centrality", "louvain",
         "closeness", "betweenness", "apsp",
+        "bcc", "bridges", "articulation", "diameter", "kclique", "dfs",
     ])
     p.add_argument("--edges", required=True)
     p.add_argument("--vertices")
@@ -101,6 +102,24 @@ def main(argv: list[str] | None = None) -> int:
             out = all_pairs_shortest_path_length(g, sources=srcs)
     elif args.algo == "louvain":
         out = A.louvain(g, weight_col=args.weight_col)
+    elif args.algo == "bcc":
+        from graphscope_spark.algorithms.biconnectivity import bcc_edges
+        out = bcc_edges(g)
+    elif args.algo == "bridges":
+        from graphscope_spark.algorithms.biconnectivity import bridges
+        out = bridges(g)
+    elif args.algo == "articulation":
+        from graphscope_spark.algorithms.biconnectivity import articulation_points
+        out = articulation_points(g)
+    elif args.algo == "diameter":
+        from graphscope_spark.algorithms.diameter import diameter_approx
+        out = diameter_approx(g)
+    elif args.algo == "kclique":
+        from graphscope_spark.algorithms.cliques import k_cliques
+        out = k_cliques(g, k=args.k)
+    elif args.algo == "dfs":
+        from graphscope_spark.algorithms.dfs import dfs
+        out = dfs(g, source=args.source)
     else:  # pragma: no cover
         raise SystemExit(f"unknown algo {args.algo}")
 
