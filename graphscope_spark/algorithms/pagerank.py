@@ -351,25 +351,30 @@ def _pagerank_loop(
             )
 
         new_rank = alpha * F.coalesce(F.col("msg"), F.lit(0.0)) + F.lit(base)
-        plan = state.join(msgs.hint("shuffle_hash"), state.id == msgs.dst, "left").select(
-            state.id.alias("id"),
-            new_rank.alias("rank"),
-            "dangling",
-            F.abs(new_rank - state.rank).alias("delta"),
-        )
+        cols = [state.id.alias("id"), new_rank.alias("rank"), "dangling"]
+        if tol > 0:
+            # the convergence test is the only consumer of delta — in
+            # fixed-round mode leaving it out slims every per-round
+            # state materialization by one double column
+            cols.append(F.abs(new_rank - state.rank).alias("delta"))
+        plan = state.join(
+            msgs.hint("shuffle_hash"), state.id == msgs.dst, "left"
+        ).select(*cols)
 
         def finalize(st: DataFrame) -> dict:
             if skip_reduce:
                 return {"converged": False, "eps": None, "dangling_sum": 0.0}
             # one scalar all-reduce per round: eps for the stop test AND the
             # next round's dangling mass (grape::Communicator::Sum analog)
-            row = st.agg(
-                F.sum("delta").alias("eps"),
+            aggs = [
                 F.sum(
                     F.when(F.col("dangling"), F.col("rank")).otherwise(0.0)
-                ).alias("ds"),
-            ).collect()[0]
-            eps = row["eps"] or 0.0
+                ).alias("ds")
+            ]
+            if tol > 0:
+                aggs.append(F.sum("delta").alias("eps"))
+            row = st.agg(*aggs).collect()[0]
+            eps = (row["eps"] or 0.0) if tol > 0 else None
             ds_cell[0] = row["ds"] or 0.0
             return {
                 "converged": tol > 0 and eps < n * tol,

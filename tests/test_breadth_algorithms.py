@@ -150,3 +150,16 @@ def test_closeness(spark):
     assert abs(got[4] - 0.5) < 1e-12
     assert got[1] == 0.0
     g.unpersist()
+
+
+def test_core_numbers_hindex_matches_peel(spark):
+    from graphscope_spark.algorithms.kcore import k_shell
+
+    from tests.conftest import p2p_mid, make_graph
+
+    vertices, edges = p2p_mid(n=120, m=700, seed=13)
+    g = make_graph(spark, edges, vertices)
+    h = {r["id"]: r["shell"] for r in k_shell(g, mode="hindex").collect()}
+    p = {r["id"]: r["shell"] for r in k_shell(g, mode="peel").collect()}
+    assert h == p
+    g.unpersist()
