@@ -150,9 +150,16 @@ def ngram_jaccard_pairs(
     threshold regime is preserved; Jaccard for surviving pairs still uses
     the FULL shingle-set sizes (a dropped shared shingle can only lower the
     estimate). See minhash_lsh_pairs for the fully sublinear path."""
+    from pyspark.storagelevel import StorageLevel
+
     sh = with_shingles(df.select(F.col(id_col).alias("id"), text_col), text_col, n)
     sizes = sh.select("id", F.size("shingles").alias("n_sh"))
-    ex = sh.select("id", F.explode("shingles").alias("sh"))
+    # the exploded shingle table feeds BOTH self-join sides (+ the df cap);
+    # Spark does not dedupe repeated subtrees, so without a persist the
+    # shingle expressions are evaluated 3-4x
+    ex = sh.select("id", F.explode("shingles").alias("sh")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     if max_shingle_df is not None:
         rare = (
             ex.groupBy("sh")
@@ -253,6 +260,11 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", "minhash", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    from pyspark.storagelevel import StorageLevel
+
+    # both self-join sides reference the 64-hash signature computation —
+    # persist so it is evaluated once
+    bucket_rows = bucket_rows.persist(StorageLevel.MEMORY_AND_DISK)
     cand = (
         bucket_rows.alias("a")
         .join(bucket_rows.alias("b"), ["band", "bucket"])
@@ -360,6 +372,9 @@ def simhash_pairs(
             )
         ).alias("cc"),
     ).select("id", "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.val").alias("val"))
+    from pyspark.storagelevel import StorageLevel
+
+    chunks = chunks.persist(StorageLevel.MEMORY_AND_DISK)
     cand = (
         chunks.alias("a")
         .join(chunks.alias("b"), ["chunk", "val"])
