@@ -83,15 +83,17 @@ def _hyperplane(dim: int, table: int, bit: int, hash_fn: str = "xxhash64"):
     (x² mod p breaks the linear lattice a multiplicative hash alone would
     put in the components); recall vs brute force is pytest-asserted."""
     if hash_fn == "portable":
+        # plane components are constants — evaluate the integer hash in
+        # Python and emit a literal array (the per-row expression tree was
+        # 64 hash evaluations per projection per row)
         base = table * 1_000_003 + bit * 10_007
-
-        def comp(d):
-            x = F.lit(base).cast("long") + d.cast("long")
-            u = (x * x) % F.lit(1_000_000_007)
-            w = (u * F.lit(2_654_435_761)) % F.lit(1_000_000_007)
-            return (w % F.lit(2_000_001) - F.lit(1_000_000)).cast("double")
-
-        return F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), comp)
+        vals = []
+        for d in range(dim):
+            x = base + d
+            u = (x * x) % 1_000_000_007
+            w = (u * 2_654_435_761) % 1_000_000_007
+            vals.append(float(w % 2_000_001 - 1_000_000))
+        return F.array(*[F.lit(v) for v in vals])
     return F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda d: (
