@@ -901,6 +901,92 @@ def _lsh_topk_sql(dim: int = 64, k: int = 5, bits: int = 4, tables: int = 16) ->
     FROM ranked WHERE rank <= {k} ORDER BY query_id, rank"""
 
 
+def _mis_sql(rounds: int = 9) -> str:
+    """Unrolled Luby MIS mirroring algorithms/matching.py (portable md5
+    priorities; (prio, id) lexicographic min via prio·2³¹ + id packing —
+    both < 2³¹ so the packed BIGINT compares identically)."""
+    ctes = ["ma0 AS MATERIALIZED (SELECT id FROM verts)"]
+    wins = []
+    for r in range(1, rounds + 1):
+        p = r - 1
+        pr = _roll(f"('{r}:' || id::VARCHAR)")
+        ctes.append(
+            f"mp{r} AS MATERIALIZED (SELECT id, {pr} AS p FROM ma{p})"
+        )
+        ctes.append(
+            f"""mnm{r} AS MATERIALIZED (
+              SELECT e.src AS id, min(pd.p * 2147483648 + pd.id) AS nm
+              FROM und e JOIN mp{r} ps ON ps.id = e.src
+              JOIN mp{r} pd ON pd.id = e.dst GROUP BY e.src)"""
+        )
+        ctes.append(
+            f"""mw{r} AS MATERIALIZED (
+              SELECT a.id FROM mp{r} a LEFT JOIN mnm{r} n ON n.id = a.id
+              WHERE n.nm IS NULL OR a.p * 2147483648 + a.id < n.nm)"""
+        )
+        wins.append(f"SELECT id FROM mw{r}")
+        ctes.append(
+            f"""mdrop{r} AS MATERIALIZED (
+              SELECT DISTINCT e.dst AS id FROM und e
+              JOIN mw{r} w ON w.id = e.src
+              UNION SELECT id FROM mw{r})"""
+        )
+        ctes.append(
+            f"""ma{r} AS MATERIALIZED (
+              SELECT a.id FROM ma{p} a
+              WHERE a.id NOT IN (SELECT id FROM mdrop{r}))"""
+        )
+    return _with(",".join(ctes)) + (
+        " SELECT id FROM (" + " UNION ALL ".join(wins) + ") t ORDER BY id"
+    )
+
+
+def _maximal_matching_sql(rounds: int = 12) -> str:
+    ctes = [
+        """me0 AS MATERIALIZED (
+          SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM edges WHERE src <> dst)"""
+    ]
+    wins = []
+    for r in range(1, rounds + 1):
+        p = r - 1
+        pr = _roll(f"('{r}:' || a::VARCHAR || '_' || b::VARCHAR)")
+        ctes.append(
+            f"mep{r} AS MATERIALIZED (SELECT a, b, {pr} AS p FROM me{p})"
+        )
+        ctes.append(
+            f"""mvm{r} AS MATERIALIZED (
+              SELECT v, min(ROW(p, a, b)) AS m
+              FROM (SELECT a AS v, p, a, b FROM mep{r}
+                    UNION ALL SELECT b AS v, p, a, b FROM mep{r}) t
+              GROUP BY v)"""
+        )
+        ctes.append(
+            f"""mmw{r} AS MATERIALIZED (
+              SELECT e.a, e.b FROM mep{r} e
+              JOIN mvm{r} va ON va.v = e.a
+              JOIN mvm{r} vb ON vb.v = e.b
+              WHERE va.m = ROW(e.p, e.a, e.b)
+                AND vb.m = ROW(e.p, e.a, e.b))"""
+        )
+        wins.append(f"SELECT a, b FROM mmw{r}")
+        ctes.append(
+            f"""mmv{r} AS MATERIALIZED (
+              SELECT a AS v FROM mmw{r} UNION SELECT b FROM mmw{r})"""
+        )
+        ctes.append(
+            f"""me{r} AS MATERIALIZED (
+              SELECT e.a, e.b FROM me{p} e
+              WHERE e.a NOT IN (SELECT v FROM mmv{r})
+                AND e.b NOT IN (SELECT v FROM mmv{r}))"""
+        )
+    return _with(",".join(ctes)) + (
+        " SELECT a AS src, b AS dst FROM ("
+        + " UNION ALL ".join(wins)
+        + ") t ORDER BY src, dst"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Spark query callables
 # ---------------------------------------------------------------------------
@@ -1224,6 +1310,20 @@ def _q_diameter(spark, sf_dir):
     from graphscope_spark.algorithms.diameter import diameter_approx
 
     return diameter_approx(_customer_graph(spark, sf_dir))
+
+
+def _q_mis(spark, sf_dir):
+    from graphscope_spark.algorithms.matching import maximal_independent_set
+
+    g = _customer_graph(spark, sf_dir)
+    return maximal_independent_set(g).orderBy("id")
+
+
+def _q_maximal_matching(spark, sf_dir):
+    from graphscope_spark.algorithms.matching import maximal_matching
+
+    g = _customer_graph(spark, sf_dir)
+    return maximal_matching(g).orderBy("src", "dst")
 
 
 def _q_match_triangle(spark, sf_dir):
@@ -1559,6 +1659,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "four_cliques": _q_four_cliques,
     "diameter_2sweep": _q_diameter,
     "hetero_degree": _q_hetero_degree,
+    "mis": _q_mis,
+    "maximal_matching": _q_maximal_matching,
     "match_triangle": _q_match_triangle,
     "match_diamond": _q_match_diamond,
     "match_3path": _q_match_3path,
@@ -1646,6 +1748,8 @@ ORACLES: dict[str, str] = {
       SELECT count(*)::BIGINT AS n
       FROM edges e1 JOIN edges e2 ON e2.src = e1.dst
       JOIN edges e3 ON e3.src = e2.dst""",
+    "mis": _mis_sql(9),
+    "maximal_matching": _maximal_matching_sql(12),
     "doc_fingerprint": _fingerprint_sql(),
     "minhash_dups": _minhash_sql(0.5),
     "simhash_dups": _simhash_sql(3),
