@@ -1326,6 +1326,30 @@ def _q_maximal_matching(spark, sf_dir):
     return maximal_matching(g).orderBy("src", "dst")
 
 
+def _q_msf(spark, sf_dir):
+    """Borůvka MSF on a graph whose unique MSF is known in closed form:
+    a binary-heap tree with light weights (1..5) plus the customer-graph
+    edges with heavy weights (≥100) — Kruskal/cut-property gives exactly
+    the tree, but Borůvka still needs its full contraction cascade
+    (depth-11 tree → ~4 merge rounds) to find it."""
+    from graphscope_spark.algorithms.msf import minimum_spanning_forest
+    from graphscope_spark.graph.graph import Graph
+
+    g = _customer_graph(spark, sf_dir)
+    verts = g.vertices
+    tree = verts.selectExpr(
+        "CAST((id - 1) / 2 AS LONG) AS src", "id AS dst",
+        "CAST(1 + id % 5 AS DOUBLE) AS weight",
+    ).where("dst > 0")
+    extras = g.edges.selectExpr(
+        "src", "dst", "CAST(100 + (src + dst) % 7 AS DOUBLE) AS weight"
+    )
+    gg = Graph(
+        tree.unionByName(extras), vertices=verts, num_partitions=NUM_PARTITIONS
+    )
+    return minimum_spanning_forest(gg).orderBy("src", "dst")
+
+
 def _q_match_triangle(spark, sf_dir):
     from graphscope_spark.operators.match import match
 
@@ -1661,6 +1685,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hetero_degree": _q_hetero_degree,
     "mis": _q_mis,
     "maximal_matching": _q_maximal_matching,
+    "msf": _q_msf,
     "match_triangle": _q_match_triangle,
     "match_diamond": _q_match_diamond,
     "match_3path": _q_match_3path,
@@ -1750,6 +1775,11 @@ ORACLES: dict[str, str] = {
       JOIN edges e3 ON e3.src = e2.dst""",
     "mis": _mis_sql(9),
     "maximal_matching": _maximal_matching_sql(12),
+    "msf": (
+        "SELECT (c_custkey - 1) // 2 AS src, c_custkey AS dst, "
+        "(1 + c_custkey % 5)::DOUBLE AS weight "
+        "FROM customer WHERE c_custkey > 0 ORDER BY src, dst"
+    ),
     "doc_fingerprint": _fingerprint_sql(),
     "minhash_dups": _minhash_sql(0.5),
     "simhash_dups": _simhash_sql(3),

@@ -64,3 +64,37 @@ def test_mis_star(spark):
     # either the hub alone, or all leaves
     assert mis == {0} or mis == set(range(1, 51))
     g.unpersist()
+
+
+def _kruskal(vertices, wedges):
+    parent = {v: v for v in vertices}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    forest = set()
+    for w, a, b in sorted((w, min(a, b), max(a, b)) for a, b, w in wedges
+                          if a != b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            forest.add((a, b, w))
+    return forest
+
+
+def test_minimum_spanning_forest(spark):
+    from graphscope_spark.algorithms.msf import minimum_spanning_forest
+
+    vertices, edges = p2p_mid(n=90, m=300, seed=17)
+    wedges = [(a, b, float(1 + (a * 13 + b * 7) % 97)) for a, b in edges]
+    g = make_graph(spark, wedges, vertices, weights=True)
+    got = {(r["src"], r["dst"], r["weight"])
+           for r in minimum_spanning_forest(g).collect()}
+    want = _kruskal(vertices, wedges)
+    # same total weight and same forest under the shared (w, a, b) total order
+    assert sum(w for _, _, w in got) == sum(w for _, _, w in want)
+    assert got == want
+    g.unpersist()
