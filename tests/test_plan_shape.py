@@ -94,3 +94,48 @@ def test_broadcast_used_for_small_dim_join(spark):
     j = cust.join(nation, cust.c_nationkey == nation.n_nationkey)
     plan = _executed_plan(j)
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_match_and_wco_no_cartesian(spark):
+    """Pattern plans must stay equijoins — a silent cartesian in the
+    lowering would pass correctness on small graphs and explode at scale."""
+    from graphscope_spark.operators.match import match
+
+    from tests.conftest import make_graph, p2p_mid
+
+    vertices, edges = p2p_mid(n=30, m=120, seed=2)
+    g = make_graph(spark, edges, vertices)
+    tri = [("a", "out", "b"), ("b", "out", "c"), ("a", "out", "c")]
+    for w in (False, True):
+        plan = _executed_plan(match(g, tri, wco=w))
+        assert "CartesianProduct" not in plan, (w, plan)
+        assert "BroadcastNestedLoopJoin" not in plan, (w, plan)
+    g.unpersist()
+
+
+def test_multisource_bfs_no_cartesian_and_single_agg(spark):
+    from graphscope_spark.engine.multisource import multi_source_bfs
+
+    from tests.conftest import make_graph, p2p_mid
+
+    vertices, edges = p2p_mid(n=40, m=160, seed=4)
+    g = make_graph(spark, edges, vertices)
+    out = multi_source_bfs(g, [1, 2, 3])
+    plan = _executed_plan(out)
+    assert "CartesianProduct" not in plan
+    g.unpersist()
+
+
+def test_ngram_df_cap_is_semi_join(spark):
+    """The hot-shingle cap must prune via a semi join BEFORE the
+    pair-producing self-join, not filter afterwards."""
+    from graphscope_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"a b c d{i} e{i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    plan = _executed_plan(
+        ngram_jaccard_pairs(docs, threshold=0.1, max_shingle_df=5)
+    )
+    assert "LeftSemi" in plan
