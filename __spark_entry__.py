@@ -588,10 +588,12 @@ def _betweenness_sql(
 
 
 def _voterank_sql(num_seeds: int = 5) -> str:
+    # exact-integer formulation mirroring algorithms/paths.voterank:
+    # ability scaled by m, decay = n — no float summation anywhere
     ctes = [
-        "nedges AS MATERIALIZED (SELECT count(*)::DOUBLE AS m FROM und)",
-        "dec AS MATERIALIZED (SELECT (SELECT n FROM nv) / (SELECT m FROM nedges) AS d)",
-        "ab0 AS MATERIALIZED (SELECT id, 1.0::DOUBLE AS ability FROM verts)",
+        "nedges AS MATERIALIZED (SELECT count(*)::BIGINT AS m FROM und)",
+        "dec AS MATERIALIZED (SELECT (SELECT n FROM nv)::BIGINT AS d)",
+        "ab0 AS MATERIALIZED (SELECT id, (SELECT m FROM nedges) AS ability FROM verts)",
         "el0 AS MATERIALIZED (SELECT NULL::BIGINT AS id WHERE 1=0)",
     ]
     for t in range(1, num_seeds + 1):
@@ -618,9 +620,9 @@ def _voterank_sql(num_seeds: int = 5) -> str:
         ctes.append(
             f"""ab{t} AS MATERIALIZED (
               SELECT a.id,
-                     CASE WHEN a.id = (SELECT id FROM win{t}) THEN 0.0
+                     CASE WHEN a.id = (SELECT id FROM win{t}) THEN 0
                           WHEN a.id IN (SELECT id FROM nb{t})
-                          THEN greatest(a.ability - (SELECT d FROM dec), 0.0)
+                          THEN greatest(a.ability - (SELECT d FROM dec), 0)
                           ELSE a.ability END AS ability
               FROM ab{p} a)"""
         )

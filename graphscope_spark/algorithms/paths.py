@@ -21,16 +21,20 @@ def voterank(graph: Graph, num_seeds: int) -> list[int]:
     vertex votes its voting ability to in-... (undirected here) neighbors;
     the max-score vertex is elected, its voters' ability decays by 1/<k>.
 
+    All arithmetic is EXACT integer, scaled by m (und edge rows): ability₀ =
+    m, decay = n, floor at 0 — argmax-equivalent to the 1.0/(1/<k>) float
+    formulation but immune to summation-order ulp noise, which was measured
+    to flip mathematically-tied elections between engines/runs.
+
     Driver loop with one aggregation per elected seed — num_seeds is small
     by construction (it selects a handful of influencers).
     """
     und = graph.to_undirected(dedup=True)
     edges = und.edges
     n = graph.num_vertices
-    avg_deg = edges.count() / max(n, 1)
-    decay = 1.0 / avg_deg if avg_deg else 1.0
+    m = edges.count()
 
-    ability = graph.vertices.select("id", F.lit(1.0).alias("ability"))
+    ability = graph.vertices.select("id", F.lit(m).cast("long").alias("ability"))
     elected: list[int] = []
     excluded = None
     for _ in range(num_seeds):
@@ -53,17 +57,17 @@ def voterank(graph: Graph, num_seeds: int) -> list[int]:
             edges.join(wdf.withColumnRenamed("id", "src"), "src", "left_semi")
             .select(F.col("dst").alias("id"))
             .distinct()
-            .withColumn("_dec", F.lit(decay))
+            .withColumn("_dec", F.lit(n).cast("long"))
         )
         ability = (
             ability.join(nbrs, "id", "left")
             .select(
                 "id",
-                F.when(F.col("id") == winner, 0.0)
+                F.when(F.col("id") == winner, F.lit(0).cast("long"))
                 .otherwise(
                     F.greatest(
-                        F.col("ability") - F.coalesce(F.col("_dec"), F.lit(0.0)),
-                        F.lit(0.0),
+                        F.col("ability") - F.coalesce(F.col("_dec"), F.lit(0)),
+                        F.lit(0).cast("long"),
                     )
                 )
                 .alias("ability"),
