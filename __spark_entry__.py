@@ -989,6 +989,45 @@ def _maximal_matching_sql(rounds: int = 12) -> str:
     )
 
 
+def _sampling_path_sql(n_sources: int = 20, steps: int = 4, seed: int = 42) -> str:
+    """Unrolled deterministic random walk mirroring algorithms/sampling.py;
+    per-walker (hash, dst) min via h·2³¹ + dst packing (both < 2³¹)."""
+    ctes = [
+        f"""sw0 AS MATERIALIZED (
+          SELECT id AS walker, id AS cur, 0 AS hops, id::VARCHAR AS path,
+                 TRUE AS alive
+          FROM verts WHERE id < {n_sources})"""
+    ]
+    for t in range(1, steps + 1):
+        p = t - 1
+        h = _roll(f"('{seed}:{t}:' || w.cur::VARCHAR || ':' || e.dst::VARCHAR)")
+        ctes.append(
+            f"""sc{t} AS MATERIALIZED (
+              SELECT w.walker, {h} * 2147483648 + e.dst AS hd
+              FROM sw{p} w JOIN edges e ON e.src = w.cur WHERE w.alive)"""
+        )
+        ctes.append(
+            f"""ss{t} AS MATERIALIZED (
+              SELECT walker, min(hd) % 2147483648 AS nxt
+              FROM sc{t} GROUP BY walker)"""
+        )
+        ctes.append(
+            f"""sw{t} AS MATERIALIZED (
+              SELECT w.walker,
+                     CASE WHEN w.alive AND s.nxt IS NOT NULL THEN s.nxt
+                          ELSE w.cur END AS cur,
+                     CASE WHEN w.alive AND s.nxt IS NOT NULL THEN w.hops + 1
+                          ELSE w.hops END AS hops,
+                     CASE WHEN w.alive AND s.nxt IS NOT NULL
+                          THEN w.path || '->' || s.nxt::VARCHAR
+                          ELSE w.path END AS path,
+                     (w.alive AND s.nxt IS NOT NULL) AS alive
+              FROM sw{p} w LEFT JOIN ss{t} s ON s.walker = w.walker)"""
+        )
+    return _with(",".join(ctes)) + f"""
+    SELECT walker, hops::INT AS hops, path FROM sw{steps} ORDER BY walker"""
+
+
 # ---------------------------------------------------------------------------
 # Spark query callables
 # ---------------------------------------------------------------------------
@@ -1312,6 +1351,16 @@ def _q_diameter(spark, sf_dir):
     from graphscope_spark.algorithms.diameter import diameter_approx
 
     return diameter_approx(_customer_graph(spark, sf_dir))
+
+
+def _q_sampling_path(spark, sf_dir):
+    from graphscope_spark.algorithms.sampling import sampling_path
+
+    g = _customer_graph(spark, sf_dir)
+    out = sampling_path(g, sources=list(range(20)), steps=4, seed=42)
+    return out.selectExpr(
+        "walker", "CAST(hops AS INT) AS hops", "path"
+    ).orderBy("walker")
 
 
 def _q_mis(spark, sf_dir):
@@ -1690,6 +1739,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mis": _q_mis,
     "maximal_matching": _q_maximal_matching,
     "msf": _q_msf,
+    "sampling_path": _q_sampling_path,
     "match_triangle": _q_match_triangle,
     "match_diamond": _q_match_diamond,
     "match_3path": _q_match_3path,
@@ -1779,6 +1829,7 @@ ORACLES: dict[str, str] = {
       JOIN edges e3 ON e3.src = e2.dst""",
     "mis": _mis_sql(9),
     "maximal_matching": _maximal_matching_sql(12),
+    "sampling_path": _sampling_path_sql(20, 4, 42),
     "msf": (
         "SELECT (c_custkey - 1) // 2 AS src, c_custkey AS dst, "
         "(1 + c_custkey % 5)::DOUBLE AS weight "
