@@ -112,13 +112,15 @@ res = _pagerank_loop(g, alpha=0.85, max_iter={rounds}, tol=0.0, weight_col=None,
                      mode="dataframe")
 total = time.time() - t0
 secs = sorted(h["sec"] for h in res.history if "sec" in h)
+med = secs[len(secs) // 2]
 print("BENCHJSON" + json.dumps({{
     "cores": {cores}, "edges": ne, "rounds": {rounds},
     "total_sec": round(total, 2),
     "sec_per_iter": round(total / {rounds}, 3),
-    "sec_per_iter_median": round(secs[len(secs) // 2], 3),
+    "sec_per_iter_median": round(med, 3),
     "gteps": round(ne * {rounds} / total / 1e9, 6),
-    "mteps": round(ne * {rounds} / total / 1e6, 2)}}))
+    "mteps": round(ne * {rounds} / total / 1e6, 2),
+    "steady_mteps": round(ne / med / 1e6, 2)}}))
 spark.stop()
 """
 
@@ -180,15 +182,17 @@ def write_report(payload: dict) -> None:
         "the memory-stability + scaling evidence this single-box sandbox can",
         "actually show (each run in a fresh JVM):",
         "",
-        "| run | cores | edges | total s | s/iter (median) | MTEPS | GTEPS |",
-        "|---|---|---|---|---|---|---|",
+        "| run | cores | edges | total s | s/iter (median) | MTEPS | GTEPS "
+        "| steady MTEPS |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     for key in ("small", "large", "large_4x_data", "headline_100m"):
         r = s.get(key)
         if r:
             lines.append(
                 f"| {key} | {r['cores']} | {r['edges']} | {r['total_sec']} "
-                f"| {r['sec_per_iter_median']} | {r['mteps']} | {r['gteps']} |"
+                f"| {r['sec_per_iter_median']} | {r['mteps']} | {r['gteps']} "
+                f"| {r.get('steady_mteps', '')} |"
             )
     if s.get("headline_100m") and s.get("large"):
         h, l = s["headline_100m"], s["large"]
@@ -301,6 +305,7 @@ def main() -> None:
     payload["unit"] = "gteps"
     payload["total_sec"] = head.get("total_sec")
     payload["mteps"] = head.get("mteps")
+    payload["steady_mteps"] = head.get("steady_mteps")
     payload["sec_per_iteration"] = head.get("sec_per_iter_median")
 
     write_report(payload)
