@@ -154,3 +154,56 @@ def test_media_deterministic(spark):
     a = {r["media_id"]: bytes(r["payload"]) for r in synth_media(spark, 10, num_partitions=2).collect()}
     b = {r["media_id"]: bytes(r["payload"]) for r in synth_media(spark, 10, num_partitions=5).collect()}
     assert a == b
+
+
+def test_real_codecs_roundtrip_and_pipeline(spark):
+    """The REAL (pure-numpy) codec path end to end: valid PPM/WAV/PPMV
+    payloads decode, resize, frame-sample, and featurize through the same
+    mapInPandas plumbing as the stub path."""
+    import numpy as np
+
+    from graphscope_spark.operators.multimodal import (
+        decode_features,
+        decode_ppm,
+        decode_ppmv,
+        decode_wav_pcm16,
+        encode_ppm,
+        encode_ppmv,
+        encode_wav_pcm16,
+        real_feature,
+        resize_ppm,
+        sample_ppmv_frames,
+        synth_real_media,
+    )
+
+    # codec round-trips
+    img = (np.arange(14 * 10 * 3, dtype=np.uint8).reshape(10, 14, 3) * 3) % 256
+    assert (decode_ppm(encode_ppm(img)) == img).all()
+    s = (np.sin(np.arange(500) * 0.05) * 20000).astype(np.int16)
+    back, rate = decode_wav_pcm16(encode_wav_pcm16(s, 8000))
+    assert rate == 8000 and (back == s).all()
+    frames = [img, (img + 1) % 256, (img + 2) % 256]
+    got = decode_ppmv(encode_ppmv(frames))
+    assert len(got) == 3 and all((a == b).all() for a, b in zip(got, frames))
+
+    # real resize + frame sampling
+    small = decode_ppm(resize_ppm(encode_ppm(img), 7, 5))
+    assert small.shape == (5, 7, 3)
+    sampled = sample_ppmv_frames(encode_ppmv(frames), 2)
+    assert len(sampled) == 2 and decode_ppm(sampled[0]).shape == img.shape
+
+    # distributed pipeline over VALID payloads with the REAL decoder
+    media = synth_real_media(spark, 30)
+    feats = decode_features(media, dim=16, decode_fn=real_feature).collect()
+    assert len(feats) == 30
+    for r in feats:
+        v = np.array(r["feature"])
+        assert v.shape == (16,) and np.isfinite(v).all()
+        assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-5
+    # deterministic across runs
+    feats2 = decode_features(
+        synth_real_media(spark, 30), dim=16, decode_fn=real_feature
+    ).collect()
+    m1 = {r["media_id"]: list(r["feature"]) for r in feats}
+    m2 = {r["media_id"]: list(r["feature"]) for r in feats2}
+    assert m1 == m2
