@@ -22,7 +22,7 @@ from graphscope_spark.engine.superstep import run_supersteps
 from graphscope_spark.graph.graph import Graph
 
 __all__ = ["degree_centrality", "eigenvector_centrality", "katz_centrality",
-           "closeness_centrality"]
+           "closeness_centrality", "harmonic_centrality"]
 
 
 def degree_centrality(graph: Graph, degree_type: str = "both") -> DataFrame:
@@ -166,3 +166,44 @@ def closeness_centrality(
         * ((F.col("r") - 1) / F.col("tot")),
     ).otherwise(0.0)
     return st.select(F.col("source").alias("id"), c.alias("centrality"))
+
+
+def harmonic_centrality(
+    graph: Graph,
+    sources: list[int] | DataFrame | None = None,
+    max_all_vertices: int = 65_536,
+) -> DataFrame:
+    """(id, centrality): H(v) = Σ_{s ∈ sources, s≠v} 1/d(s, v) over the
+    UNDIRECTED graph — the accumulation of the reference's
+    ``apps/flash/centrality/harmonic.h:73-84`` (``d.val += 1.0/i`` when
+    vertex ``d`` is first reached at BFS level ``i`` from a sampled source),
+    made deterministic by taking an explicit source batch instead of the
+    reference's ``rand_r`` sample. One composite-state multi-source BFS for
+    the whole batch (engine/multisource.py): diameter rounds total.
+
+    ``sources=None`` uses every vertex (exact harmonic centrality), refused
+    above ``max_all_vertices`` — at scale pass a seeded sample, as the
+    reference does (n_sample=500).
+    """
+    from graphscope_spark.engine.multisource import multi_source_bfs
+
+    n = graph.num_vertices
+    if sources is None:
+        if n > max_all_vertices:
+            raise ValueError(
+                f"harmonic over all {n} vertices is O(V*E); pass an explicit "
+                "sources list/DataFrame (seeded sample) at this scale"
+            )
+        sources = graph.vertices.select(F.col("id").alias("source"))
+    und = graph.to_undirected(dedup=True)
+    dist = multi_source_bfs(und, sources)
+    h = (
+        dist.filter(F.col("depth") > 0)
+        .groupBy("id")
+        .agg(F.sum(F.lit(1.0) / F.col("depth")).alias("centrality"))
+    )
+    out = graph.vertices.select("id").join(h, "id", "left").select(
+        "id", F.coalesce(F.col("centrality"), F.lit(0.0)).alias("centrality")
+    )
+    und.unpersist()
+    return out

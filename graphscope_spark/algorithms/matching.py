@@ -20,7 +20,22 @@ from pyspark.storagelevel import StorageLevel
 
 from graphscope_spark.graph.graph import Graph
 
-__all__ = ["maximal_independent_set", "maximal_matching"]
+__all__ = [
+    "maximal_independent_set",
+    "maximal_matching",
+    "min_cover_greedy",
+    "min_dominating_set",
+]
+
+
+def _check_maximal(active: DataFrame, what: str, max_rounds: int) -> None:
+    """ADVICE r2: a '*maximal*' contract must fail loudly, not silently
+    return a partial result, when the round budget is exhausted."""
+    if not active.isEmpty():
+        raise RuntimeError(
+            f"{what}: {max_rounds} rounds exhausted with active elements "
+            "remaining — result would not be maximal; raise max_rounds"
+        )
 
 
 def _prio(expr, rnd: int):
@@ -67,6 +82,7 @@ def maximal_independent_set(graph: Graph, max_rounds: int = 64) -> DataFrame:
             .unionByName(winners)
         )
         active = active.join(dropped, "id", "left_anti").localCheckpoint(eager=True)
+    _check_maximal(active, "maximal_independent_set", max_rounds)
     edges.unpersist()
     und.unpersist()
     if mis is None:
@@ -130,6 +146,155 @@ def maximal_matching(graph: Graph, max_rounds: int = 64) -> DataFrame:
             .select("a", "b")
             .localCheckpoint(eager=True)
         )
+    _check_maximal(active, "maximal_matching", max_rounds)
     if matched is None:
         matched = graph.spark.createDataFrame([], "a long, b long")
     return matched.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+
+
+def min_cover_greedy(graph: Graph, max_rounds: int = 256) -> DataFrame:
+    """(id) — a small vertex cover via parallel greedy, the exact semantics
+    of the reference's ``apps/flash/matching/min-cover-greedy.h:31-96``:
+    every round, each still-active vertex whose (residual-degree, id) beats
+    every uncovered neighbor's enters the cover; its uncovered neighbors
+    subtract the number of newly-covered neighbors from their residual
+    degree; vertices drop out when covered or residual degree hits 0.
+    Deterministic (ties broken by id — ``nb_id > id`` in filter1).
+    """
+    P = graph.num_partitions
+    und = graph.to_undirected(dedup=True)
+    edges = (
+        und.edges.select("src", "dst")
+        .repartition(P, "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    # active = uncovered with residual degree > 0 (isolated verts never join)
+    active = deg.localCheckpoint(eager=True)
+    cover = graph.spark.createDataFrame([], "id long")
+    rounds_left = max_rounds
+    while rounds_left > 0 and not active.isEmpty():
+        rounds_left -= 1
+        # nb_best(v) = lexmax (d, id) over ACTIVE neighbors — inactive
+        # uncovered neighbors have d <= 0 < v.d and can never beat (filter1)
+        a_src = active.select(F.col("id").alias("src"))
+        a_dst = active.select(F.col("id").alias("dst"), F.col("d").alias("dd"))
+        nb_best = (
+            edges.join(a_src, "src", "left_semi")
+            .join(a_dst, "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.max(F.struct(F.col("dd"), F.col("dst"))).alias("best"))
+        )
+        winners = (
+            active.join(nb_best, "id", "left")
+            .filter(
+                F.col("best").isNull()
+                | (F.struct(F.col("d"), F.col("id"))
+                   > F.struct(F.col("best.dd"), F.col("best.dst")))
+            )
+            .select("id")
+            .localCheckpoint(eager=True)
+        )
+        cover = cover.unionByName(winners).localCheckpoint(eager=True)
+        survivors = active.join(winners, "id", "left_anti")
+        cnt = (
+            edges.join(winners.withColumnRenamed("id", "src"), "src", "left_semi")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.count(F.lit(1)).cast("long").alias("hit"))
+        )
+        active = (
+            survivors.join(cnt, "id", "left")
+            .select("id", (F.col("d") - F.coalesce("hit", F.lit(0))).alias("d"))
+            .filter(F.col("d") > 0)
+            .localCheckpoint(eager=True)
+        )
+    _check_maximal(active, "min_cover_greedy", max_rounds)
+    edges.unpersist()
+    und.unpersist()
+    return cover
+
+
+def min_dominating_set(graph: Graph, max_rounds: int = 256) -> DataFrame:
+    """(id) — a small dominating set via the reference's 2-hop-argmax greedy
+    (``apps/flash/matching/min-dominating-set.h:30-95``): each round every
+    undominated vertex propagates the lexicographic max of
+    (undominated-neighbor-count, id) two hops through undominated neighbors;
+    vertices that are their own 2-hop argmax join the set and dominate their
+    neighborhood. Deterministic.
+    """
+    P = graph.num_partitions
+    und = graph.to_undirected(dedup=True)
+    edges = (
+        und.edges.select("src", "dst")
+        .repartition(P, "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    # active = undominated; cnt = #undominated neighbors
+    active = (
+        graph.vertices.select("id")
+        .join(deg, "id", "left")
+        .select("id", F.coalesce("cnt", F.lit(0)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    chosen = graph.spark.createDataFrame([], "id long")
+    rounds_left = max_rounds
+    while rounds_left > 0 and not active.isEmpty():
+        rounds_left -= 1
+        best = active.select(
+            "id", F.struct(F.col("cnt"), F.col("id").alias("bid")).alias("best")
+        )
+        for _ in range(2):  # min-dominating-set.h:66-67 — local applied twice
+            nbr = (
+                edges.join(
+                    best.select(F.col("id").alias("src"), F.col("best").alias("nb")),
+                    "src",
+                )
+                .join(best.select(F.col("id").alias("dst")), "dst", "left_semi")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.max("nb").alias("nbmax"))
+            )
+            best = (
+                best.join(nbr, "id", "left")
+                .select(
+                    "id",
+                    F.when(
+                        F.col("nbmax").isNotNull() & (F.col("nbmax") > F.col("best")),
+                        F.col("nbmax"),
+                    ).otherwise(F.col("best")).alias("best"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        winners = (
+            best.filter(F.col("id") == F.col("best.bid"))
+            .select("id")
+            .localCheckpoint(eager=True)
+        )
+        chosen = chosen.unionByName(winners).localCheckpoint(eager=True)
+        dominated = (
+            edges.join(winners.withColumnRenamed("id", "src"), "src", "left_semi")
+            .select(F.col("dst").alias("id"))
+            .unionByName(winners)
+            .distinct()
+        )
+        survivors = active.join(dominated, "id", "left_anti").select("id")
+        # recompute cnt = #still-undominated neighbors (filter2/local2)
+        newcnt = (
+            edges.join(survivors.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(survivors.withColumnRenamed("id", "dst"), "dst", "left_semi")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+        active = (
+            survivors.join(newcnt, "id", "left")
+            .select("id", F.coalesce("cnt", F.lit(0)).alias("cnt"))
+            .localCheckpoint(eager=True)
+        )
+    _check_maximal(active, "min_dominating_set", max_rounds)
+    edges.unpersist()
+    und.unpersist()
+    return chosen

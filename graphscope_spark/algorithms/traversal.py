@@ -8,6 +8,12 @@
   Unreachable vertices keep +inf (reported as null in the result).
 * :func:`bfs` — depth from source (apps/bfs/bfs_generic.h, depth output);
   unreachable = -1.
+
+Both run the plan+finalize superstep protocol (one localCheckpoint per round)
+with the standard edge layout: edges ``repartition(P, "src")`` + persisted, so
+the frontier⋈edges probe shuffles only the (small) frontier; ``shuffle_hash``
+hints on both the probe and the state update keep Catalyst from broadcasting
+the full-state side (the measured serialization landmine).
 """
 
 from __future__ import annotations
@@ -39,8 +45,10 @@ def sssp(
         if weight_col and weight_col in graph.edges.columns
         else F.lit(1.0)
     )
-    edges = graph.edges.select("src", "dst", w.alias("w")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    edges = (
+        graph.edges.select("src", "dst", w.alias("w"))
+        .repartition(P, "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     def init() -> DataFrame:
@@ -53,22 +61,24 @@ def sssp(
     def body(state: DataFrame, rnd: int) -> tuple[DataFrame, dict]:
         frontier = state.filter("changed").select("id", "dist")
         relax = (
-            edges.join(frontier, edges.src == frontier.id)
+            edges.join(frontier.hint("shuffle_hash"), edges.src == frontier.id)
             .groupBy("dst")
             .agg(F.min(F.col("dist") + F.col("w")).alias("cand"))
         )
         better = F.col("cand").isNotNull() & (F.col("cand") < F.col("dist"))
-        new_state = (
-            state.join(relax, state.id == relax.dst, "left")
-            .select(
-                state.id.alias("id"),
-                F.when(better, F.col("cand")).otherwise(F.col("dist")).alias("dist"),
-                better.alias("changed"),
-            )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        plan = state.join(
+            relax.hint("shuffle_hash"), state.id == relax.dst, "left"
+        ).select(
+            state.id.alias("id"),
+            F.when(better, F.col("cand")).otherwise(F.col("dist")).alias("dist"),
+            better.alias("changed"),
         )
-        active = new_state.filter("changed").count()
-        return new_state, {"converged": active == 0, "active": active}
+
+        def finalize(st: DataFrame) -> dict:
+            active = st.filter("changed").count()
+            return {"converged": active == 0, "active": active}
+
+        return plan, finalize
 
     try:
         res = run_supersteps(
@@ -93,7 +103,11 @@ def bfs(
 ) -> DataFrame | SuperstepResult:
     """Returns ``(id, depth)``; unreachable → -1 (bfs_generic.h default)."""
     P = graph.num_partitions
-    edges = graph.edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    edges = (
+        graph.edges.select("src", "dst")
+        .repartition(P, "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     def init() -> DataFrame:
         return graph.vertices.select(
@@ -105,25 +119,29 @@ def bfs(
     def body(state: DataFrame, rnd: int) -> tuple[DataFrame, dict]:
         frontier = state.filter("changed").select("id")
         reached = (
-            edges.join(frontier, edges.src == frontier.id)
-            .select("dst")
-            .distinct()
+            edges.join(frontier.hint("shuffle_hash"), edges.src == frontier.id)
+            .groupBy("dst")
+            .agg(F.lit(True).alias("hit"))
         )
-        newly = F.col("dst").isNotNull() & (F.col("depth") == -1)
-        new_state = (
-            state.join(reached, state.id == reached.dst, "left")
-            .select(
-                state.id.alias("id"),
-                F.when(newly, rnd).otherwise(F.col("depth")).cast("int").alias("depth"),
-                newly.alias("changed"),
-            )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        newly = F.col("hit").isNotNull() & (F.col("depth") == -1)
+        plan = state.join(
+            reached.hint("shuffle_hash"), state.id == reached.dst, "left"
+        ).select(
+            state.id.alias("id"),
+            F.when(newly, rnd).otherwise(F.col("depth")).cast("int").alias("depth"),
+            newly.alias("changed"),
         )
-        active = new_state.filter("changed").count()
-        return new_state, {"converged": active == 0, "active": active}
 
-    res = run_supersteps(init, body, max_rounds=max_depth)
-    edges.unpersist()
+        def finalize(st: DataFrame) -> dict:
+            active = st.filter("changed").count()
+            return {"converged": active == 0, "active": active}
+
+        return plan, finalize
+
+    try:
+        res = run_supersteps(init, body, max_rounds=max_depth)
+    finally:
+        edges.unpersist()
     if return_result:
         return res
     return res.state.select("id", "depth")
