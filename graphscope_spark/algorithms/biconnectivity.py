@@ -161,14 +161,33 @@ def _tree_info(graph: Graph) -> tuple[DataFrame, DataFrame, DataFrame]:
     nd = _level_dp_up(tree, max_depth, one, "sum1").withColumnRenamed("val", "nd")
     tn = tree.join(nd, "id").persist(StorageLevel.MEMORY_AND_DISK)
 
-    # preorder (downward): component bases by cumulative size over comp id
+    # preorder (downward): each component gets a disjoint contiguous id
+    # range. Any consistent total order works, so the prefix sum runs
+    # two-level (hash-bucketed) instead of one global ORDER BY window —
+    # a graph with millions of components would otherwise funnel one row
+    # per component through a single task (ADVICE r2).
     comp_sizes = tn.filter("depth = 0").select(
         F.col("comp"), F.col("nd").alias("csize")
     )
-    wall = Window.orderBy("comp").rowsBetween(Window.unboundedPreceding, -1)
-    bases = comp_sizes.withColumn(
-        "base", F.coalesce(F.sum("csize").over(wall), F.lit(0)).cast("long")
-    ).select("comp", "base")
+    n_buckets = 1024
+    cs = comp_sizes.withColumn(
+        "bkt", F.pmod(F.xxhash64("comp"), F.lit(n_buckets))
+    )
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("comp")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cs = cs.withColumn("inoff", F.coalesce(F.sum("csize").over(w_in), F.lit(0)))
+    btot = cs.groupBy("bkt").agg(F.sum("csize").alias("btot"))
+    w_b = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    # ≤ n_buckets rows — the only serial window left is bounded and tiny
+    btot = btot.withColumn(
+        "boff", F.coalesce(F.sum("btot").over(w_b), F.lit(0))
+    )
+    bases = cs.join(F.broadcast(btot.select("bkt", "boff")), "bkt").select(
+        "comp", (F.col("inoff") + F.col("boff")).cast("long").alias("base")
+    )
     cur = (
         tn.filter("depth = 0")
         .join(bases, "comp")

@@ -160,6 +160,10 @@ def min_cover_greedy(graph: Graph, max_rounds: int = 256) -> DataFrame:
     subtract the number of newly-covered neighbors from their residual
     degree; vertices drop out when covered or residual degree hits 0.
     Deterministic (ties broken by id — ``nb_id > id`` in filter1).
+
+    Two barriers per round (winners, active update); rounds = the greedy
+    peeling depth of the degree distribution (~30 on the link-graph
+    fixtures), independent of |V|.
     """
     P = graph.num_partitions
     und = graph.to_undirected(dedup=True)
@@ -173,7 +177,7 @@ def min_cover_greedy(graph: Graph, max_rounds: int = 256) -> DataFrame:
     )
     # active = uncovered with residual degree > 0 (isolated verts never join)
     active = deg.localCheckpoint(eager=True)
-    cover = graph.spark.createDataFrame([], "id long")
+    winners_per_round: list[DataFrame] = []
     rounds_left = max_rounds
     while rounds_left > 0 and not active.isEmpty():
         rounds_left -= 1
@@ -197,15 +201,15 @@ def min_cover_greedy(graph: Graph, max_rounds: int = 256) -> DataFrame:
             .select("id")
             .localCheckpoint(eager=True)
         )
-        cover = cover.unionByName(winners).localCheckpoint(eager=True)
-        survivors = active.join(winners, "id", "left_anti")
+        winners_per_round.append(winners)
         cnt = (
             edges.join(winners.withColumnRenamed("id", "src"), "src", "left_semi")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.count(F.lit(1)).cast("long").alias("hit"))
         )
         active = (
-            survivors.join(cnt, "id", "left")
+            active.join(winners, "id", "left_anti")
+            .join(cnt, "id", "left")
             .select("id", (F.col("d") - F.coalesce("hit", F.lit(0))).alias("d"))
             .filter(F.col("d") > 0)
             .localCheckpoint(eager=True)
@@ -213,6 +217,11 @@ def min_cover_greedy(graph: Graph, max_rounds: int = 256) -> DataFrame:
     _check_maximal(active, "min_cover_greedy", max_rounds)
     edges.unpersist()
     und.unpersist()
+    if not winners_per_round:
+        return graph.spark.createDataFrame([], "id long")
+    cover = winners_per_round[0]
+    for w in winners_per_round[1:]:
+        cover = cover.unionByName(w)
     return cover
 
 
@@ -223,6 +232,10 @@ def min_dominating_set(graph: Graph, max_rounds: int = 256) -> DataFrame:
     (undominated-neighbor-count, id) two hops through undominated neighbors;
     vertices that are their own 2-hop argmax join the set and dominate their
     neighborhood. Deterministic.
+
+    The two propagation hops are fused into one plan (the first hop is
+    recomputed by the second — cheaper than a barrier at the ~1s/job floor),
+    so each round costs two barriers (best, active update).
     """
     P = graph.num_partitions
     und = graph.to_undirected(dedup=True)
@@ -241,40 +254,36 @@ def min_dominating_set(graph: Graph, max_rounds: int = 256) -> DataFrame:
         .select("id", F.coalesce("cnt", F.lit(0)).alias("cnt"))
         .localCheckpoint(eager=True)
     )
-    chosen = graph.spark.createDataFrame([], "id long")
+    winners_per_round: list[DataFrame] = []
     rounds_left = max_rounds
+
+    def _propagate(best: DataFrame) -> DataFrame:
+        nbr = (
+            edges.join(
+                best.select(F.col("id").alias("src"), F.col("best").alias("nb")),
+                "src",
+            )
+            .join(best.select(F.col("id").alias("dst")), "dst", "left_semi")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.max("nb").alias("nbmax"))
+        )
+        return best.join(nbr, "id", "left").select(
+            "id",
+            F.when(
+                F.col("nbmax").isNotNull() & (F.col("nbmax") > F.col("best")),
+                F.col("nbmax"),
+            ).otherwise(F.col("best")).alias("best"),
+        )
+
     while rounds_left > 0 and not active.isEmpty():
         rounds_left -= 1
         best = active.select(
             "id", F.struct(F.col("cnt"), F.col("id").alias("bid")).alias("best")
         )
-        for _ in range(2):  # min-dominating-set.h:66-67 — local applied twice
-            nbr = (
-                edges.join(
-                    best.select(F.col("id").alias("src"), F.col("best").alias("nb")),
-                    "src",
-                )
-                .join(best.select(F.col("id").alias("dst")), "dst", "left_semi")
-                .groupBy(F.col("dst").alias("id"))
-                .agg(F.max("nb").alias("nbmax"))
-            )
-            best = (
-                best.join(nbr, "id", "left")
-                .select(
-                    "id",
-                    F.when(
-                        F.col("nbmax").isNotNull() & (F.col("nbmax") > F.col("best")),
-                        F.col("nbmax"),
-                    ).otherwise(F.col("best")).alias("best"),
-                )
-                .localCheckpoint(eager=True)
-            )
-        winners = (
-            best.filter(F.col("id") == F.col("best.bid"))
-            .select("id")
-            .localCheckpoint(eager=True)
-        )
-        chosen = chosen.unionByName(winners).localCheckpoint(eager=True)
+        # min-dominating-set.h:66-67 — local applied twice (2-hop argmax)
+        best = _propagate(_propagate(best)).localCheckpoint(eager=True)
+        winners = best.filter(F.col("id") == F.col("best.bid")).select("id")
+        winners_per_round.append(winners)
         dominated = (
             edges.join(winners.withColumnRenamed("id", "src"), "src", "left_semi")
             .select(F.col("dst").alias("id"))
@@ -297,4 +306,9 @@ def min_dominating_set(graph: Graph, max_rounds: int = 256) -> DataFrame:
     _check_maximal(active, "min_dominating_set", max_rounds)
     edges.unpersist()
     und.unpersist()
+    if not winners_per_round:
+        return graph.spark.createDataFrame([], "id long")
+    chosen = winners_per_round[0]
+    for w in winners_per_round[1:]:
+        chosen = chosen.unionByName(w)
     return chosen

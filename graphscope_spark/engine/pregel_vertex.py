@@ -126,6 +126,18 @@ def run_pregel_vertex(
     P = graph.num_partitions
     n = graph.num_vertices
     combine: Callable | None = getattr(program, "Combine", None)
+    # Combiner pushdown (ADVICE r2): a Python Combine applied after
+    # collect_list gives no shuffle reduction and a hub vertex's whole inbox
+    # lands in one array. When the program declares its Combine as a known
+    # reduction (class attr ``combine_op`` ∈ min/max/sum — mirroring the
+    # reference's kMin/kMax/kSum combinator registration), the reduction
+    # runs as the Spark aggregate itself: map-side partial combine, O(1)
+    # inbox per vertex. Otherwise we keep collect_list; hub fan-in is then
+    # bounded by executor memory (documented limit of the compat path).
+    combine_op = getattr(program, "combine_op", None)
+    _AGG = {"min": F.min, "max": F.max, "sum": F.sum}
+    if combine_op is not None and combine_op not in _AGG:
+        raise ValueError(f"combine_op must be one of {sorted(_AGG)}")
 
     w = (
         F.col(weight_col).cast("double")
@@ -166,9 +178,14 @@ def run_pregel_vertex(
     msgs = out0.filter("kind = 1").select("dst", "mval")
 
     for superstep in range(1, max_iter + 1):
-        inbox = msgs.groupBy(F.col("dst").alias("id")).agg(
-            F.collect_list("mval").alias("inbox")
-        )
+        if combine_op is not None:
+            inbox = msgs.groupBy(F.col("dst").alias("id")).agg(
+                F.array(_AGG[combine_op]("mval")).alias("inbox")
+            )
+        else:
+            inbox = msgs.groupBy(F.col("dst").alias("id")).agg(
+                F.collect_list("mval").alias("inbox")
+            )
         blk = (
             state.join(inbox, "id", "left")
             .join(adj, "id", "left")

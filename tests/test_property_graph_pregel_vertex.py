@@ -137,3 +137,51 @@ def test_graphar_roundtrip(spark, tmp_path):
     import glob
 
     assert len(glob.glob(f"{base}/vertex/user/chunks/part-*")) >= 3
+
+
+def test_pregel_vertex_combine_pushdown(spark):
+    """combine_op='min' pushes the Combine into the shuffle aggregate
+    (map-side partial combine, O(1) inbox) — result identical to the
+    collect_list path."""
+    from graphscope_spark.engine.pregel_vertex import pregel, run_pregel_vertex
+
+    INF = float("inf")
+
+    @pregel(vd_type="double", md_type="double")
+    class SSSP:
+        combine_op = "min"
+
+        @staticmethod
+        def Init(v, context):
+            if v.id == 1:
+                v.set_value(0.0)
+                for dst, w in v.out_edges():
+                    v.send(dst, w)
+            else:
+                v.set_value(INF)
+            v.vote_to_halt()
+
+        @staticmethod
+        def Combine(messages):
+            return min(messages)
+
+        @staticmethod
+        def Compute(messages, v, context):
+            best = min(messages) if messages else INF
+            if best < v.value():
+                v.set_value(best)
+                for dst, w in v.out_edges():
+                    v.send(dst, best + w)
+            v.vote_to_halt()
+
+    vertices, edges = p2p_mid(n=60, m=240)
+    wedges = [(s, d, 1.0 + (s + d) % 4) for s, d in edges]
+    g = make_graph(spark, wedges, vertices, weights=True)
+    got = {r["id"]: r["value"] for r in run_pregel_vertex(g, SSSP, 100).collect()}
+    want = sssp_oracle(vertices, wedges, 1)
+    for v in vertices:
+        if math.isinf(want[v]):
+            assert math.isinf(got[v])
+        else:
+            assert abs(got[v] - want[v]) < 1e-9, (v, got[v], want[v])
+    g.unpersist()
