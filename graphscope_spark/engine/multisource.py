@@ -25,7 +25,7 @@ from pyspark.storagelevel import StorageLevel
 from graphscope_spark.engine.superstep import run_supersteps
 from graphscope_spark.graph.graph import Graph
 
-__all__ = ["multi_source_bfs", "multi_source_brandes"]
+__all__ = ["multi_source_bfs", "multi_source_bfs_parents", "multi_source_brandes"]
 
 
 def _seed_df(graph: Graph, sources: Sequence[int] | DataFrame) -> DataFrame:
@@ -214,3 +214,59 @@ def multi_source_brandes(
     visited.unpersist()
     edges.unpersist()
     return out
+
+
+def multi_source_bfs_parents(
+    graph: Graph,
+    sources: Sequence[int] | DataFrame,
+    max_depth: int = 10_000,
+) -> DataFrame:
+    """(source, id, depth, parent) — BFS forest per source with a
+    deterministic parent choice (minimum frontier predecessor), the state
+    ShortestPathExpand reconstructs paths from. Same composite-state batch
+    protocol as :func:`multi_source_bfs`: diameter rounds total."""
+    P = graph.num_partitions
+    edges = (
+        graph.edges.select("src", "dst")
+        .repartition(P, "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    seeds = _seed_df(graph, sources)
+
+    def init() -> DataFrame:
+        return seeds.select(
+            "source",
+            F.col("source").alias("id"),
+            F.lit(0).alias("depth"),
+            F.lit(None).cast("long").alias("parent"),
+            F.lit(True).alias("changed"),
+        ).repartition(P, "id")
+
+    def body(state: DataFrame, rnd: int):
+        frontier = state.filter("changed").select("source", "id")
+        newly = (
+            edges.join(frontier.hint("shuffle_hash"), edges.src == frontier.id)
+            .groupBy("source", F.col("dst").alias("id"))
+            .agg(F.min("src").alias("parent"))
+            .join(state.select("source", "id"), ["source", "id"], "left_anti")
+        )
+        plan = state.select(
+            "source", "id", "depth", "parent", F.lit(False).alias("changed")
+        ).unionByName(
+            newly.select(
+                "source", "id", F.lit(rnd).alias("depth"), "parent",
+                F.lit(True).alias("changed"),
+            )
+        )
+
+        def finalize(st: DataFrame) -> dict:
+            active = st.filter("changed").count()
+            return {"converged": active == 0, "active": active}
+
+        return plan, finalize
+
+    try:
+        res = run_supersteps(init, body, max_rounds=max_depth)
+    finally:
+        edges.unpersist()
+    return res.state.select("source", "id", "depth", "parent")

@@ -24,7 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["edge_expand", "get_v", "expand_degree", "path_expand", "sample_n"]
+__all__ = ["edge_expand", "get_v", "expand_degree", "path_expand", "sample_n",
+           "shortest_path_expand"]
 
 
 def edge_expand(
@@ -145,3 +146,69 @@ def sample_n(df: DataFrame, n: int, seed: int = 42, by: str | None = None) -> Da
         )
     w = Window.partitionBy(by).orderBy(key)
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= n).drop("_rn")
+
+
+def shortest_path_expand(
+    graph,
+    pairs: DataFrame,
+    max_depth: int = 10_000,
+) -> DataFrame:
+    """ShortestPathExpand (algebra.proto PathExpand with path_opt=SHORTEST;
+    runtime ir/core's shortest-path variant): for each (a, b) row of
+    ``pairs`` return ``(a, b, hops, path)`` — ONE shortest path, vertices
+    inclusive, with a deterministic tie-break (each vertex's BFS parent is
+    its minimum predecessor). Unreachable pairs are dropped (GIE emits no
+    binding for them).
+
+    Plan: one composite-state parent-tracked BFS batched over the DISTINCT
+    sources (diameter rounds total, engine/multisource.py), then the path
+    is reassembled backwards with one join per hop — ``diameter`` more
+    rounds, all distributed; no driver-side walk."""
+    from pyspark.sql import functions as F
+
+    from graphscope_spark.engine.multisource import multi_source_bfs_parents
+
+    pr = pairs.select(
+        F.col(pairs.columns[0]).cast("long").alias("a"),
+        F.col(pairs.columns[1]).cast("long").alias("b"),
+    ).distinct()
+    sources = pr.select(F.col("a").alias("source")).distinct()
+    forest = multi_source_bfs_parents(graph, sources, max_depth=max_depth).persist()
+    try:
+        hit = pr.join(
+            forest.select(
+                F.col("source").alias("a"),
+                F.col("id").alias("b"),
+                "depth",
+            ),
+            ["a", "b"],
+        )
+        # walk parents from b back to a, one join per hop (bounded by the
+        # deepest matched pair, not max_depth)
+        max_hops_row = hit.agg(F.max("depth")).collect()[0][0]
+        max_hops = int(max_hops_row or 0)
+        cur = hit.select(
+            "a", "b", F.col("depth").alias("hops"),
+            F.col("b").alias("cursor"), F.array("b").alias("path"),
+        ).localCheckpoint(eager=True)
+        for _ in range(max_hops):
+            done = cur.filter(F.col("cursor") == F.col("a"))
+            todo = cur.filter(F.col("cursor") != F.col("a"))
+            step = todo.join(
+                forest.select(
+                    F.col("source").alias("a"),
+                    F.col("id").alias("cursor"),
+                    "parent",
+                ),
+                ["a", "cursor"],
+            ).select(
+                "a", "b", "hops",
+                F.col("parent").alias("cursor"),
+                F.concat(F.array("parent"), "path").alias("path"),
+            )
+            cur = done.unionByName(step).localCheckpoint(eager=True)
+        return cur.filter(F.col("cursor") == F.col("a")).select(
+            "a", "b", "hops", "path"
+        )
+    finally:
+        forest.unpersist()

@@ -21,7 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["brute_force_topk", "lsh_topk", "cosine_neardup_pairs", "with_cosine"]
+__all__ = ["brute_force_topk", "lsh_topk", "ivf_topk", "cosine_neardup_pairs",
+           "with_cosine"]
 
 
 def _dot(a, b):
@@ -194,3 +195,112 @@ def cosine_neardup_pairs(
     )
     sims = with_cosine(cand, "_va", "_vb", "sim")
     return sims.filter(F.col("sim") >= threshold).select("id_a", "id_b", "sim")
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    kmeans_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index — the classic
+    coarse-quantizer scale path: k-means the corpus into ``n_centroids``
+    cells, search only the ``n_probe`` cells nearest each query, exact
+    re-rank inside. Fully deterministic: centroids seed from the
+    ``n_centroids`` smallest ``xxhash64(id)`` corpus vectors and Lloyd
+    updates are plain averages, so results are invariant across partition
+    counts.
+
+    At scale the corpus-side work is one broadcast-centroid argmin pass per
+    Lloyd iteration (no shuffle of vectors; the per-dimension centroid
+    update aggregates |corpus|·dim scalars map-side) and the probe join
+    fans each query to n_probe cells — candidate volume |Q|·|C|·n_probe/
+    n_centroids instead of |Q|·|C|.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("_cv")
+    ).persist()
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("_qv")
+    )
+
+    # deterministic seed: n_centroids corpus vectors with smallest hash(id)
+    cents = (
+        c.withColumn("_h", F.xxhash64("neighbor_id"))
+        .orderBy("_h", "neighbor_id")  # distributed TakeOrdered
+        .limit(n_centroids)
+        # content-stable cell numbering (partition-count invariant); the
+        # global window only ever sees n_centroids rows
+        .withColumn(
+            "cell", F.row_number().over(Window.orderBy("_h", "neighbor_id")) - 1
+        )
+        .select("cell", F.col("_cv").alias("cent"))
+    )
+
+    def _nearest(df: DataFrame, vcol: str, cents_df: DataFrame, nprobe: int):
+        """Attach the nprobe nearest cells by cosine (rounded, id tiebreak)."""
+        j = df.crossJoin(F.broadcast(cents_df))
+        sim = F.round(
+            _dot(F.col(vcol), F.col("cent"))
+            / F.sqrt(_dot(F.col(vcol), F.col(vcol)) * _dot(F.col("cent"), F.col("cent"))),
+            9,
+        )
+        j = j.withColumn("_csim", sim)
+        w = Window.partitionBy(*df.columns[:1]).orderBy(
+            F.col("_csim").desc(), F.col("cell").asc()
+        )
+        return (
+            j.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= nprobe)
+            .drop("cent", "_csim", "_r")
+        )
+
+    for _ in range(kmeans_iters):
+        assigned = _nearest(c, "_cv", cents, 1)
+        # per-dimension mean via posexplode → two-level agg (map-side combine)
+        upd = (
+            assigned.select("cell", F.posexplode("_cv").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("pm")
+            )
+            .select(
+                "cell",
+                F.transform("pm", lambda s: s["m"]).alias("cent"),
+            )
+        )
+        # empty cells keep their previous centroid
+        cents = (
+            cents.join(upd.withColumnRenamed("cent", "newc"), "cell", "left")
+            .select("cell", F.coalesce("newc", "cent").alias("cent"))
+            .localCheckpoint(eager=True)
+        )
+
+    inv = _nearest(c, "_cv", cents, 1)  # inverted file: corpus vector → cell
+    probes = _nearest(q, "_qv", cents, n_probe)
+    cand = (
+        probes.join(inv, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    sims = with_cosine(cand, "_qv", "_cv", "sim")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    out = (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "sim", F.col("rank").cast("long").alias("rank")
+        )
+    )
+    c.unpersist()
+    return out

@@ -120,3 +120,24 @@ def test_lsh_topk_recall_portable_planes(spark):
     a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.7, f"portable-plane LSH recall too low: {recall}"
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    """The IVF ANN path must recover most of the exact top-5 neighbors and
+    be partition-count invariant (deterministic centroids)."""
+    from graphscope_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter("vec_id < 10")
+    exact = brute_force_topk(q, emb, k=5)
+    approx = ivf_topk(q, emb, k=5, n_centroids=16, n_probe=8)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.7, f"IVF recall too low: {recall}"
+
+    again = ivf_topk(
+        q.repartition(3), emb.repartition(7), k=5, n_centroids=16, n_probe=8
+    )
+    b = {(r["query_id"], r["neighbor_id"]) for r in again.collect()}
+    assert a == b, "IVF result depends on partitioning"
