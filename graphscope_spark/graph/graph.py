@@ -204,6 +204,77 @@ class Graph:
             e, vertices=v, num_partitions=self.num_partitions, directed=self.directed
         )
 
+    # -- MODIFY_VERTICES / MODIFY_EDGES (core/grape_instance.cc mutation
+    # ops; NetworkX-mode add/remove). The reference rebuilds a new fragment
+    # from the mutated tables — here each op is a functional update
+    # producing a new Graph over union/anti-join plans, which Catalyst
+    # folds into the next scan. ---------------------------------------------
+
+    def add_vertices(self, vertex_ids: DataFrame) -> "Graph":
+        """MODIFY_VERTICES(add): union new ids (column ``id``); existing ids
+        and their properties are preserved."""
+        vs = vertex_ids.select(F.col("id").cast("long"))
+        v = self.vertices.unionByName(
+            vs.join(self.vertices.select("id"), "id", "left_anti"),
+            allowMissingColumns=True,
+        )
+        return Graph(
+            self.edges, vertices=v, num_partitions=self.num_partitions,
+            directed=self.directed,
+        )
+
+    def remove_vertices(self, vertex_ids: DataFrame) -> "Graph":
+        """MODIFY_VERTICES(delete): drop the ids and every incident edge."""
+        vs = vertex_ids.select(F.col("id").cast("long"))
+        v = self.vertices.join(vs, "id", "left_anti")
+        e = (
+            self.edges.join(vs.withColumnRenamed("id", "src"), "src", "left_anti")
+            .join(vs.withColumnRenamed("id", "dst"), "dst", "left_anti")
+        )
+        return Graph(
+            e, vertices=v, num_partitions=self.num_partitions,
+            directed=self.directed,
+        )
+
+    def add_edges(self, new_edges: DataFrame) -> "Graph":
+        """MODIFY_EDGES(add): union rows (src, dst[, props]); endpoints
+        missing from the vertex table are added (the loader's
+        derive-from-endpoints path)."""
+        e = self.edges.unionByName(
+            new_edges.withColumn("src", F.col("src").cast("long")).withColumn(
+                "dst", F.col("dst").cast("long")
+            ),
+            allowMissingColumns=True,
+        )
+        ends = (
+            new_edges.select(F.col("src").cast("long").alias("id"))
+            .unionByName(new_edges.select(F.col("dst").cast("long").alias("id")))
+            .distinct()
+        )
+        v = self.vertices.unionByName(
+            ends.join(self.vertices.select("id"), "id", "left_anti"),
+            allowMissingColumns=True,
+        )
+        return Graph(
+            e, vertices=v, num_partitions=self.num_partitions,
+            directed=self.directed,
+        )
+
+    def remove_edges(self, old_edges: DataFrame) -> "Graph":
+        """MODIFY_EDGES(delete): anti-join on (src, dst); vertices stay."""
+        e = self.edges.join(
+            old_edges.select(
+                F.col("src").cast("long").alias("src"),
+                F.col("dst").cast("long").alias("dst"),
+            ),
+            ["src", "dst"],
+            "left_anti",
+        )
+        return Graph(
+            e, vertices=self.vertices, num_partitions=self.num_partitions,
+            directed=self.directed,
+        )
+
     def add_column(self, result: DataFrame) -> "Graph":
         """ADD_COLUMN (core/grape_instance.cc:1493): attach an algorithm
         result (id, value...) as new vertex properties."""

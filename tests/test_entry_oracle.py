@@ -80,16 +80,10 @@ def test_all_queries_have_callables():
         assert k in qs
 
 
-NO_ORACLE = sorted(set(entrymod.queries()) - set(entrymod.oracle_sql()))
-
-
-@pytest.mark.parametrize("name", NO_ORACLE)
-def test_rows_only_queries_run(spark, name):
-    """Queries without a SQL oracle (xxhash64-based ops) get the driver's
-    weaker rows-only check — assert they run and return a stable schema."""
-    df = entrymod.queries()[name](spark, SF_DIR)
-    rows = df.collect()
-    assert df.columns and isinstance(rows, list)
+def test_every_query_has_an_oracle():
+    """Since r3 every queries() entry carries DuckDB oracle SQL — no
+    rows-only (weaker-checked) queries remain."""
+    assert sorted(set(entrymod.queries()) - set(entrymod.oracle_sql())) == []
 
 
 def test_lsh_topk_recall_vs_brute_force(spark):

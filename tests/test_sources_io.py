@@ -51,3 +51,30 @@ def test_dense_ids(spark):
     # deterministic across partitionings
     m2 = dense_ids(df.repartition(7), "name")
     assert sorted(map(tuple, m.collect())) == sorted(map(tuple, m2.collect()))
+
+
+def test_modify_vertices_edges(spark):
+    """MODIFY_VERTICES / MODIFY_EDGES: functional add/remove mutations."""
+    from tests.conftest import make_graph
+
+    g = make_graph(spark, [(1, 2), (2, 3), (3, 1)], vertices=[1, 2, 3])
+
+    g2 = g.add_edges(spark.createDataFrame([(3, 4), (4, 1)], "src long, dst long"))
+    assert g2.num_vertices == 4 and g2.num_edges == 5  # endpoint 4 auto-added
+
+    g3 = g2.remove_edges(spark.createDataFrame([(1, 2)], "src long, dst long"))
+    assert g3.num_edges == 4 and g3.num_vertices == 4
+
+    g4 = g3.remove_vertices(spark.createDataFrame([(3,)], "id long"))
+    assert g4.num_vertices == 3
+    rows = {(r["src"], r["dst"]) for r in g4.edges.collect()}
+    assert rows == {(4, 1)}  # every edge incident to 3 is gone
+
+    g5 = g4.add_vertices(spark.createDataFrame([(9,), (1,)], "id long"))
+    assert g5.num_vertices == 4  # 9 added, 1 deduped
+
+    # mutations feed algorithms unchanged
+    from graphscope_spark.algorithms.wcc import wcc
+
+    comp = {r["id"]: r["component"] for r in wcc(g4).collect()}
+    assert comp[1] == comp[4] and comp[2] != comp[1]
