@@ -60,8 +60,26 @@ from graphscope_spark.algorithms.diameter import diameter_approx as diameter
 from graphscope_spark.algorithms.dfs import dfs as dfs_preorder_nodes
 from graphscope_spark.algorithms.pagerank import pagerank_push
 
+from graphscope_spark.algorithms.centrality import harmonic_centrality
+from graphscope_spark.algorithms.flash_extras import (
+    graph_coloring as greedy_color,
+)
+from graphscope_spark.algorithms.matching import (
+    maximal_independent_set as maximal_independent_set,
+)
+from graphscope_spark.algorithms.matching import (
+    maximal_matching,
+    min_cover_greedy,
+    min_dominating_set,
+)
+from graphscope_spark.algorithms.msf import (
+    minimum_spanning_forest as minimum_spanning_tree,
+)
+from graphscope_spark.algorithms.ranking import articlerank, ppr
+
 label_propagation_communities = cdlp
 shortest_path_length = single_source_dijkstra_path_length
+personalized_pagerank = ppr
 
 __all__ = [
     "articulation_points", "biconnected_components", "bridges",
@@ -76,5 +94,8 @@ __all__ = [
     "all_simple_paths", "is_simple_path",
     "attribute_assortativity_coefficient",
     "degree_assortativity_coefficient", "average_degree_connectivity",
-    "edge_boundary", "node_boundary",
+    "edge_boundary", "node_boundary", "harmonic_centrality", "greedy_color",
+    "maximal_independent_set", "maximal_matching", "min_cover_greedy",
+    "min_dominating_set", "minimum_spanning_tree", "articlerank", "ppr",
+    "personalized_pagerank",
 ]
