@@ -24,7 +24,8 @@ from pyspark.storagelevel import StorageLevel
 
 from graphscope_spark.graph.graph import Graph
 
-__all__ = ["graph_coloring", "densest_subgraph_2approx", "k_center"]
+__all__ = ["graph_coloring", "densest_subgraph_2approx", "k_center",
+           "degeneracy_ordering", "onion_layer_ordering"]
 
 _UNREACH = 2147483647  # flash's INT_MAX sentinel for unreached vertices
 
@@ -171,3 +172,126 @@ def k_center(graph: Graph, k: int = 4) -> DataFrame:
     return dis.select(
         "id", F.when(F.col("dis") != _UNREACH, F.col("dis")).alias("dis")
     )
+
+
+def _rank_rounds(
+    graph: Graph,
+    init_d: DataFrame,
+    threshold_col,
+    same_core_only: bool,
+    max_rounds: int,
+) -> DataFrame:
+    """Shared ranking loop of degeneracy-/onion-ordering: each round, FRONTIER
+    vertices whose residual ``d`` ≤ threshold take ``rank = round``; their
+    unranked (optionally same-core) neighbors receive decrements and form the
+    next frontier. ``d`` lives in a global unranked state so a vertex dropped
+    from the frontier re-enters with its accumulated decrements when it next
+    receives (EdgeMapSparse cond semantics). rank = -1 for vertices the
+    process never ranks (possible for onion's same-core gating)."""
+    P = graph.num_partitions
+    und = graph.to_undirected(dedup=True)
+    edges = (
+        und.edges.select("src", "dst")
+        .repartition(P, "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    state = init_d.localCheckpoint(eager=True)  # unranked: (id, d, core)
+    frontier = state.select("id")
+    ranked_parts: list[DataFrame] = []
+    for rnd in range(max_rounds):
+        if frontier.isEmpty():
+            break
+        now = (
+            state.join(frontier, "id", "left_semi")
+            .filter(F.col("d") <= threshold_col)
+            .localCheckpoint(eager=True)
+        )
+        ranked_parts.append(now.select("id", F.lit(rnd).cast("int").alias("rank")))
+        recv = edges.join(
+            now.select(F.col("id").alias("src"), F.col("core").alias("score")),
+            "src",
+        )
+        survivors = state.join(now.select("id"), "id", "left_anti")
+        recv = recv.join(
+            survivors.select(
+                F.col("id").alias("dst"), F.col("core").alias("dcore")
+            ),
+            "dst",
+        )
+        if same_core_only:
+            recv = recv.filter(F.col("dcore") == F.col("score"))
+        cnt = recv.groupBy(F.col("dst").alias("id")).agg(
+            F.count(F.lit(1)).cast("long").alias("hit")
+        )
+        state = (
+            survivors.join(cnt, "id", "left")
+            .select(
+                "id", (F.col("d") - F.coalesce("hit", F.lit(0))).alias("d"), "core"
+            )
+            .localCheckpoint(eager=True)
+        )
+        frontier = cnt.select("id")
+    edges.unpersist()
+    und.unpersist()
+    out = graph.vertices.select("id")
+    if ranked_parts:
+        rk = ranked_parts[0]
+        for p in ranked_parts[1:]:
+            rk = rk.unionByName(p)
+        out = out.join(rk, "id", "left")
+        return out.select(
+            "id", F.coalesce("rank", F.lit(-1)).cast("int").alias("rank")
+        )
+    return out.select("id", F.lit(-1).cast("int").alias("rank"))
+
+
+def degeneracy_ordering(graph: Graph, max_rounds: int = 512) -> DataFrame:
+    """(id, rank) — removal round in the ≤degeneracy peel
+    (``apps/flash/core/degeneracy-ordering.h:89-107``): dg = max core
+    number; each round every active vertex with residual degree ≤ dg is
+    removed with ``rank = round``; decrements flow to its unranked
+    neighbors. -1 = never re-examined (reference frontier semantics)."""
+    from graphscope_spark.algorithms.kcore import core_numbers
+
+    cores = core_numbers(graph).persist(StorageLevel.MEMORY_AND_DISK)
+    dg = cores.agg(F.max("core")).collect()[0][0] or 0
+    und = graph.to_undirected(dedup=True)
+    deg = und.edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    init = (
+        graph.vertices.select("id")
+        .join(deg, "id", "left")
+        .select("id", F.coalesce("d", F.lit(0)).alias("d"), F.lit(0).alias("core"))
+    )
+    und.unpersist()
+    out = _rank_rounds(graph, init, F.lit(int(dg)), False, max_rounds)
+    cores.unpersist()
+    return out
+
+
+def onion_layer_ordering(graph: Graph, max_rounds: int = 512) -> DataFrame:
+    """(id, rank) — onion layers
+    (``apps/flash/core/onion-layer-ordering.h:69-95``): d = #neighbors with
+    core ≥ own core; each round vertices with d ≤ own core take the layer
+    rank; decrements flow only to SAME-core unranked neighbors."""
+    from graphscope_spark.algorithms.kcore import core_numbers
+
+    cores = core_numbers(graph).persist(StorageLevel.MEMORY_AND_DISK)
+    und = graph.to_undirected(dedup=True)
+    cc = cores.select(F.col("id").alias("dst"), F.col("core").alias("ncore"))
+    d0 = (
+        und.edges.join(cores.select(F.col("id").alias("src"), "core"), "src")
+        .join(cc, "dst")
+        .filter(F.col("ncore") >= F.col("core"))
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    init = (
+        cores.join(d0, "id", "left")
+        .select("id", F.coalesce("d", F.lit(0)).alias("d"), "core")
+    )
+    und.unpersist()
+    out = _rank_rounds(graph, init, F.col("core"), True, max_rounds)
+    cores.unpersist()
+    return out
