@@ -33,7 +33,21 @@ def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+_GRAPH_CACHE: dict[tuple[int, str, bool], object] = {}
+
+
 def _customer_graph(spark: SparkSession, sf_dir: str, weighted: bool = False):
+    # one persisted link graph per (session, sf, weighted) — ~50 queries
+    # share it instead of rebuilding + re-persisting per call
+    key = (id(spark), sf_dir, weighted)
+    if key in _GRAPH_CACHE:
+        return _GRAPH_CACHE[key]
+    g = _build_customer_graph(spark, sf_dir, weighted)
+    _GRAPH_CACHE[key] = g
+    return g
+
+
+def _build_customer_graph(spark: SparkSession, sf_dir: str, weighted: bool):
     from graphscope_spark.graph.graph import Graph
 
     customer = _load(spark, sf_dir, "customer")
