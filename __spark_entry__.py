@@ -2278,6 +2278,26 @@ def _q_onion_layers(spark, sf_dir):
     return onion_layer_ordering(_customer_graph(spark, sf_dir)).orderBy("id")
 
 
+
+
+def _q_rectangles(spark, sf_dir):
+    from graphscope_spark.algorithms.subgraph_counts import rectangles
+
+    return rectangles(_customer_graph(spark, sf_dir))
+
+
+def _q_cyclic_triangles(spark, sf_dir):
+    from graphscope_spark.algorithms.subgraph_counts import cyclic_triangles
+
+    return cyclic_triangles(_customer_graph(spark, sf_dir))
+
+
+def _q_tailed_triangles(spark, sf_dir):
+    from graphscope_spark.algorithms.subgraph_counts import tailed_triangles
+
+    return tailed_triangles(_customer_graph(spark, sf_dir))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- driver checks the FIRST 50 entries: new + never-checked + headline
     # iterative queries go first; twice-green cheap text/stat queries sit in
@@ -2355,6 +2375,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": _q_doc_fingerprint,
     "simhash_dups": _q_simhash_dups,
     "embedding_lsh_topk": _q_embedding_lsh_topk,
+    "rectangles": _q_rectangles,
+    "cyclic_triangles": _q_cyclic_triangles,
+    "tailed_triangles": _q_tailed_triangles,
 }
 
 _EN = r"\b(the|and|of|to|is)\b"
@@ -2381,6 +2404,22 @@ ORACLES: dict[str, str] = {
     "k_center": _k_center_sql(4),
     "degeneracy": _ordering_sql(False, 12),
     "onion_layers": _ordering_sql(True, 12),
+    "rectangles": _with("""
+      rpairs AS MATERIALIZED (
+        SELECT x.dst AS u, y.dst AS w, count(*)::BIGINT AS lam
+        FROM und x JOIN und y ON x.src = y.src AND x.dst < y.dst
+        GROUP BY x.dst, y.dst)
+    """) + " SELECT (sum(lam * (lam - 1)) // 4)::BIGINT AS n FROM rpairs",
+    "cyclic_triangles": _with("dummy AS (SELECT 1 AS one)") + """
+      SELECT (count(*) // 3)::BIGINT AS n
+      FROM edges e1 JOIN edges e2 ON e2.src = e1.dst
+      JOIN edges e3 ON e3.src = e2.dst AND e3.dst = e1.src""",
+    "tailed_triangles": _with(_TRI_BASE + """
+      , udeg AS MATERIALIZED (SELECT src AS id, count(*)::BIGINT AS deg
+          FROM und GROUP BY src)
+    """) + """
+      SELECT sum(t.cnt * greatest(coalesce(d.deg, 0) - 2, 0))::BIGINT AS n
+      FROM tcnt t LEFT JOIN udeg d ON d.id = t.id""",
     "cypher_match": _with("dummy AS (SELECT 1 AS one)") + """
       SELECT count(*)::BIGINT AS n
       FROM edges e1 JOIN edges e2 ON e2.src = e1.dst
