@@ -9,10 +9,14 @@ id in it — exact-match comparable (test_app.py:189-197).
 
 Plan per superstep: frontier ⋈ edges → groupBy(dst).min (the one shuffle) →
 left-join update. Rounds = component diameter; for web/link graphs that is
-O(log n) in practice. For pathological long-chain graphs an alternating
-large-star/small-star variant would cut rounds to O(log n) guaranteed at the
-cost of mutating the edge relation each round; we keep the reference's
-frontier semantics (SURVEY.md §2.2 WCC note).
+O(log n) in practice.
+
+``mode="logstar"`` is the reference's ``apps/flash/connectivity/cc-log.h``
+rendered relationally: min-label hooking PLUS pointer jumping
+(L ← L[L], the Shiloach–Vishkin doubling step — public) each round, so the
+label reach doubles per round and high-diameter graphs converge in
+O(log n) rounds instead of O(diameter). Cost: one extra label-table
+self-join shuffle per round — the scale path for long-chain graphs.
 """
 
 from __future__ import annotations
@@ -39,7 +43,8 @@ def wcc(
     """Returns ``(id, component)`` — component = min vertex id reachable.
 
     ``mode="csr"`` runs the gather as the partition-local CSR kernel
-    (engine/csr.csr_label_messages) instead of the relational join."""
+    (engine/csr.csr_label_messages) instead of the relational join;
+    ``mode="logstar"`` adds pointer jumping (O(log n) rounds, cc-log.h)."""
     P = graph.num_partitions
     und = graph.to_undirected(dedup=True)
     edges = und.edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
@@ -55,7 +60,53 @@ def wcc(
             "id", F.col("id").alias("label"), F.lit(True).alias("changed")
         ).repartition(P, "id")
 
+    def body_logstar(state: DataFrame, rnd: int) -> tuple[DataFrame, dict]:
+        # hook: min over own label and neighbors' labels (all vertices —
+        # jumping invalidates the frontier gate: a vertex's label can
+        # change without any neighbor changing)
+        msgs = (
+            edges.join(
+                state.select("id", "label").hint("shuffle_hash"),
+                edges.src == F.col("id"),
+            )
+            .groupBy("dst")
+            .agg(F.min("label").alias("cand"))
+        )
+        hooked = state.join(
+            msgs.hint("shuffle_hash"), state.id == msgs.dst, "left"
+        ).select(
+            state.id.alias("id"),
+            F.least(F.col("label"), F.coalesce("cand", F.col("label"))).alias(
+                "lab1"
+            ),
+            F.col("label").alias("old"),
+        )
+        # jump: L <- L[L] (label table self-join on the label's own row)
+        parents = hooked.select(
+            F.col("id").alias("pid"), F.col("lab1").alias("plabel")
+        )
+        plan = hooked.join(
+            parents.hint("shuffle_hash"), hooked.lab1 == parents.pid, "left"
+        ).select(
+            "id",
+            F.least(F.col("lab1"), F.coalesce("plabel", F.col("lab1"))).alias(
+                "label"
+            ),
+            (
+                F.least(F.col("lab1"), F.coalesce("plabel", F.col("lab1")))
+                < F.col("old")
+            ).alias("changed"),
+        )
+
+        def finalize(st: DataFrame) -> dict:
+            active = st.filter("changed").count()
+            return {"converged": active == 0, "active": active}
+
+        return plan, finalize
+
     def body(state: DataFrame, rnd: int) -> tuple[DataFrame, dict]:
+        if mode == "logstar":
+            return body_logstar(state, rnd)
         if mode == "csr":
             msgs = csr_label_messages(
                 blocks, state.select("id", "label", "changed"), P, combine="min"
@@ -99,6 +150,15 @@ def wcc(
         und.unpersist()
         if blocks is not None:
             blocks.unpersist()
+    if not res.converged:
+        import warnings
+
+        warnings.warn(
+            f"wcc: max_iter={max_iter} exhausted before the label fixpoint "
+            "(high-diameter graph?) — labels are NOT final; raise max_iter "
+            "or use mode='logstar' (O(log n) rounds)",
+            stacklevel=2,
+        )
     if return_result:
         return res
     return res.state.select("id", F.col("label").alias("component"))

@@ -140,3 +140,29 @@ def test_cdlp_csr_mode(spark):
     assert got == _collect_map(cdlp(g, max_iter=5), "label")
     assert got == cdlp_oracle(vertices, edges, rounds=5)
     g.unpersist()
+
+
+def test_wcc_logstar_mode(spark):
+    """Pointer-jumping mode (cc-log.h): identical labels, O(log n) rounds on
+    a high-diameter chain where the frontier mode needs diameter rounds."""
+    import random
+
+    from graphscope_spark.algorithms.wcc import wcc
+
+    edges = [(i, i + 1) for i in range(400)]
+    random.seed(2)
+    for _ in range(100):
+        a, b = random.randrange(200), random.randrange(200)
+        if a != b:
+            edges.append((1000 + a, 1000 + b))
+    verts = sorted({v for e in edges for v in e})
+    g = make_graph(spark, edges, vertices=verts)
+
+    res_f = wcc(g, max_iter=500, return_result=True)
+    res_l = wcc(g, mode="logstar", return_result=True)
+    a = sorted(tuple(r) for r in res_f.state.select("id", "label").collect())
+    b = sorted(tuple(r) for r in res_l.state.select("id", "label").collect())
+    assert a == b
+    assert res_f.rounds > 350  # diameter-bound
+    assert res_l.rounds <= 12  # doubling-bound
+    g.unpersist()
