@@ -2298,6 +2298,125 @@ def _q_tailed_triangles(spark, sf_dir):
     return tailed_triangles(_customer_graph(spark, sf_dir))
 
 
+
+
+def _q_lpa_by_color(spark, sf_dir):
+    """Async LPA scheduled by graph coloring (flash lpa-by-color.h) on a
+    clique+scattered-bridge fixture derived from customer ids — cliques
+    survive as communities, so the label assignment is discriminating."""
+    from graphscope_spark.algorithms.lpa_color import lpa_by_color
+    from graphscope_spark.graph.graph import Graph
+
+    customer = _load(spark, sf_dir, "customer")
+    n = customer.count()
+    cap = min(600, n)
+    ngroups = cap // 6
+    verts = customer.selectExpr("c_custkey AS id").where(f"id < {6 * ngroups}")
+    a = verts.selectExpr("id AS src", "CAST(id / 6 AS LONG) AS grp")
+    b = verts.selectExpr("id AS dst", "CAST(id / 6 AS LONG) AS grp")
+    cliques = a.join(b, "grp").where("src < dst").select("src", "dst")
+    bridges = (
+        spark.range(ngroups)
+        .selectExpr("id AS g", f"(id * 37 + 11) % {ngroups} AS h")
+        .where("g <> h")
+        .selectExpr(
+            "least(6 * g + 5, 6 * h + 4) AS src",
+            "greatest(6 * g + 5, 6 * h + 4) AS dst",
+        )
+    )
+    g = Graph(
+        cliques.unionByName(bridges), vertices=verts,
+        num_partitions=NUM_PARTITIONS,
+    )
+    return lpa_by_color(g).orderBy("id")
+
+
+def _lpa_by_color_sql(
+    crounds: int = 20, sweeps: int = 5, maxcolors: int = 8
+) -> str:
+    """Self-contained replay of _q_lpa_by_color: fixture edges → unrolled
+    coloring rounds → sweeps × color-class async label updates. Poison rows
+    on coloring non-fixpoint (-8), color overflow (-7), LPA non-convergence
+    (-9); argmax packs (count, label) as c·2³¹ + (2³¹−1−label) so max picks
+    highest count then lowest label."""
+    B = 2147483648
+    ctes = [
+        """lv AS MATERIALIZED (
+          SELECT c_custkey AS id FROM customer
+          WHERE c_custkey < 6 * (least(600, (SELECT count(*) FROM customer)) // 6))""",
+        "lng AS MATERIALIZED (SELECT least(600, (SELECT count(*) FROM customer)) // 6 AS g)",
+        """lce AS MATERIALIZED (
+          SELECT a.id AS src, b.id AS dst FROM lv a JOIN lv b
+          ON a.id // 6 = b.id // 6 AND a.id < b.id)""",
+        """lbr AS MATERIALIZED (
+          SELECT least(6*g+5, 6*h+4) AS src, greatest(6*g+5, 6*h+4) AS dst
+          FROM (SELECT g, (g*37 + 11) % (SELECT g FROM lng) AS h
+                FROM (SELECT DISTINCT id // 6 AS g FROM lv) gs) q
+          WHERE g <> h)""",
+        """lund AS MATERIALIZED (
+          SELECT src, dst FROM lce UNION ALL SELECT dst, src FROM lce
+          UNION ALL SELECT src, dst FROM lbr UNION ALL SELECT dst, src FROM lbr)""",
+        "lduv AS MATERIALIZED (SELECT src AS id, count(*)::BIGINT AS d FROM lund GROUP BY src)",
+        """lhed AS MATERIALIZED (
+          SELECT e.src, e.dst FROM lund e
+          JOIN lduv s ON s.id = e.src JOIN lduv t ON t.id = e.dst
+          WHERE s.d > t.d OR (s.d = t.d AND e.src > e.dst))""",
+        "lc0 AS MATERIALIZED (SELECT id, 0 AS c FROM lv)",
+    ]
+    for r in range(1, crounds + 1):
+        p = r - 1
+        ctes.append(
+            f"""lcu{r} AS MATERIALIZED (
+              SELECT h.dst AS id, list(DISTINCT sc.c) AS cols
+              FROM lhed h JOIN lc{p} sc ON sc.id = h.src GROUP BY h.dst)"""
+        )
+        ctes.append(
+            f"""lc{r} AS MATERIALIZED (
+              SELECT v.id, CASE WHEN u.cols IS NULL THEN 0 ELSE
+                list_min(list_filter(range(0, len(u.cols) + 1),
+                                     x -> NOT list_contains(u.cols, x)))
+              END AS c
+              FROM lc{p} v LEFT JOIN lcu{r} u ON u.id = v.id)"""
+        )
+    ctes.append(
+        f"ll_0_f AS MATERIALIZED (SELECT id, id AS lab, c AS col FROM lc{crounds})"
+    )
+    cur = "ll_0_f"
+    sweep_ends = ["ll_0_f"]
+    for sw in range(1, sweeps + 1):
+        for j in range(maxcolors):
+            ctes.append(
+                f"""lb_{sw}_{j} AS MATERIALIZED (
+                  SELECT dst AS id,
+                         {B - 1} - (max(c * {B}::BIGINT + ({B - 1} - lab)) % {B}) AS newl
+                  FROM (
+                    SELECT e.dst, l.lab, count(*)::BIGINT AS c
+                    FROM lund e JOIN {cur} l ON l.id = e.src
+                    WHERE e.dst IN (SELECT id FROM {cur} WHERE col = {j})
+                    GROUP BY e.dst, l.lab) q
+                  GROUP BY dst)"""
+            )
+            ctes.append(
+                f"""ll_{sw}_{j} AS MATERIALIZED (
+                  SELECT t.id,
+                         CASE WHEN b.newl IS NOT NULL THEN b.newl
+                              ELSE t.lab END AS lab,
+                         t.col
+                  FROM {cur} t LEFT JOIN lb_{sw}_{j} b ON b.id = t.id)"""
+            )
+            cur = f"ll_{sw}_{j}"
+        sweep_ends.append(cur)
+    last, prev = sweep_ends[-1], sweep_ends[-2]
+    return "WITH RECURSIVE " + ",".join(ctes) + f"""
+    SELECT id, lab AS label FROM {last}
+    UNION ALL SELECT DISTINCT -8, -8 FROM lc{crounds} a
+      JOIN lc{crounds - 1} b ON a.id = b.id AND a.c <> b.c
+    UNION ALL SELECT DISTINCT -7, -7 FROM lc{crounds} WHERE c >= {maxcolors}
+    UNION ALL SELECT DISTINCT -9, -9 FROM {last} a
+      JOIN {prev} b ON a.id = b.id AND a.lab <> b.lab
+    ORDER BY id"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- driver checks the FIRST 50 entries: new + never-checked + headline
     # iterative queries go first; twice-green cheap text/stat queries sit in
@@ -2378,6 +2497,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rectangles": _q_rectangles,
     "cyclic_triangles": _q_cyclic_triangles,
     "tailed_triangles": _q_tailed_triangles,
+    "lpa_by_color": _q_lpa_by_color,
 }
 
 _EN = r"\b(the|and|of|to|is)\b"
@@ -2414,6 +2534,7 @@ ORACLES: dict[str, str] = {
       SELECT (count(*) // 3)::BIGINT AS n
       FROM edges e1 JOIN edges e2 ON e2.src = e1.dst
       JOIN edges e3 ON e3.src = e2.dst AND e3.dst = e1.src""",
+    "lpa_by_color": _lpa_by_color_sql(20, 5, 8),
     "tailed_triangles": _with(_TRI_BASE + """
       , udeg AS MATERIALIZED (SELECT src AS id, count(*)::BIGINT AS deg
           FROM und GROUP BY src)

@@ -160,3 +160,65 @@ def test_orderings(spark):
     want = _rank_replay(adj, core, lambda v: core[v], True)
     got = {r["id"]: r["rank"] for r in onion_layer_ordering(g).collect()}
     assert got == want
+
+
+def test_lpa_by_color(spark):
+    """Async LPA scheduled by coloring (lpa-by-color.h) vs exact replay on
+    the clique+bridge fixture — cliques must survive as communities."""
+    from graphscope_spark.algorithms.lpa_color import lpa_by_color
+
+    verts = list(range(240))  # 40 cliques of 6
+    edges = set()
+    for grp in range(40):
+        base = 6 * grp
+        for i in range(6):
+            for j in range(i + 1, 6):
+                edges.add((base + i, base + j))
+    for grp in range(40):
+        h = (grp * 37 + 11) % 40
+        if h != grp:
+            edges.add((min(6 * grp + 5, 6 * h + 4), max(6 * grp + 5, 6 * h + 4)))
+    adj = {v: set() for v in verts}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    deg = {v: len(adj[v]) for v in verts}
+    col = {v: 0 for v in verts}
+    while True:
+        cc = {}
+        for v in verts:
+            used = {
+                col[nb] for nb in adj[v]
+                if deg[nb] > deg[v] or (deg[nb] == deg[v] and nb > v)
+            }
+            m = 0
+            while m in used:
+                m += 1
+            cc[v] = m
+        if cc == col:
+            break
+        col = cc
+    ncol = max(col.values()) + 1
+    lab = {v: v for v in verts}
+    while True:
+        changed = 0
+        for j in range(ncol):
+            newl = {}
+            for v in verts:
+                if col[v] != j or not adj[v]:
+                    continue
+                cnt = {}
+                for nb in adj[v]:
+                    cnt[lab[nb]] = cnt.get(lab[nb], 0) + 1
+                newl[v] = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+            for v, lv in newl.items():
+                if lab[v] != lv:
+                    changed += 1
+                lab[v] = lv
+        if changed == 0:
+            break
+
+    g = make_graph(spark, sorted(edges), vertices=verts)
+    got = {r["id"]: r["label"] for r in lpa_by_color(g).collect()}
+    assert got == lab
+    assert len(set(got.values())) >= 30  # cliques survive
