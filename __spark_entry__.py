@@ -2417,6 +2417,81 @@ def _lpa_by_color_sql(
     ORDER BY id"""
 
 
+
+
+def _min_edge_cover_sql(rounds: int = 36) -> str:
+    """Unrolled mutual-proposal rounds mirroring matching.min_edge_cover;
+    min-(deg, id) packed as d·2³¹ + id; poison row (-1, -1, FALSE) if the
+    unroll ends with active vertices remaining."""
+    B = 2147483648
+    ctes = [
+        "mqd AS MATERIALIZED (SELECT src AS id, count(*)::BIGINT AS d FROM und GROUP BY src)",
+        "mqa0 AS MATERIALIZED (SELECT id FROM mqd)",
+        "mqp0 AS MATERIALIZED (SELECT CAST(NULL AS BIGINT) AS id, CAST(NULL AS BIGINT) AS prop WHERE 1=0)",
+        "mqm0 AS MATERIALIZED (SELECT CAST(NULL AS BIGINT) AS id, CAST(NULL AS BIGINT) AS partner WHERE 1=0)",
+    ]
+    for r in range(1, rounds + 1):
+        q = r - 1
+        ctes.append(
+            f"""mqn{r} AS MATERIALIZED (
+              SELECT e.src AS id, min(ud.d * {B} + e.dst) % {B} AS prop
+              FROM und e JOIN mqa{q} a ON a.id = e.src
+              JOIN mqd ud ON ud.id = e.dst
+              WHERE e.dst NOT IN (SELECT id FROM mqm{q})
+              GROUP BY e.src)"""
+        )
+        ctes.append(
+            f"""mqpp{r} AS MATERIALIZED (
+              SELECT id, prop FROM mqp{q}
+              WHERE id NOT IN (SELECT id FROM mqa{q})
+              UNION ALL SELECT id, prop FROM mqn{r})"""
+        )
+        ctes.append(
+            f"""mqw{r} AS MATERIALIZED (
+              SELECT x.id, x.prop AS partner FROM mqpp{r} x
+              JOIN mqpp{r} y ON x.prop = y.id AND y.prop = x.id
+              WHERE x.id NOT IN (SELECT id FROM mqm{q}))"""
+        )
+        ctes.append(
+            f"""mqm{r} AS MATERIALIZED (
+              SELECT id, partner FROM mqm{q}
+              UNION ALL SELECT id, partner FROM mqw{r})"""
+        )
+        ctes.append(
+            f"""mqt{r} AS MATERIALIZED (
+              SELECT DISTINCT id FROM (
+                SELECT id FROM mqn{r} UNION ALL SELECT id FROM mqw{r}) t)"""
+        )
+        ctes.append(
+            f"""mqc{r} AS MATERIALIZED (
+              SELECT id FROM mqpp{r}
+              WHERE id NOT IN (SELECT id FROM mqm{r})
+                AND prop IN (SELECT id FROM mqt{r}))"""
+        )
+        ctes.append(
+            f"""mqp{r} AS MATERIALIZED (
+              SELECT id, prop FROM mqpp{r}
+              WHERE id NOT IN (SELECT id FROM mqc{r}))"""
+        )
+        ctes.append(f"mqa{r} AS MATERIALIZED (SELECT id FROM mqc{r})")
+    return _with(",".join(ctes)) + f"""
+    SELECT id, partner, TRUE AS matched FROM mqm{rounds}
+    UNION ALL
+    SELECT e.src AS id, min(ud.d * {B} + e.dst) % {B} AS partner,
+           FALSE AS matched
+    FROM und e JOIN mqd ud ON ud.id = e.dst
+    WHERE e.src NOT IN (SELECT id FROM mqm{rounds})
+    GROUP BY e.src
+    UNION ALL SELECT DISTINCT -1, -1, FALSE FROM mqa{rounds}
+    ORDER BY id"""
+
+
+def _q_min_edge_cover(spark, sf_dir):
+    from graphscope_spark.algorithms.matching import min_edge_cover
+
+    return min_edge_cover(_customer_graph(spark, sf_dir)).orderBy("id")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- driver checks the FIRST 50 entries: new + never-checked + headline
     # iterative queries go first; twice-green cheap text/stat queries sit in
@@ -2498,6 +2573,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cyclic_triangles": _q_cyclic_triangles,
     "tailed_triangles": _q_tailed_triangles,
     "lpa_by_color": _q_lpa_by_color,
+    "min_edge_cover": _q_min_edge_cover,
 }
 
 _EN = r"\b(the|and|of|to|is)\b"
@@ -2535,6 +2611,7 @@ ORACLES: dict[str, str] = {
       FROM edges e1 JOIN edges e2 ON e2.src = e1.dst
       JOIN edges e3 ON e3.src = e2.dst AND e3.dst = e1.src""",
     "lpa_by_color": _lpa_by_color_sql(20, 5, 8),
+    "min_edge_cover": _min_edge_cover_sql(36),
     "tailed_triangles": _with(_TRI_BASE + """
       , udeg AS MATERIALIZED (SELECT src AS id, count(*)::BIGINT AS deg
           FROM und GROUP BY src)

@@ -25,6 +25,7 @@ __all__ = [
     "maximal_matching",
     "min_cover_greedy",
     "min_dominating_set",
+    "min_edge_cover",
 ]
 
 
@@ -312,3 +313,92 @@ def min_dominating_set(graph: Graph, max_rounds: int = 256) -> DataFrame:
     for w in winners_per_round[1:]:
         chosen = chosen.unionByName(w)
     return chosen
+
+
+def min_edge_cover(graph: Graph, max_rounds: int = 256) -> DataFrame:
+    """(id, partner, matched) — an edge cover built the reference's way
+    (``apps/flash/matching/min-edge-cover.h:42-93``): rounds of mutual
+    min-(degree, id) proposals form a maximal matching (each round: active
+    vertices propose to their lightest unmatched neighbor; mutual proposals
+    match; proposals aimed at vertices touched this round are cleared and
+    re-proposed); every remaining unmatched non-isolated vertex is then
+    covered by its min-(degree, id) incident edge. Deterministic
+    (the reference's own tie-break is already (nb.d, nb_id))."""
+    P = graph.num_partitions
+    und = graph.to_undirected(dedup=True)
+    edges = (
+        und.edges.select("src", "dst")
+        .repartition(P, "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    deg.count()
+
+    # global state: proposals (id, prop) and matches (id, partner)
+    props = graph.spark.createDataFrame([], "id long, prop long")
+    matched = graph.spark.createDataFrame([], "id long, partner long")
+    active = deg.select("id").localCheckpoint(eager=True)  # non-isolated
+    rounds_left = max_rounds
+    while rounds_left > 0 and not active.isEmpty():
+        rounds_left -= 1
+        unmatched_dst = (
+            deg.select(F.col("id").alias("dst"), F.col("d").alias("dd"))
+            .join(matched.select(F.col("id").alias("dst")), "dst", "left_anti")
+        )
+        new_props = (
+            edges.join(active.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(unmatched_dst, "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min(F.struct("dd", "dst")).alias("m"))
+            .select("id", F.col("m.dst").alias("prop"))
+        )
+        props = (
+            props.join(active, "id", "left_anti")
+            .unionByName(new_props)
+            .localCheckpoint(eager=True)
+        )
+        proposers = new_props.select("id")
+        # mutual proposals → matches (both endpoints unmatched by invariant)
+        mutual = (
+            props.alias("x")
+            .join(
+                props.alias("y"),
+                (F.col("x.prop") == F.col("y.id"))
+                & (F.col("y.prop") == F.col("x.id")),
+            )
+            .select(F.col("x.id").alias("id"), F.col("x.prop").alias("partner"))
+        )
+        newly = mutual.join(matched, "id", "left_anti").localCheckpoint(eager=True)
+        matched = matched.unionByName(newly).localCheckpoint(eager=True)
+        touched = proposers.unionByName(newly.select("id")).distinct()
+        # clear proposals aimed at touched vertices (check3): owners re-enter
+        cleared = (
+            props.join(matched.select("id"), "id", "left_anti")
+            .join(touched.withColumnRenamed("id", "prop"), "prop", "left_semi")
+            .select("id")
+            .localCheckpoint(eager=True)
+        )
+        props = props.join(cleared, "id", "left_anti").localCheckpoint(eager=True)
+        active = cleared
+    _check_maximal(active, "min_edge_cover", max_rounds)
+    # cover the unmatched non-isolated by their min-(d, id) incident edge
+    unm = deg.select("id").join(matched.select("id"), "id", "left_anti")
+    fallback = (
+        edges.join(unm.withColumnRenamed("id", "src"), "src", "left_semi")
+        .join(
+            deg.select(F.col("id").alias("dst"), F.col("d").alias("dd")), "dst"
+        )
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.min(F.struct("dd", "dst")).alias("m"))
+        .select("id", F.col("m.dst").alias("partner"), F.lit(False).alias("matched"))
+    )
+    out = matched.select("id", "partner", F.lit(True).alias("matched")).unionByName(
+        fallback
+    )
+    out = out.localCheckpoint(eager=True)
+    edges.unpersist()
+    deg.unpersist()
+    und.unpersist()
+    return out

@@ -98,3 +98,66 @@ def test_minimum_spanning_forest(spark):
     assert sum(w for _, _, w in got) == sum(w for _, _, w in want)
     assert got == want
     g.unpersist()
+
+
+def test_min_edge_cover(spark):
+    """Mutual min-(deg,id) proposal rounds + fallback covering — validity
+    (every non-isolated vertex covered by an incident edge) and exact match
+    vs the Python replay of min-edge-cover.h (symmetric-mutual
+    determinization)."""
+    import random
+
+    from graphscope_spark.algorithms.matching import min_edge_cover
+
+    random.seed(6)
+    n = 50
+    edges = set()
+    while len(edges) < 120:
+        a, b = random.randrange(n), random.randrange(n)
+        if a != b:
+            edges.add((a, b))
+    verts = list(range(n))
+    adj = {v: set() for v in verts}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    deg = {v: len(adj[v]) for v in verts}
+
+    s = {v: -1 for v in verts}
+    p = {v: -1 for v in verts}
+    active = {v for v in verts if deg[v] > 0}
+    while active:
+        for v in active:
+            best = None
+            for nb in adj[v]:
+                if s[nb] == -1 and (best is None or (deg[nb], nb) < (deg[best], best)):
+                    best = nb
+            p[v] = best if best is not None else -1
+        active = {v for v in active if p[v] >= 0}
+        newly = set()
+        for v in list(active):
+            t = p[v]
+            if t >= 0 and p.get(t) == v and s[v] == -1 and s[t] == -1:
+                s[v] = t
+                s[t] = v
+                newly |= {v, t}
+        touched = active | newly
+        cleared = {d for d in verts if s[d] == -1 and p[d] in touched and p[d] >= 0}
+        for d in cleared:
+            p[d] = -1
+        active = cleared
+    want = {}
+    for v in verts:
+        if s[v] >= 0:
+            want[v] = (s[v], True)
+        elif deg[v] > 0:
+            want[v] = (min(adj[v], key=lambda nb: (deg[nb], nb)), False)
+
+    g = make_graph(spark, sorted(edges), vertices=verts)
+    got = {r["id"]: (r["partner"], r["matched"]) for r in min_edge_cover(g).collect()}
+    assert got == want
+    covered = set()
+    for v, (pt, _m) in got.items():
+        assert pt in adj[v]
+        covered |= {v, pt}
+    assert all(v in covered for v in verts if deg[v] > 0)
