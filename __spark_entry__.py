@@ -33,13 +33,16 @@ def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-_GRAPH_CACHE: dict[tuple[int, str, bool], object] = {}
+_GRAPH_CACHE: dict[tuple[str, str, bool], object] = {}
 
 
 def _customer_graph(spark: SparkSession, sf_dir: str, weighted: bool = False):
     # one persisted link graph per (session, sf, weighted) — ~50 queries
-    # share it instead of rebuilding + re-persisting per call
-    key = (id(spark), sf_dir, weighted)
+    # share it instead of rebuilding + re-persisting per call. Keyed on
+    # applicationId, not id(spark): CPython id() reuse after a stopped
+    # session is GC'd could hand a new session a Graph bound to a dead
+    # SparkContext.
+    key = (spark.sparkContext.applicationId, sf_dir, weighted)
     if key in _GRAPH_CACHE:
         return _GRAPH_CACHE[key]
     g = _build_customer_graph(spark, sf_dir, weighted)
@@ -2262,7 +2265,9 @@ def _ordering_sql(same_core: bool, rounds: int = 12) -> str:
     return _with(",".join(ctes)) + f"""
     SELECT v.id, coalesce(t.rank, -1)::INT AS rank
     FROM verts v LEFT JOIN ({" UNION ALL ".join(ranks)}) t ON t.id = v.id
-    UNION ALL SELECT DISTINCT -9, -9 FROM ofr{rounds}
+    UNION ALL SELECT DISTINCT -9, -9
+    FROM our{rounds} u JOIN ofr{rounds} f ON f.id = u.id
+    WHERE u.d <= {thr}
     ORDER BY id"""
 
 
@@ -2496,6 +2501,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- driver checks the FIRST 50 entries: new + never-checked + headline
     # iterative queries go first; twice-green cheap text/stat queries sit in
     # the tail (still covered by the local DuckDB mirror test) -------------
+    # r4: never-driver-checked first (r3 VERDICT item 1)
+    "rectangles": _q_rectangles,
+    "cyclic_triangles": _q_cyclic_triangles,
+    "tailed_triangles": _q_tailed_triangles,
+    "lpa_by_color": _q_lpa_by_color,
+    "min_edge_cover": _q_min_edge_cover,
     "pagerank": _q_pagerank,
     "pagerank_converged": _q_pagerank_converged,
     "pagerank_push": _q_pagerank_push,
@@ -2539,14 +2550,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "msf": _q_msf,
     "bridges": _q_bridges,
     "articulation": _q_articulation,
+    "louvain_cliques": _q_louvain_cliques,
+    "apsp": _q_apsp,
+    # ---- position > 50: checked by tests/test_entry_oracle.py every run --
+    # (demoted twice-green: four_cliques, diameter_2sweep, hetero_degree,
+    # kshell, clustering_global — r2+r3 driver-green)
     "four_cliques": _q_four_cliques,
     "diameter_2sweep": _q_diameter,
     "hetero_degree": _q_hetero_degree,
-    "louvain_cliques": _q_louvain_cliques,
     "kshell": _q_kshell,
     "clustering_global": _q_clustering_global,
-    "apsp": _q_apsp,
-    # ---- position > 50: checked by tests/test_entry_oracle.py every run --
     "simple_paths": _q_simple_paths,
     "lpa_u2i": _q_lpa_u2i,
     "voterank": _q_voterank,
@@ -2569,11 +2582,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": _q_doc_fingerprint,
     "simhash_dups": _q_simhash_dups,
     "embedding_lsh_topk": _q_embedding_lsh_topk,
-    "rectangles": _q_rectangles,
-    "cyclic_triangles": _q_cyclic_triangles,
-    "tailed_triangles": _q_tailed_triangles,
-    "lpa_by_color": _q_lpa_by_color,
-    "min_edge_cover": _q_min_edge_cover,
 }
 
 _EN = r"\b(the|and|of|to|is)\b"

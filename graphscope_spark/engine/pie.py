@@ -232,6 +232,7 @@ def run_pie(
     state = _merge(out, None, agg).localCheckpoint(eager=True)
 
     phase = "peval"
+    converged = False
     for _ in range(max_iter + 1):
         out = one_round(state.select("id", "value"), phase).localCheckpoint(
             eager=True
@@ -240,8 +241,21 @@ def run_pie(
             eager=True
         )
         if phase == "inc" and state.filter("changed").isEmpty():
+            converged = True
             break
         phase = "inc"
+    if not converged:
+        # consistent with wcc's truncation warning: never return possibly
+        # non-converged values silently
+        import warnings
+
+        warnings.warn(
+            f"run_pie: max_iter={max_iter} exhausted before the IncEval "
+            "fixpoint ('no vertex changed') was reached — returned values "
+            "may not be converged",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return state.select("id", "value")
 
 
