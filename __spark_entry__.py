@@ -1970,12 +1970,11 @@ def _q_min_dominating(spark, sf_dir):
     return min_dominating_set(_customer_graph(spark, sf_dir)).orderBy("id")
 
 
-def _q_cross_label_2hop(spark, sf_dir):
-    """Cross-label traversal (VERDICT r2 item 10): customer -knows->
-    customer -buys_from-> supplier through the PropertyGraph per-label edge
-    tables and the GIE EdgeExpand operator — path counts per supplier."""
+def _property_graph(spark, sf_dir):
+    """The shared multi-label PropertyGraph fixture: customer vertices
+    (id, c_name), supplier vertices (id offset by 1e6, s_name, nationkey),
+    knows (customer→customer) and buys_from (customer→supplier) edges."""
     from graphscope_spark.graph.property_graph import PropertyGraph
-    from graphscope_spark.operators.relational import edge_expand
 
     customer = _load(spark, sf_dir, "customer")
     supplier = _load(spark, sf_dir, "supplier")
@@ -1990,15 +1989,27 @@ def _q_cross_label_2hop(spark, sf_dir):
     buys = orders.selectExpr(
         "o_custkey AS src", f"1000000 + (o_orderkey % {ns}) AS dst"
     ).distinct()
-    pg = (
+    return (
         PropertyGraph()
         .add_vertices("customer", customer.selectExpr("c_custkey AS id", "c_name"))
         .add_vertices(
-            "supplier", supplier.selectExpr("1000000 + s_suppkey AS id", "s_name")
+            "supplier",
+            supplier.selectExpr(
+                "1000000 + s_suppkey AS id", "s_name", "s_nationkey AS nationkey"
+            ),
         )
         .add_edges("knows", "customer", "customer", knows)
         .add_edges("buys_from", "customer", "supplier", buys)
     )
+
+
+def _q_cross_label_2hop(spark, sf_dir):
+    """Cross-label traversal (VERDICT r2 item 10): customer -knows->
+    customer -buys_from-> supplier through the PropertyGraph per-label edge
+    tables and the GIE EdgeExpand operator — path counts per supplier."""
+    from graphscope_spark.operators.relational import edge_expand
+
+    pg = _property_graph(spark, sf_dir)
     start = pg.vertices["customer"].select(F.col("id").alias("a"))
     hop1 = edge_expand(start, pg.edges[("knows", "customer", "customer")],
                        v_col="a", out="b")
@@ -2021,6 +2032,36 @@ def _q_cypher_match(spark, sf_dir):
     return cypher(
         g, "MATCH (a)-[]->(b), (b)-[]->(c), (a)-[]->(c) RETURN count(*) AS n"
     )
+
+
+def _q_cypher_cross_label(spark, sf_dir):
+    """cross_label_2hop reproduced from a LABELED Cypher string through
+    cypher_property (r3 VERDICT item 2): vertex labels select the per-label
+    edge tables, s.id is a property access, count(*) beside it triggers
+    Cypher's implicit grouping. Same oracle as cross_label_2hop."""
+    from graphscope_spark.operators.cypher import cypher_property
+
+    return cypher_property(
+        _property_graph(spark, sf_dir),
+        "MATCH (a:customer)-[:knows]->(b:customer)-[:buys_from]->(s:supplier) "
+        "RETURN s.id AS supplier_id, count(*) AS n_paths",
+    ).orderBy("supplier_id")
+
+
+def _q_cypher_filtered(spark, sf_dir):
+    """Labeled MATCH with WHERE: single-tag property predicates on two
+    different tags (a.id < 100, s.nationkey >= 10) are pushed below the
+    pattern joins as filtered-vertex semi-joins — the reference's
+    FilterIntoJoinRule / FilterMatchRule plan shape
+    (compiler/.../planner/rules/FilterMatchRule.java)."""
+    from graphscope_spark.operators.cypher import cypher_property
+
+    return cypher_property(
+        _property_graph(spark, sf_dir),
+        "MATCH (a:customer)-[:knows]->(b:customer)-[:buys_from]->(s:supplier) "
+        "WHERE a.id < 100 AND s.nationkey >= 10 "
+        "RETURN s.id AS supplier_id, count(*) AS n_paths",
+    ).orderBy("supplier_id")
 
 
 _CROSS_LABEL_SQL = """
@@ -2501,7 +2542,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- driver checks the FIRST 50 entries: new + never-checked + headline
     # iterative queries go first; twice-green cheap text/stat queries sit in
     # the tail (still covered by the local DuckDB mirror test) -------------
-    # r4: never-driver-checked first (r3 VERDICT item 1)
+    # r4: new queries + never-driver-checked first (r3 VERDICT items 1-2)
+    "cypher_cross_label": _q_cypher_cross_label,
+    "cypher_filtered": _q_cypher_filtered,
     "rectangles": _q_rectangles,
     "cyclic_triangles": _q_cyclic_triangles,
     "tailed_triangles": _q_tailed_triangles,
@@ -2520,8 +2563,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sssp": _q_sssp,
     "kcore": _q_kcore,
     "scc": _q_scc,
-    "hits": _q_hits,
-    "katz": _q_katz,
     "closeness": _q_closeness,
     "harmonic": _q_harmonic,
     "eigenvector": _q_eigenvector,
@@ -2554,7 +2595,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "apsp": _q_apsp,
     # ---- position > 50: checked by tests/test_entry_oracle.py every run --
     # (demoted twice-green: four_cliques, diameter_2sweep, hetero_degree,
-    # kshell, clustering_global — r2+r3 driver-green)
+    # kshell, clustering_global, hits, katz — r2+r3 driver-green)
+    "hits": _q_hits,
+    "katz": _q_katz,
     "four_cliques": _q_four_cliques,
     "diameter_2sweep": _q_diameter,
     "hetero_degree": _q_hetero_degree,
@@ -2603,6 +2646,23 @@ ORACLES: dict[str, str] = {
     "min_cover": _min_cover_sql(44),
     "min_dominating": _min_dominating_sql(44),
     "cross_label_2hop": _CROSS_LABEL_SQL,
+    "cypher_cross_label": _CROSS_LABEL_SQL,
+    "cypher_filtered": """
+WITH knows AS (
+  SELECT DISTINCT o_custkey AS src,
+         (o_orderkey * 97) % (SELECT count(*) FROM customer) AS dst
+  FROM orders
+  WHERE o_custkey <> (o_orderkey * 97) % (SELECT count(*) FROM customer)),
+buys AS (
+  SELECT DISTINCT o_custkey AS src,
+         1000000 + (o_orderkey % (SELECT count(*) FROM supplier)) AS dst
+  FROM orders)
+SELECT b.dst AS supplier_id, count(*)::BIGINT AS n_paths
+FROM knows k JOIN buys b ON b.src = k.dst
+JOIN supplier s ON 1000000 + s.s_suppkey = b.dst
+WHERE k.src < 100 AND s.s_nationkey >= 10
+GROUP BY b.dst ORDER BY supplier_id
+""",
     "coloring": _coloring_sql(26),
     "densest_sub": _densest_sql(),
     "k_center": _k_center_sql(4),

@@ -1,93 +1,158 @@
-"""Minimal Cypher-subset MATCH parser → the Pattern join DAG.
+"""Cypher-subset frontend: MATCH / WHERE / RETURN → the Pattern join DAG.
 
 Reference path: GIE parses Cypher with ``CypherAntlr4Parser.java`` and plans
 MATCH through ``GraphPlanner`` → Pattern/ExtendIntersect
 (interactive_engine/compiler/src/main/java/com/alibaba/graphscope/common/ir/
-planner/GraphPlanner.java); this is that path reduced to the pattern+return
-subset our simple graph supports:
+planner/GraphPlanner.java:96-230); WHERE predicates are pushed into the
+pattern join by ``FilterIntoJoinRule`` / ``FilterMatchRule``
+(compiler/.../planner/rules/FilterMatchRule.java, PlannerGroup.java:84-197).
 
-    MATCH (a)-[]->(b), (b)-[]->(c), (a)-[]->(c) RETURN a, b, c
-    MATCH (a)-->(b)<--(c) RETURN count(*) AS n
+Two execution surfaces:
 
-Grammar: comma-separated path patterns of ``(tag)`` nodes joined by
-``-[]->`` / ``<-[]-`` / ``-[]-`` (or the ``-->`` / ``<--`` / ``--``
-shorthands; relationship brackets may carry a variable, which is ignored —
-edge labels/properties are not part of the simple-graph surface and raise).
-RETURN takes a tag list or ``count(*)`` (optional ``AS`` alias, optional
-``DISTINCT``). Lowering reuses :func:`graphscope_spark.operators.match.match`
-(sentences → closing-first join DAG, optional WCO step).
+- :func:`cypher` — unlabeled patterns over the single-label simple
+  :class:`~graphscope_spark.graph.graph.Graph` (tags bind vertex ids; WHERE
+  may compare bare tags and literals).
+- :func:`cypher_property` — labeled patterns over the multi-label
+  :class:`~graphscope_spark.graph.property_graph.PropertyGraph`:
+
+      MATCH (a:customer)-[:knows]->(b:customer)-[:buys_from]->(s:supplier)
+      WHERE a.id < 100 AND s.nationkey >= 10
+      RETURN s.id AS supplier_id, count(*) AS n_paths
+
+  Vertex labels select the per-label edge tables; single-tag property
+  predicates are pushed below the pattern joins as semi-joins on the
+  filtered vertex table (the FilterIntoJoinRule shape); cross-tag
+  predicates filter the bound rows after property joins. ``count(*)``
+  alongside other RETURN items groups by them (Cypher's implicit
+  aggregation).
+
+Grammar (subset)::
+
+    query  := MATCH path (, path)* [WHERE pred (AND pred)*]
+              RETURN [DISTINCT] item (, item)*
+    node   := '(' tag [':' label] ')'
+    edge   := -[var?][:elabel?]-> | <-[...]- | -[...]- | --> | <-- | --
+    item   := count(*) [AS a] | tag [AS a] | tag.prop [AS a]
+    pred   := operand (= | <> | != | < | <= | > | >=) operand
+    operand:= tag.prop | tag | int | float | 'string'
 """
 
 from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from graphscope_spark.graph.graph import Graph
+from graphscope_spark.graph.property_graph import PropertyGraph
 from graphscope_spark.operators.match import match
 
-__all__ = ["parse_match", "cypher"]
+__all__ = ["parse_cypher", "parse_match", "cypher", "cypher_property"]
 
-_NODE = re.compile(r"\(\s*([A-Za-z_][A-Za-z_0-9]*)\s*\)")
+_NODE = re.compile(
+    r"\(\s*([A-Za-z_][A-Za-z_0-9]*)\s*(?::\s*([A-Za-z_][A-Za-z_0-9]*))?\s*\)"
+)
 _EDGE = re.compile(
-    r"(<-|-)\s*(?:\[\s*([A-Za-z_][A-Za-z_0-9]*)?\s*\]\s*)?(->|-)"
+    r"(<-|-)\s*(?:\[\s*([A-Za-z_][A-Za-z_0-9]*)?\s*"
+    r"(?::\s*([A-Za-z_][A-Za-z_0-9]*))?\s*\]\s*)?(->|-)"
 )
 _RETURN_ITEM = re.compile(
-    r"^(?:(count)\s*\(\s*\*\s*\)|([A-Za-z_][A-Za-z_0-9]*))"
+    r"^(?:(count)\s*\(\s*\*\s*\)"
+    r"|([A-Za-z_][A-Za-z_0-9]*)(?:\.([A-Za-z_][A-Za-z_0-9]*))?)"
     r"(?:\s+AS\s+([A-Za-z_][A-Za-z_0-9]*))?$",
     re.IGNORECASE,
 )
+_OPERAND = re.compile(
+    r"^(?:([A-Za-z_][A-Za-z_0-9]*)(?:\.([A-Za-z_][A-Za-z_0-9]*))?"
+    r"|(-?\d+\.\d+)|(-?\d+)|'([^']*)')$"
+)
+_PRED = re.compile(r"^(.+?)\s*(<=|>=|<>|!=|=|<|>)\s*(.+)$")
 
 
-def parse_match(query: str) -> tuple[list[tuple[str, str, str]], dict]:
-    """Parse the MATCH/RETURN subset; returns (sentences, return_spec).
+def parse_cypher(query: str) -> dict:
+    """Parse the MATCH/WHERE/RETURN subset into a plain-dict AST:
 
-    return_spec: {"distinct": bool, "items": [(kind, name, alias)]} where
-    kind ∈ {"tag", "count"}.
+    ``{"sentences": [(src_tag, dir, dst_tag, edge_label|None)],
+    "labels": {tag: label|None}, "where": [(lhs, op, rhs)],
+    "return": {"distinct": bool, "items": [(kind, tag, prop, alias)]}}``
+
+    where operands are ``("prop", tag, name)`` / ``("tag", tag)`` /
+    ``("lit", value)`` and item kind ∈ {"tag", "prop", "count"}.
     """
     q = query.strip().rstrip(";")
-    m = re.match(r"(?is)^\s*MATCH\s+(.*?)\s+RETURN\s+(.+)$", q)
+    m = re.match(
+        r"(?is)^\s*MATCH\s+(.*?)(?:\s+WHERE\s+(.*?))?\s+RETURN\s+(.+)$", q
+    )
     if not m:
-        raise ValueError("expected 'MATCH <patterns> RETURN <items>'")
-    pattern_part, return_part = m.group(1), m.group(2)
-    if re.search(r"(?i)\[\s*:", pattern_part):
-        raise ValueError(
-            "edge labels are not supported on the simple-graph surface "
-            "(project the PropertyGraph label first)"
-        )
-    if re.search(r"\(\s*\w*\s*:", pattern_part):
-        raise ValueError("vertex labels are not supported on the simple graph")
+        raise ValueError("expected 'MATCH <patterns> [WHERE <preds>] RETURN <items>'")
+    pattern_part, where_part, return_part = m.group(1), m.group(2), m.group(3)
 
-    sentences: list[tuple[str, str, str]] = []
-    for path in _split_paths(pattern_part):
+    sentences: list[tuple[str, str, str, str | None]] = []
+    labels: dict[str, str | None] = {}
+
+    def note_label(tag: str, label: str | None) -> None:
+        prev = labels.get(tag)
+        if prev is not None and label is not None and prev != label:
+            raise ValueError(f"tag {tag!r} bound to two labels: {prev}, {label}")
+        labels[tag] = label if label is not None else prev
+
+    for path in (p.strip() for p in pattern_part.split(",") if p.strip()):
         pos = 0
         node = _NODE.match(path, pos)
         if not node:
             raise ValueError(f"expected a node pattern at: {path[pos:]!r}")
         cur = node.group(1)
+        note_label(cur, node.group(2))
         pos = node.end()
         while pos < len(path):
             em = _EDGE.match(path, pos)
             if not em:
                 raise ValueError(f"expected an edge pattern at: {path[pos:]!r}")
-            left, _var, right = em.group(1), em.group(2), em.group(3)
+            left, _var, elabel, right = em.groups()
             pos = em.end()
             node = _NODE.match(path, pos)
             if not node:
                 raise ValueError(f"expected a node pattern at: {path[pos:]!r}")
             nxt = node.group(1)
+            note_label(nxt, node.group(2))
             pos = node.end()
             if left == "-" and right == "->":
-                sentences.append((cur, "out", nxt))
+                sentences.append((cur, "out", nxt, elabel))
             elif left == "<-" and right == "-":
-                sentences.append((nxt, "out", cur))
+                sentences.append((nxt, "out", cur, elabel))
             elif left == "-" and right == "-":
-                sentences.append((cur, "both", nxt))
+                sentences.append((cur, "both", nxt, elabel))
             else:
                 raise ValueError(f"unsupported edge direction {left}…{right}")
             cur = nxt
+    if not sentences:
+        raise ValueError("empty MATCH pattern")
+    tags = set(labels)
+
+    def parse_operand(raw: str):
+        om = _OPERAND.match(raw.strip())
+        if not om:
+            raise ValueError(f"unsupported operand: {raw!r}")
+        tag, prop, flt, intg, s = om.groups()
+        if tag is not None:
+            if tag not in tags:
+                raise ValueError(f"WHERE references unbound tag {tag!r}")
+            return ("prop", tag, prop) if prop else ("tag", tag)
+        if flt is not None:
+            return ("lit", float(flt))
+        if intg is not None:
+            return ("lit", int(intg))
+        return ("lit", s)
+
+    preds = []
+    if where_part:
+        for raw in re.split(r"(?i)\s+AND\s+", where_part.strip()):
+            pm = _PRED.match(raw.strip())
+            if not pm:
+                raise ValueError(f"unsupported predicate: {raw!r}")
+            op = "<>" if pm.group(2) == "!=" else pm.group(2)
+            preds.append((parse_operand(pm.group(1)), op, parse_operand(pm.group(3))))
 
     rp = return_part.strip()
     distinct = False
@@ -100,22 +165,53 @@ def parse_match(query: str) -> tuple[list[tuple[str, str, str]], dict]:
         im = _RETURN_ITEM.match(raw)
         if not im:
             raise ValueError(f"unsupported RETURN item: {raw!r}")
-        if im.group(1):
-            items.append(("count", "*", im.group(3) or "count"))
+        cnt, tag, prop, alias = im.groups()
+        if cnt:
+            items.append(("count", "*", None, alias or "count"))
+        elif prop:
+            if tag not in tags:
+                raise ValueError(f"RETURN references unbound tag {tag!r}")
+            items.append(("prop", tag, prop, alias or f"{tag}_{prop}"))
         else:
-            items.append(("tag", im.group(2), im.group(3) or im.group(2)))
+            if tag not in tags:
+                raise ValueError(f"RETURN references unbound tag {tag!r}")
+            items.append(("tag", tag, None, alias or tag))
     if not items:
         raise ValueError("empty RETURN")
-    tags = {t for s in sentences for t in (s[0], s[2])}
-    for kind, name, _alias in items:
-        if kind == "tag" and name not in tags:
-            raise ValueError(f"RETURN references unbound tag {name!r}")
-    return sentences, {"distinct": distinct, "items": items}
+    return {
+        "sentences": sentences,
+        "labels": labels,
+        "where": preds,
+        "return": {"distinct": distinct, "items": items},
+    }
 
 
-def _split_paths(s: str) -> list[str]:
-    """Split on commas that sit between patterns (no nesting in subset)."""
-    return [p.strip() for p in s.split(",") if p.strip()]
+def parse_match(query: str) -> tuple[list[tuple[str, str, str]], dict]:
+    """Simple-graph compat parser: (3-tuple sentences, return_spec) — raises
+    on vertex/edge labels, WHERE, and property access (use
+    :func:`cypher_property` for those)."""
+    ast = parse_cypher(query)
+    if any(lab is not None for lab in ast["labels"].values()):
+        raise ValueError(
+            "vertex labels are not supported on the simple graph "
+            "(use cypher_property over a PropertyGraph)"
+        )
+    if any(el is not None for _a, _d, _b, el in ast["sentences"]):
+        raise ValueError(
+            "edge labels are not supported on the simple-graph surface "
+            "(use cypher_property over a PropertyGraph)"
+        )
+    if ast["where"]:
+        raise ValueError("WHERE is not supported by parse_match")
+    items = []
+    for kind, tag, prop, alias in ast["return"]["items"]:
+        if kind == "prop":
+            raise ValueError("property access requires cypher_property")
+        items.append((kind, tag if kind == "tag" else "*", alias))
+    return (
+        [(a, d, b) for a, d, b, _el in ast["sentences"]],
+        {"distinct": ast["return"]["distinct"], "items": items},
+    )
 
 
 def cypher(
@@ -124,8 +220,8 @@ def cypher(
     distinct_vertices: bool = False,
     wco: bool = False,
 ) -> DataFrame:
-    """Run a MATCH/RETURN query string; returns a DataFrame with the RETURN
-    columns (tags → bound vertex ids; count(*) → one BIGINT row)."""
+    """Run a MATCH/RETURN query string over a simple Graph; returns a
+    DataFrame with the RETURN columns (tags → bound vertex ids)."""
     sentences, ret = parse_match(query)
     bound = match(
         graph, sentences, distinct_vertices=distinct_vertices, wco=wco
@@ -138,3 +234,226 @@ def cypher(
     cols = [F.col(name).alias(alias) for _k, name, alias in ret["items"]]
     out = bound.select(*cols)
     return out.distinct() if ret["distinct"] else out
+
+
+# ---------------------------------------------------------------------------
+# PropertyGraph execution (labels + WHERE + property access)
+# ---------------------------------------------------------------------------
+
+
+def _sentence_edges(
+    pg: PropertyGraph, a_label, b_label, elabel, direction
+) -> DataFrame:
+    """Union the per-label edge tables matching one MATCH sentence, oriented
+    a→b. Edge-table keys are (edge_label, src_label, dst_label); endpoints
+    are guaranteed within their label tables by PropertyGraph.add_edges."""
+    fwd = [
+        df
+        for (el, sl, dl), df in pg.edges.items()
+        if (elabel is None or el == elabel)
+        and (a_label is None or sl == a_label)
+        and (b_label is None or dl == b_label)
+    ]
+    rev = [
+        df
+        for (el, sl, dl), df in pg.edges.items()
+        if (elabel is None or el == elabel)
+        and (a_label is None or dl == a_label)
+        and (b_label is None or sl == b_label)
+    ]
+    parts = []
+    if direction in ("out", "both"):
+        parts += [df.select("src", "dst") for df in fwd]
+    if direction == "in":
+        parts += [
+            df.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            for df in rev
+        ]
+    if direction == "both":
+        # each relationship also binds in the reverse orientation (Cypher
+        # undirected semantics: one row per direction assignment)
+        parts += [
+            df.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            for df in rev
+        ]
+    if not parts:
+        raise ValueError(
+            f"no edge tables match (label={elabel!r}, {a_label!r}→{b_label!r})"
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+_OPS = {
+    "=": Column.__eq__,
+    "<>": Column.__ne__,
+    "<": Column.__lt__,
+    "<=": Column.__le__,
+    ">": Column.__gt__,
+    ">=": Column.__ge__,
+}
+
+
+def _operand_col(operand, propcol) -> Column:
+    kind = operand[0]
+    if kind == "lit":
+        return F.lit(operand[1])
+    if kind == "tag":
+        return F.col(operand[1])
+    return propcol(operand[1], operand[2])
+
+
+def cypher_property(
+    pg: PropertyGraph, query: str, distinct_vertices: bool = False
+) -> DataFrame:
+    """Execute a labeled MATCH/WHERE/RETURN query over a PropertyGraph.
+
+    Single-tag property predicates are pushed below the pattern joins
+    (semi-join each touching edge table on the filtered vertex-label ids —
+    the reference's FilterIntoJoinRule plan shape); remaining predicates
+    filter bound rows after the needed property joins.
+    """
+    ast = parse_cypher(query)
+    labels, preds = ast["labels"], ast["where"]
+
+    def tag_label(tag: str) -> str:
+        lab = labels.get(tag)
+        if lab is None:
+            raise ValueError(
+                f"tag {tag!r} needs a vertex label for property access"
+            )
+        if lab not in pg.vertices:
+            raise ValueError(f"unknown vertex label {lab!r}")
+        return lab
+
+    # --- split WHERE: pushdown (one tag's props vs literals) vs post --------
+    def pred_tags(pred) -> set[str]:
+        return {
+            o[1] for o in (pred[0], pred[2]) if o[0] in ("prop", "tag")
+        }
+
+    def has_prop(pred) -> bool:
+        return any(o[0] == "prop" for o in (pred[0], pred[2]))
+
+    pushdown: dict[str, list] = {}
+    post: list = []
+    for pred in preds:
+        ts = pred_tags(pred)
+        if has_prop(pred) and len(ts) == 1:
+            pushdown.setdefault(next(iter(ts)), []).append(pred)
+        else:
+            post.append(pred)
+
+    # allowed-id sets from pushed single-tag predicates
+    allowed: dict[str, DataFrame] = {}
+    for tag, plist in pushdown.items():
+        v = pg.vertices[tag_label(tag)]
+        for lhs, op, rhs in plist:
+
+            def col_of(o):
+                if o[0] == "lit":
+                    return F.lit(o[1])
+                if o[0] == "tag":
+                    return F.col("id")
+                return F.col(o[2])
+
+            v = v.filter(_OPS[op](col_of(lhs), col_of(rhs)))
+        allowed[tag] = v.select("id")
+
+    # --- build oriented per-sentence edge DataFrames, semi-joined with the
+    # pushed-down vertex filters (FilterIntoJoinRule) ------------------------
+    sentence_dfs: list[tuple[str, str, DataFrame]] = []
+    for a, direction, b, elabel in ast["sentences"]:
+        e = _sentence_edges(pg, labels.get(a), labels.get(b), elabel, direction)
+        if a in allowed:
+            e = e.join(allowed[a].withColumnRenamed("id", "src"), "src", "left_semi")
+        if b in allowed:
+            e = e.join(allowed[b].withColumnRenamed("id", "dst"), "dst", "left_semi")
+        sentence_dfs.append((a, b, e))
+
+    # --- greedy closing-first join DAG (the match() plan over per-sentence
+    # tables) ----------------------------------------------------------------
+    remaining = list(sentence_dfs)
+    bound: set[str] = set()
+    out: DataFrame | None = None
+    while remaining:
+        best_i, best_score = 0, -1
+        for i, (a, b, _e) in enumerate(remaining):
+            score = (a in bound) + (b in bound)
+            if score > best_score:
+                best_i, best_score = i, score
+        a, b, e = remaining.pop(best_i)
+        e = e.select(F.col("src").alias(a), F.col("dst").alias(b))
+        if out is None:
+            out = e
+            bound.update((a, b))
+        elif a in bound and b in bound:
+            out = out.join(e, [a, b], "left_semi")
+        elif a in bound:
+            out = out.join(e, a)
+            bound.add(b)
+        elif b in bound:
+            out = out.join(e, b)
+            bound.add(a)
+        else:
+            out = out.crossJoin(e)
+            bound.update((a, b))
+    if distinct_vertices:
+        tags = sorted(bound)
+        for i in range(len(tags)):
+            for j in range(i + 1, len(tags)):
+                out = out.filter(F.col(tags[i]) != F.col(tags[j]))
+
+    # --- join vertex properties needed by post-WHERE / RETURN ---------------
+    need_props = {
+        (o[1], o[2])
+        for pred in post
+        for o in (pred[0], pred[2])
+        if o[0] == "prop"
+    } | {
+        (tag, prop)
+        for kind, tag, prop, _al in ast["return"]["items"]
+        if kind == "prop"
+    }
+    for tag, prop in sorted(need_props):
+        v = pg.vertices[tag_label(tag)]
+        if prop not in v.columns:
+            raise ValueError(f"label {tag_label(tag)!r} has no property {prop!r}")
+        out = out.join(
+            v.select(F.col("id").alias(tag), F.col(prop).alias(f"{tag}__{prop}")),
+            tag,
+        )
+
+    def propcol(tag: str, prop: str) -> Column:
+        return F.col(f"{tag}__{prop}")
+
+    for lhs, op, rhs in post:
+        out = out.filter(
+            _OPS[op](_operand_col(lhs, propcol), _operand_col(rhs, propcol))
+        )
+
+    # --- RETURN: projection / implicit grouping -----------------------------
+    items = ast["return"]["items"]
+    keys = [
+        (F.col(tag) if kind == "tag" else propcol(tag, prop)).alias(alias)
+        for kind, tag, prop, alias in items
+        if kind != "count"
+    ]
+    counts = [
+        F.count(F.lit(1)).cast("bigint").alias(alias)
+        for kind, _t, _p, alias in items
+        if kind == "count"
+    ]
+    if counts and keys:
+        out = out.groupBy(*keys).agg(*counts)
+        # restore the RETURN item order
+        out = out.select(*[al for _k, _t, _p, al in items])
+    elif counts:
+        out = out.agg(*counts)
+    else:
+        out = out.select(*keys)
+        if ast["return"]["distinct"]:
+            out = out.distinct()
+    return out

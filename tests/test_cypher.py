@@ -81,3 +81,148 @@ def test_cypher_tag_projection(spark):
     rows = cypher(g, "MATCH (a)-[]->(b) RETURN a, b").collect()
     want = {(r["src"], r["dst"]) for r in g.edges.select("src", "dst").collect()}
     assert {(r["a"], r["b"]) for r in rows} == want
+
+
+# ---------------------------------------------------------------------------
+# labeled surface: cypher_property over a PropertyGraph
+# ---------------------------------------------------------------------------
+
+
+def _pgraph(spark):
+    """person {0..4, age=30+id} -knows-> person; person -works_at-> company
+    {100,101, size}. Shared long id space (companies offset by 100)."""
+    from graphscope_spark.graph.property_graph import PropertyGraph
+
+    person = spark.createDataFrame(
+        [(i, 30 + i) for i in range(5)], "id long, age long"
+    )
+    company = spark.createDataFrame(
+        [(100, 10), (101, 2000)], "id long, size long"
+    )
+    knows = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (0, 2)], "src long, dst long"
+    )
+    works = spark.createDataFrame(
+        [(0, 100), (1, 100), (2, 101), (3, 101), (4, 101)],
+        "src long, dst long",
+    )
+    return (
+        PropertyGraph()
+        .add_vertices("person", person)
+        .add_vertices("company", company)
+        .add_edges("knows", "person", "person", knows)
+        .add_edges("works_at", "person", "company", works)
+    )
+
+
+def test_parse_cypher_full_ast():
+    from graphscope_spark.operators.cypher import parse_cypher
+
+    ast = parse_cypher(
+        "MATCH (a:person)-[:knows]->(b)-[w:works_at]->(c:company) "
+        "WHERE a.age < 33 AND c.size >= 100 AND a <> b "
+        "RETURN c.id AS cid, count(*) AS n"
+    )
+    assert ast["sentences"] == [
+        ("a", "out", "b", "knows"),
+        ("b", "out", "c", "works_at"),
+    ]
+    assert ast["labels"] == {"a": "person", "b": None, "c": "company"}
+    assert ast["where"] == [
+        (("prop", "a", "age"), "<", ("lit", 33)),
+        (("prop", "c", "size"), ">=", ("lit", 100)),
+        (("tag", "a"), "<>", ("tag", "b")),
+    ]
+    assert ast["return"]["items"] == [
+        ("prop", "c", "id", "cid"),
+        ("count", "*", None, "n"),
+    ]
+
+
+def test_cypher_property_label_filtered(spark):
+    from graphscope_spark.operators.cypher import cypher_property
+
+    pg = _pgraph(spark)
+    # knows-paths a->b where b works at the big company
+    rows = cypher_property(
+        pg,
+        "MATCH (a:person)-[:knows]->(b:person)-[:works_at]->(c:company) "
+        "WHERE c.size >= 100 RETURN a, b, c",
+    ).collect()
+    got = {(r["a"], r["b"], r["c"]) for r in rows}
+    # knows edges whose dst ∈ {2,3,4} (work at 101, size 2000)
+    assert got == {(1, 2, 101), (2, 3, 101), (3, 4, 101), (0, 2, 101)}
+
+
+def test_cypher_property_pushdown_and_group(spark):
+    from graphscope_spark.operators.cypher import cypher_property
+
+    pg = _pgraph(spark)
+    rows = cypher_property(
+        pg,
+        "MATCH (a:person)-[:knows]->(b:person) WHERE a.age <= 31 "
+        "RETURN b.age AS bage, count(*) AS n",
+    ).collect()
+    # a ∈ {0,1}: edges (0,1),(0,2),(1,2) → b.age 31 once, 32 twice
+    assert {(r["bage"], r["n"]) for r in rows} == {(31, 1), (32, 2)}
+
+
+def test_cypher_property_cross_tag_where(spark):
+    from graphscope_spark.operators.cypher import cypher_property
+
+    pg = _pgraph(spark)
+    rows = cypher_property(
+        pg,
+        "MATCH (a:person)-[:knows]->(b:person) WHERE b.age > a.age "
+        "RETURN count(*) AS n",
+    ).collect()
+    assert rows[0]["n"] == 5  # every knows edge goes id-increasing
+
+
+def test_cypher_property_undirected_binds_both_ways(spark):
+    from graphscope_spark.operators.cypher import cypher_property
+
+    pg = _pgraph(spark)
+    n = cypher_property(
+        pg, "MATCH (a:person)-[:knows]-(b:person) RETURN count(*) AS n"
+    ).collect()[0]["n"]
+    assert n == 10  # 5 edges × 2 orientations (Cypher undirected semantics)
+
+
+def test_cypher_property_errors(spark):
+    import pytest as _pytest
+
+    from graphscope_spark.operators.cypher import cypher_property
+
+    pg = _pgraph(spark)
+    with _pytest.raises(ValueError, match="no edge tables match"):
+        cypher_property(
+            pg, "MATCH (a:company)-[:knows]->(b) RETURN count(*) AS n"
+        ).collect()
+    with _pytest.raises(ValueError, match="needs a vertex label"):
+        cypher_property(
+            pg, "MATCH (a)-[:knows]->(b) WHERE a.age < 3 RETURN a"
+        ).collect()
+    with _pytest.raises(ValueError, match="no property"):
+        cypher_property(
+            pg, "MATCH (a:person)-[:knows]->(b:person) RETURN a.salary"
+        ).collect()
+    with _pytest.raises(ValueError, match="two labels"):
+        cypher_property(
+            pg, "MATCH (a:person)-[:knows]->(a:company) RETURN a"
+        ).collect()
+
+
+def test_cypher_property_pushdown_plan(spark):
+    """The single-tag predicate must reach the scan side, not sit above the
+    pattern join: the physical plan filters person rows before the join."""
+    from graphscope_spark.operators.cypher import cypher_property
+
+    pg = _pgraph(spark)
+    df = cypher_property(
+        pg,
+        "MATCH (a:person)-[:knows]->(b:person) WHERE a.age <= 31 "
+        "RETURN a, b",
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
