@@ -1,0 +1,325 @@
+"""Gremlin-subset traversal-string frontend → the GIE operator surface.
+
+Reference path: Gremlin strings enter GIE through
+``IrStandardOpProcessor.java`` (interactive_engine/compiler/src/main/java/
+com/alibaba/graphscope/gremlin/plugin/processor/IrStandardOpProcessor.java)
+and are planned to the dataflow algebra by ``GraphPlanner.java:96-230``.
+This is that pipeline reduced to the chain subset the repo's operators
+already execute: each step lowers onto EdgeExpand / GetV / Select / Dedup /
+GroupBy from :mod:`graphscope_spark.operators.relational`.
+
+Supported chain grammar::
+
+    g.V([id, ...])
+     .out([elabel]) | .in([elabel]) | .both([elabel])
+     .has(prop, literal | P)      # P: lt/lte/gt/gte/eq/neq/within(...)
+     .hasLabel(label)             # PropertyGraph only
+     .as(tag)
+     .where(eq(tag) | neq(tag))   # cycle close against a tagged vertex
+     .dedup([tag, ...])
+     .limit(n)
+    terminal:
+     .count()                     → 1 row, column `count`
+     .groupCount([.by(select(tag))])  → (tag|v, count)
+     .select(tag, ...)            → tag columns
+     .values(prop)                → property of the current element
+
+Execution state is a DataFrame with column ``_cur`` (current vertex) plus
+one column per ``as`` tag — the traverser-path rendering of the reference's
+streaming traversers. Works over the simple
+:class:`~graphscope_spark.graph.graph.Graph` (ids only) and the multi-label
+:class:`~graphscope_spark.graph.property_graph.PropertyGraph` (labels +
+properties).
+
+Example — the two-hop neighborhood count::
+
+    gremlin(g, "g.V().has('id', lt(10)).as('v').out().out().as('y')"
+               ".dedup('v','y').groupCount().by(select('v'))")
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphscope_spark.graph.graph import Graph
+from graphscope_spark.graph.property_graph import PropertyGraph
+from graphscope_spark.operators.relational import edge_expand
+
+__all__ = ["parse_gremlin", "gremlin"]
+
+_STEP_NAME = re.compile(r"\s*\.\s*([A-Za-z_][A-Za-z_0-9]*)\s*\(")
+_NUM = re.compile(r"^-?\d+(\.\d+)?$")
+_PREDS = {"lt", "lte", "gt", "gte", "eq", "neq", "within"}
+
+
+def _scan_args(s: str, pos: int) -> tuple[str, int]:
+    """Return the argument substring of a balanced (...) starting at pos
+    (which must point at the opening paren) and the index after ')'."""
+    depth, i, in_str = 0, pos, False
+    while i < len(s):
+        c = s[i]
+        if in_str:
+            if c == "'":
+                in_str = False
+        elif c == "'":
+            in_str = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return s[pos + 1 : i], i + 1
+        i += 1
+    raise ValueError(f"unbalanced parentheses at: {s[pos:]!r}")
+
+
+def _split_top(s: str) -> list[str]:
+    out, depth, in_str, cur = [], 0, False, []
+    for c in s:
+        if in_str:
+            cur.append(c)
+            if c == "'":
+                in_str = False
+        elif c == "'":
+            in_str = True
+            cur.append(c)
+        elif c == "(":
+            depth += 1
+            cur.append(c)
+        elif c == ")":
+            depth -= 1
+            cur.append(c)
+        elif c == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(c)
+    tail = "".join(cur).strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
+def _parse_arg(raw: str):
+    raw = raw.strip()
+    if raw.startswith("'") and raw.endswith("'"):
+        return ("str", raw[1:-1])
+    if _NUM.match(raw):
+        return ("num", float(raw) if "." in raw else int(raw))
+    m = re.match(r"^(?:P\s*\.\s*)?([A-Za-z_]\w*)\s*\(", raw)
+    if m and m.group(1) in _PREDS | {"select"}:
+        inner, end = _scan_args(raw, m.end() - 1)
+        if raw[end:].strip():
+            raise ValueError(f"trailing content in argument: {raw!r}")
+        vals = [_parse_arg(a) for a in _split_top(inner)]
+        return (m.group(1), vals)
+    raise ValueError(f"unsupported argument: {raw!r}")
+
+
+def parse_gremlin(query: str) -> list[tuple[str, list]]:
+    """Parse a ``g.V()...`` chain into [(step_name, args), ...]."""
+    q = query.strip().rstrip(";")
+    m = re.match(r"^g\s*\.\s*V\s*\(", q)
+    if not m:
+        raise ValueError("traversal must start with g.V(...)")
+    args, pos = _scan_args(q, m.end() - 1)
+    steps = [("V", [_parse_arg(a) for a in _split_top(args)])]
+    while pos < len(q):
+        sm = _STEP_NAME.match(q, pos)
+        if not sm:
+            raise ValueError(f"expected a .step(...) at: {q[pos:]!r}")
+        args, pos = _scan_args(q, sm.end() - 1)
+        steps.append((sm.group(1), [_parse_arg(a) for a in _split_top(args)]))
+    return steps
+
+
+# ---------------------------------------------------------------------------
+# execution
+# ---------------------------------------------------------------------------
+
+
+def _pred_col(col, arg):
+    kind, val = arg
+    if kind in ("num", "str"):
+        return col == F.lit(val)
+    if kind == "within":
+        return col.isin([v for _k, v in val])
+    lit = F.lit(val[0][1])
+    return {
+        "lt": col < lit,
+        "lte": col <= lit,
+        "gt": col > lit,
+        "gte": col >= lit,
+        "eq": col == lit,
+        "neq": col != lit,
+    }[kind]
+
+
+def _edges_for(graph, direction: str, elabel: str | None) -> DataFrame:
+    if isinstance(graph, Graph):
+        if elabel is not None:
+            raise ValueError("edge labels need a PropertyGraph")
+        return graph.edges.select("src", "dst")
+    parts = [
+        df.select("src", "dst")
+        for (el, _sl, _dl), df in graph.edges.items()
+        if elabel is None or el == elabel
+    ]
+    if not parts:
+        raise ValueError(f"no edge tables with label {elabel!r}")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _all_vertices(graph) -> DataFrame:
+    if isinstance(graph, Graph):
+        return graph.vertices.select(F.col("id").alias("_cur"))
+    parts = [df.select(F.col("id").alias("_cur")) for df in graph.vertices.values()]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+def _prop_table(graph, prop: str) -> DataFrame:
+    """Union of (id, prop) over the vertex tables carrying the property."""
+    if isinstance(graph, Graph):
+        raise ValueError(
+            f"property {prop!r} access needs a PropertyGraph (simple-graph "
+            "vertices carry only ids — use has('id', ...))"
+        )
+    parts = [
+        df.select(F.col("id").alias("_cur"), F.col(prop).alias("_p"))
+        for df in graph.vertices.values()
+        if prop in df.columns
+    ]
+    if not parts:
+        raise ValueError(f"no vertex label has property {prop!r}")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def gremlin(graph: Graph | PropertyGraph, query: str) -> DataFrame:
+    """Execute a Gremlin chain; returns the terminal-step DataFrame (see
+    module docstring for the column contract of each terminal)."""
+    steps = parse_gremlin(query)
+    df: DataFrame | None = None
+    tags: list[str] = []
+    pending_group: str | None = None  # waiting for an optional .by(...)
+
+    def finish_group(by_tag: str | None) -> DataFrame:
+        key = F.col(by_tag) if by_tag else F.col("_cur").alias("v")
+        return df.groupBy(key).agg(F.count(F.lit(1)).cast("bigint").alias("count"))
+
+    for i, (name, args) in enumerate(steps):
+        if pending_group is not None:
+            if name == "by":
+                if (
+                    len(args) != 1
+                    or args[0][0] != "select"
+                    or len(args[0][1]) != 1
+                ):
+                    raise ValueError(".by() supports only by(select('tag'))")
+                tag = args[0][1][0][1]
+                if tag not in tags:
+                    raise ValueError(f"unbound tag {tag!r} in by(select(...))")
+                if i != len(steps) - 1:
+                    raise ValueError("groupCount().by() must be terminal")
+                return finish_group(tag)
+            raise ValueError("groupCount() may only be followed by .by(select(...))")
+
+        if name == "V":
+            df = _all_vertices(graph)
+            if args:
+                df = df.filter(
+                    F.col("_cur").isin([v for _k, v in args])
+                )
+        elif df is None:
+            raise ValueError("traversal must start with g.V(...)")
+        elif name in ("out", "in", "both"):
+            elabel = args[0][1] if args else None
+            e = _edges_for(graph, name, elabel)
+            df = edge_expand(df, e, name, "_cur", "_nxt").drop("_cur").withColumnRenamed(
+                "_nxt", "_cur"
+            )
+        elif name == "has":
+            if len(args) != 2 or args[0][0] != "str":
+                raise ValueError("has() takes (prop, literal | P-predicate)")
+            prop = args[0][1]
+            if prop == "id" or isinstance(graph, Graph):
+                df = df.filter(_pred_col(F.col("_cur"), args[1]))
+            else:
+                pt = _prop_table(graph, prop).filter(_pred_col(F.col("_p"), args[1]))
+                df = df.join(pt.select("_cur"), "_cur", "left_semi")
+        elif name == "hasLabel":
+            if isinstance(graph, Graph):
+                raise ValueError("hasLabel needs a PropertyGraph")
+            labs = [v for _k, v in args]
+            parts = [
+                graph.vertices[lab].select(F.col("id").alias("_cur"))
+                for lab in labs
+            ]
+            ids = parts[0]
+            for p in parts[1:]:
+                ids = ids.unionByName(p)
+            df = df.join(ids, "_cur", "left_semi")
+        elif name == "as":
+            tag = args[0][1]
+            df = df.withColumn(tag, F.col("_cur"))
+            if tag not in tags:
+                tags.append(tag)
+        elif name == "where":
+            if len(args) != 1 or args[0][0] not in ("eq", "neq"):
+                raise ValueError("where() supports eq('tag') / neq('tag')")
+            tag = args[0][1][0][1]
+            if tag not in tags:
+                raise ValueError(f"unbound tag {tag!r} in where()")
+            cond = F.col("_cur") == F.col(tag)
+            df = df.filter(cond if args[0][0] == "eq" else ~cond)
+        elif name == "dedup":
+            # Gremlin semantics: dedup by the named tags (or the current
+            # element); which traverser survives per group is arbitrary, so
+            # later steps should only read the dedup keys
+            cols = [v for _k, v in args] or ["_cur"]
+            for c in cols:
+                if c != "_cur" and c not in tags:
+                    raise ValueError(f"unbound tag {c!r} in dedup()")
+            df = df.dropDuplicates(cols)
+        elif name == "limit":
+            df = df.limit(int(args[0][1]))
+        elif name == "count":
+            if i != len(steps) - 1:
+                raise ValueError("count() must be terminal")
+            return df.agg(F.count(F.lit(1)).cast("bigint").alias("count"))
+        elif name == "groupCount":
+            pending_group = "_cur"
+            continue
+        elif name == "select":
+            if i != len(steps) - 1:
+                raise ValueError("select() must be terminal in this subset")
+            cols = [v for _k, v in args]
+            for c in cols:
+                if c not in tags:
+                    raise ValueError(f"unbound tag {c!r} in select()")
+            return df.select(*cols)
+        elif name == "values":
+            if i != len(steps) - 1:
+                raise ValueError("values() must be terminal in this subset")
+            prop = args[0][1]
+            if prop == "id" or isinstance(graph, Graph):
+                return df.select(F.col("_cur").alias(prop))
+            pt = _prop_table(graph, prop)
+            return df.join(pt, "_cur").select(F.col("_p").alias(prop))
+        else:
+            raise ValueError(f"unsupported step: {name}()")
+
+    if pending_group is not None:
+        return finish_group(None)
+    return df.select(*tags, F.col("_cur").alias("v"))

@@ -1,0 +1,127 @@
+"""Gremlin-subset frontend: traversal strings == the operator DAG."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from tests.conftest import make_graph
+
+from graphscope_spark.operators.gremlin import gremlin, parse_gremlin
+from graphscope_spark.operators.match import match
+
+
+def _rand_graph(spark, n=30, m=90, seed=7):
+    random.seed(seed)
+    edges = set()
+    while len(edges) < m:
+        a, b = random.randrange(n), random.randrange(n)
+        if a != b:
+            edges.add((a, b))
+    return make_graph(spark, sorted(edges), vertices=list(range(n)))
+
+
+def test_parse_shapes():
+    steps = parse_gremlin(
+        "g.V(1, 2).out('knows').has('id', P.lt(10)).as('v')"
+        ".where(eq('v')).dedup('v').groupCount().by(select('v'))"
+    )
+    assert [s[0] for s in steps] == [
+        "V", "out", "has", "as", "where", "dedup", "groupCount", "by",
+    ]
+    assert steps[0][1] == [("num", 1), ("num", 2)]
+    assert steps[1][1] == [("str", "knows")]
+    assert steps[2][1] == [("str", "id"), ("lt", [("num", 10)])]
+    with pytest.raises(ValueError, match="start with g.V"):
+        parse_gremlin("g.E().count()")
+    with pytest.raises(ValueError, match="unsupported argument"):
+        parse_gremlin("g.V().repeat(out())")
+
+
+def test_gremlin_count_equals_edges(spark):
+    g = _rand_graph(spark)
+    n = gremlin(g, "g.V().out().count()").collect()[0]["count"]
+    assert n == g.edges.count()
+
+
+def test_gremlin_triangle_equals_match(spark):
+    g = _rand_graph(spark)
+    want = match(
+        g, [("a", "out", "b"), ("b", "out", "c"), ("a", "out", "c")]
+    ).count()
+    got = gremlin(
+        g, "g.V().as('a').out().as('c').in().as('b').out().where(eq('a')).count()"
+    ).collect()[0]["count"]
+    assert got == want
+
+
+def test_gremlin_has_and_ids(spark):
+    g = _rand_graph(spark)
+    rows = gremlin(g, "g.V().has('id', lt(5)).as('x').out().select('x')").collect()
+    srcs = {r["x"] for r in rows}
+    want = {
+        r["src"] for r in g.edges.filter("src < 5").select("src").collect()
+    }
+    assert srcs == want
+    n = gremlin(g, "g.V(0, 1, 2).count()").collect()[0]["count"]
+    assert n == 3
+
+
+def test_gremlin_two_hop_dedup_group(spark):
+    g = _rand_graph(spark)
+    rows = gremlin(
+        g,
+        "g.V().has('id', lt(5)).as('v').out().out().as('y')"
+        ".dedup('v','y').groupCount().by(select('v'))",
+    ).collect()
+    got = {(r["v"], r["count"]) for r in rows}
+    e = [(r["src"], r["dst"]) for r in g.edges.collect()]
+    import collections
+
+    two = collections.defaultdict(set)
+    for a, b in e:
+        if a < 5:
+            for b2, c in e:
+                if b2 == b:
+                    two[a].add(c)
+    assert got == {(v, len(s)) for v, s in two.items()}
+
+
+def test_gremlin_property_graph(spark):
+    from graphscope_spark.graph.property_graph import PropertyGraph
+
+    person = spark.createDataFrame(
+        [(i, 30 + i) for i in range(5)], "id long, age long"
+    )
+    company = spark.createDataFrame([(100, 10), (101, 2000)], "id long, size long")
+    knows = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "src long, dst long"
+    )
+    works = spark.createDataFrame(
+        [(0, 100), (1, 100), (2, 101)], "src long, dst long"
+    )
+    pg = (
+        PropertyGraph()
+        .add_vertices("person", person)
+        .add_vertices("company", company)
+        .add_edges("knows", "person", "person", knows)
+        .add_edges("works_at", "person", "company", works)
+    )
+    # label-restricted expansion + property predicate + values()
+    vals = gremlin(
+        pg, "g.V().hasLabel('person').has('age', lte(31)).out('works_at').values('size')"
+    ).collect()
+    assert sorted(v["size"] for v in vals) == [10, 10]
+    n = gremlin(pg, "g.V().out('knows').count()").collect()[0]["count"]
+    assert n == 3
+    with pytest.raises(ValueError, match="no vertex label has property"):
+        gremlin(pg, "g.V().has('salary', gt(1))").collect()
+
+
+def test_gremlin_simple_graph_rejects_labels(spark):
+    g = _rand_graph(spark)
+    with pytest.raises(ValueError, match="PropertyGraph"):
+        gremlin(g, "g.V().out('knows').count()")
+    with pytest.raises(ValueError, match="PropertyGraph"):
+        gremlin(g, "g.V().hasLabel('x').count()")
