@@ -2034,6 +2034,27 @@ def _q_cypher_match(spark, sf_dir):
     )
 
 
+def _q_wcc_delta(spark, sf_dir):
+    """Ingress delta recompute (docs/analytical_engine/ingress.md): wcc
+    converges on ~92% of the customer-graph edges, then resumes with the
+    held-out delta edges' endpoints as the frontier (engine/ingress.py).
+    Must equal full wcc over ALL edges — the oracle IS the standard wcc
+    SQL, so a wrong warm start fails the hash."""
+    from graphscope_spark.algorithms.wcc import wcc
+    from graphscope_spark.engine.ingress import wcc_delta
+    from graphscope_spark.graph.graph import Graph
+
+    g = _customer_graph(spark, sf_dir)
+    split = (F.col("src") * 31 + F.col("dst")) % 13 == 0
+    base = Graph(
+        g.edges.filter(~split),
+        vertices=g.vertices,
+        num_partitions=g.num_partitions,
+    )
+    prev = wcc(base)
+    return wcc_delta(base, g.edges.filter(split), prev).orderBy("id")
+
+
 def _q_gremlin_two_hop(spark, sf_dir):
     """two_hop reproduced from a Gremlin traversal string (r3 VERDICT
     item 3) through operators/gremlin.py — the IrStandardOpProcessor →
@@ -2579,6 +2600,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cypher_filtered": _q_cypher_filtered,
     "gremlin_two_hop": _q_gremlin_two_hop,
     "gremlin_triangle": _q_gremlin_triangle,
+    "wcc_delta": _q_wcc_delta,
     "rectangles": _q_rectangles,
     "cyclic_triangles": _q_cyclic_triangles,
     "tailed_triangles": _q_tailed_triangles,
@@ -2618,7 +2640,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "group_agg_events": _q_group_agg_events,
     "exists_subquery": _q_exists_subquery,
     "expr_surface": _q_expr_surface,
-    "mis": _q_mis,
     "maximal_matching": _q_maximal_matching,
     "msf": _q_msf,
     "bridges": _q_bridges,
@@ -2633,6 +2654,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "katz": _q_katz,
     "closeness": _q_closeness,
     "eigenvector": _q_eigenvector,
+    "mis": _q_mis,
     "four_cliques": _q_four_cliques,
     "diameter_2sweep": _q_diameter,
     "hetero_degree": _q_hetero_degree,
@@ -2943,6 +2965,8 @@ GROUP BY b.dst ORDER BY supplier_id
 # construction (the point: frontend string == operator DAG, bit-for-bit)
 ORACLES["gremlin_two_hop"] = ORACLES["two_hop"]
 ORACLES["gremlin_triangle"] = ORACLES["match_triangle"]
+# Ingress delta recompute must land on the full-graph fixpoint exactly
+ORACLES["wcc_delta"] = ORACLES["wcc"]
 
 
 # ---------------------------------------------------------------------------

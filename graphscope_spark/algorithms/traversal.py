@@ -37,8 +37,11 @@ def sssp(
     checkpoint_every: int = 10,
     resume: bool = True,
     return_result: bool = False,
+    warm_start: DataFrame | None = None,
 ) -> DataFrame | SuperstepResult:
-    """Returns ``(id, distance)``; unreachable → null."""
+    """Returns ``(id, distance)``; unreachable → null. ``warm_start``
+    seeds iteration from a prior state ``(id, dist, changed)`` — the
+    Ingress delta-recompute entry (engine/ingress.sssp_delta)."""
     P = graph.num_partitions
     w = (
         F.col(weight_col).cast("double")
@@ -52,6 +55,8 @@ def sssp(
     )
 
     def init() -> DataFrame:
+        if warm_start is not None:
+            return warm_start.select("id", "dist", "changed").repartition(P, "id")
         return graph.vertices.select(
             "id",
             F.when(F.col("id") == source, 0.0).otherwise(float("inf")).alias("dist"),
@@ -100,8 +105,10 @@ def bfs(
     source: int,
     max_depth: int = 10_000,
     return_result: bool = False,
+    warm_start: DataFrame | None = None,
 ) -> DataFrame | SuperstepResult:
-    """Returns ``(id, depth)``; unreachable → -1 (bfs_generic.h default)."""
+    """Returns ``(id, depth)``; unreachable → -1 (bfs_generic.h default).
+    ``warm_start`` seeds ``(id, depth, changed)`` — engine/ingress.bfs_delta."""
     P = graph.num_partitions
     edges = (
         graph.edges.select("src", "dst")
@@ -117,18 +124,26 @@ def bfs(
         ).repartition(P, "id")
 
     def body(state: DataFrame, rnd: int) -> tuple[DataFrame, dict]:
-        frontier = state.filter("changed").select("id")
+        # depth = min(parent depth) + 1, NOT the round counter: identical on
+        # a cold start (round-r frontier has depth r-1) and stays correct
+        # when warm-started mid-fixpoint from a delta (round counters reset)
+        frontier = state.filter("changed").select("id", "depth")
         reached = (
             edges.join(frontier.hint("shuffle_hash"), edges.src == frontier.id)
             .groupBy("dst")
-            .agg(F.lit(True).alias("hit"))
+            .agg((F.min("depth") + 1).alias("cand"))
         )
-        newly = F.col("hit").isNotNull() & (F.col("depth") == -1)
+        newly = F.col("cand").isNotNull() & (
+            (F.col("depth") == -1) | (F.col("cand") < F.col("depth"))
+        )
         plan = state.join(
             reached.hint("shuffle_hash"), state.id == reached.dst, "left"
         ).select(
             state.id.alias("id"),
-            F.when(newly, rnd).otherwise(F.col("depth")).cast("int").alias("depth"),
+            F.when(newly, F.col("cand"))
+            .otherwise(F.col("depth"))
+            .cast("int")
+            .alias("depth"),
             newly.alias("changed"),
         )
 

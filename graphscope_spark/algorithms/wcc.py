@@ -39,12 +39,16 @@ def wcc(
     resume: bool = True,
     return_result: bool = False,
     mode: str = "dataframe",
+    warm_start: DataFrame | None = None,
 ) -> DataFrame | SuperstepResult:
     """Returns ``(id, component)`` — component = min vertex id reachable.
 
     ``mode="csr"`` runs the gather as the partition-local CSR kernel
     (engine/csr.csr_label_messages) instead of the relational join;
-    ``mode="logstar"`` adds pointer jumping (O(log n) rounds, cc-log.h)."""
+    ``mode="logstar"`` adds pointer jumping (O(log n) rounds, cc-log.h).
+    ``warm_start`` seeds iteration from a prior state ``(id, label,
+    changed)`` instead of the identity labeling — the Ingress
+    delta-recompute entry (engine/ingress.wcc_delta)."""
     P = graph.num_partitions
     und = graph.to_undirected(dedup=True)
     edges = und.edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
@@ -56,6 +60,8 @@ def wcc(
         blocks = build_csr_blocks(edges.withColumn("share", F.lit(0.0)), P)
 
     def init() -> DataFrame:
+        if warm_start is not None:
+            return warm_start.select("id", "label", "changed").repartition(P, "id")
         return graph.vertices.select(
             "id", F.col("id").alias("label"), F.lit(True).alias("changed")
         ).repartition(P, "id")

@@ -1,0 +1,145 @@
+"""Ingress-style incremental recomputation for monotone kernels.
+
+Reference: ``docs/analytical_engine/ingress.md`` — GraphScope's Ingress
+engine re-runs an iterative app on a *delta* of the input instead of from
+scratch, exploiting that for monotone kernels (wcc / sssp / bfs under edge
+ADDITION) the converged state remains a valid lower/upper bound: adding
+edges can only merge components, shorten distances, or shallow depths, so
+resuming the fixpoint with the new edges' endpoints as the frontier reaches
+exactly the full-recompute answer in rounds proportional to how far the
+delta's effect propagates.
+
+Each function takes the BASE graph, the new edge rows, and the converged
+base output (the kernel's own result schema) and returns the same schema
+the full kernel would produce on ``graph.add_edges(new_edges)`` —
+bit-for-bit (see tests/test_ingress.py).
+
+Deletions are NOT monotone (a removed edge can invalidate arbitrarily much
+of the converged state); the reference handles that case with full
+recomputation, and so do we — callers should re-run the kernel on the
+mutated graph.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphscope_spark.graph.graph import Graph
+
+__all__ = ["wcc_delta", "sssp_delta", "bfs_delta"]
+
+
+def _endpoints(new_edges: DataFrame, side: str | None = None) -> DataFrame:
+    if side == "src":
+        e = new_edges.select(F.col("src").cast("long").alias("id"))
+    else:
+        e = new_edges.select(F.col("src").cast("long").alias("id")).unionByName(
+            new_edges.select(F.col("dst").cast("long").alias("id"))
+        )
+    return e.distinct().withColumn("_touched", F.lit(True))
+
+
+def wcc_delta(
+    graph: Graph,
+    new_edges: DataFrame,
+    prev_components: DataFrame,
+    max_iter: int = 200,
+    mode: str = "dataframe",
+) -> DataFrame:
+    """``(id, component)`` over ``graph.add_edges(new_edges)``, resumed from
+    the converged base labeling ``prev_components`` (id, component).
+
+    Seeds: every delta-edge endpoint (labels may merge across the new edge)
+    plus vertices the delta introduced (labeled with their own id)."""
+    from graphscope_spark.algorithms.wcc import wcc
+
+    g2 = graph.add_edges(new_edges)
+    prev = prev_components.select(
+        "id", F.col("component").cast("long").alias("label")
+    )
+    state = (
+        g2.vertices.select("id")
+        .join(prev, "id", "left")
+        .join(_endpoints(new_edges), "id", "left")
+        .select(
+            "id",
+            F.coalesce("label", F.col("id")).alias("label"),
+            (F.col("_touched").isNotNull() | F.col("label").isNull()).alias(
+                "changed"
+            ),
+        )
+    )
+    return wcc(g2, max_iter=max_iter, mode=mode, warm_start=state)
+
+
+def sssp_delta(
+    graph: Graph,
+    new_edges: DataFrame,
+    prev_distances: DataFrame,
+    source: int,
+    weight_col: str | None = "weight",
+    max_iter: int = 10_000,
+) -> DataFrame:
+    """``(id, distance)`` over the edge-augmented graph, resumed from the
+    converged base distances (id, distance; null = unreachable).
+
+    Only a delta edge's SOURCE endpoint can start an improvement (relaxation
+    flows src→dst), so those are the frontier; anything they improve joins
+    the frontier through the normal superstep loop."""
+    from graphscope_spark.algorithms.traversal import sssp
+
+    g2 = graph.add_edges(new_edges)
+    prev = prev_distances.select(
+        "id", F.col("distance").cast("double").alias("pdist")
+    )
+    state = (
+        g2.vertices.select("id")
+        .join(prev, "id", "left")
+        .join(_endpoints(new_edges, side="src"), "id", "left")
+        .select(
+            "id",
+            F.coalesce(
+                "pdist",
+                F.when(F.col("id") == source, 0.0).otherwise(float("inf")),
+            ).alias("dist"),
+            F.col("_touched").isNotNull().alias("changed"),
+        )
+    )
+    return sssp(
+        g2, source, weight_col=weight_col, max_iter=max_iter, warm_start=state
+    )
+
+
+def bfs_delta(
+    graph: Graph,
+    new_edges: DataFrame,
+    prev_depths: DataFrame,
+    source: int,
+    max_depth: int = 10_000,
+) -> DataFrame:
+    """``(id, depth)`` over the edge-augmented graph, resumed from the
+    converged base depths (id, depth; -1 = unreachable)."""
+    from graphscope_spark.algorithms.traversal import bfs
+
+    g2 = graph.add_edges(new_edges)
+    prev = prev_depths.select("id", F.col("depth").cast("int").alias("pdepth"))
+    state = (
+        g2.vertices.select("id")
+        .join(prev, "id", "left")
+        .join(_endpoints(new_edges, side="src"), "id", "left")
+        .select(
+            "id",
+            F.coalesce(
+                "pdepth",
+                F.when(F.col("id") == source, 0).otherwise(-1),
+            )
+            .cast("int")
+            .alias("depth"),
+            (
+                F.col("_touched").isNotNull()
+                & (F.coalesce("pdepth", F.lit(-1)) >= 0)
+            ).alias("changed"),
+        )
+    )
+    return bfs(g2, source, max_depth=max_depth, warm_start=state)

@@ -1,0 +1,127 @@
+"""Ingress delta recompute == full recompute, bit-for-bit (ingress.md)."""
+
+from __future__ import annotations
+
+import random
+
+from tests.conftest import make_graph
+
+from graphscope_spark.engine.ingress import bfs_delta, sssp_delta, wcc_delta
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _rand_edges(n, m, seed):
+    random.seed(seed)
+    edges = set()
+    while len(edges) < m:
+        a, b = random.randrange(n), random.randrange(n)
+        if a != b:
+            edges.add((a, b))
+    return sorted(edges)
+
+
+def test_wcc_delta_equals_full(spark):
+    from graphscope_spark.algorithms.wcc import wcc
+
+    n = 40
+    base = _rand_edges(n, 50, seed=11)
+    delta = _rand_edges(n, 12, seed=99)
+    delta = [e for e in delta if e not in set(base)]
+    g = make_graph(spark, base, vertices=list(range(n)))
+    prev = wcc(g)
+    ddf = spark.createDataFrame(delta, "src long, dst long")
+    got = _rows(wcc_delta(g, ddf, prev))
+    want = _rows(wcc(g.add_edges(ddf)))
+    assert got == want
+
+
+def test_wcc_delta_new_vertices(spark):
+    from graphscope_spark.algorithms.wcc import wcc
+
+    g = make_graph(spark, [(0, 1), (2, 3)], vertices=[0, 1, 2, 3])
+    prev = wcc(g)
+    # delta introduces vertices 4,5 and merges the two components via 4
+    ddf = spark.createDataFrame(
+        [(1, 4), (4, 2), (5, 5 + 100)], "src long, dst long"
+    )
+    got = _rows(wcc_delta(g, ddf, prev))
+    want = _rows(wcc(g.add_edges(ddf)))
+    assert got == want
+    comp = dict((r[0], r[1]) for r in got)
+    assert comp[0] == comp[3] == 0  # merged through the new vertex 4
+
+
+def test_sssp_delta_equals_full(spark):
+    from graphscope_spark.algorithms.traversal import sssp
+
+    n = 40
+    base = _rand_edges(n, 60, seed=3)
+    random.seed(17)
+    basew = [(a, b, 1.0 + (a * 7 + b) % 5) for a, b in base]
+    delta = [e for e in _rand_edges(n, 10, seed=55) if e not in set(base)]
+    deltaw = [(a, b, 0.5) for a, b in delta]  # short edges → real improvements
+    g = make_graph(spark, basew, vertices=list(range(n)), weights=True)
+    prev = sssp(g, 0)
+    ddf = spark.createDataFrame(deltaw, "src long, dst long, weight double")
+    got = _rows(sssp_delta(g, ddf, prev, 0))
+    want = _rows(sssp(g.add_edges(ddf), 0))
+    assert got == want
+
+
+def test_bfs_delta_equals_full(spark):
+    from graphscope_spark.algorithms.traversal import bfs
+
+    n = 40
+    base = _rand_edges(n, 55, seed=23)
+    delta = [e for e in _rand_edges(n, 10, seed=77) if e not in set(base)]
+    g = make_graph(spark, base, vertices=list(range(n)))
+    prev = bfs(g, 0)
+    ddf = spark.createDataFrame(delta, "src long, dst long")
+    got = _rows(bfs_delta(g, ddf, prev, 0))
+    want = _rows(bfs(g.add_edges(ddf), 0))
+    assert got == want
+
+
+def test_bfs_delta_unreachable_island_connected(spark):
+    from graphscope_spark.algorithms.traversal import bfs
+
+    # base: 0→1→2 and island 10→11 (unreachable); delta connects 2→10
+    g = make_graph(spark, [(0, 1), (1, 2), (10, 11)], vertices=[0, 1, 2, 10, 11])
+    prev = bfs(g, 0)
+    ddf = spark.createDataFrame([(2, 10)], "src long, dst long")
+    got = dict((r[0], r[1]) for r in bfs_delta(g, ddf, prev, 0).collect())
+    assert got == {0: 0, 1: 1, 2: 2, 10: 3, 11: 4}
+
+
+def test_warm_start_fewer_rounds_on_chain(spark):
+    """The Ingress payoff: extending a long converged chain by one edge
+    converges in O(1) rounds, not O(diameter)."""
+    from graphscope_spark.algorithms.wcc import wcc
+
+    n = 60
+    chain = [(i, i + 1) for i in range(n - 1)]
+    g = make_graph(spark, chain, vertices=list(range(n)))
+    full = wcc(g.add_edges(
+        spark.createDataFrame([(n - 1, n)], "src long, dst long")
+    ), return_result=True)
+    prev = wcc(g)
+    from pyspark.sql import functions as F
+
+    g2 = g.add_edges(spark.createDataFrame([(n - 1, n)], "src long, dst long"))
+    state = (
+        g2.vertices.select("id")
+        .join(prev.select("id", F.col("component").alias("label")), "id", "left")
+        .select(
+            "id",
+            F.coalesce("label", F.col("id")).alias("label"),
+            (F.col("id") >= n - 1).alias("changed"),
+        )
+    )
+    warm = wcc(g2, warm_start=state, return_result=True)
+    assert warm.rounds < full.rounds / 4
+    assert _rows(warm.state.select("id", "label")) == _rows(
+        full.state.select("id", "label")
+    )
