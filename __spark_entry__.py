@@ -2034,6 +2034,19 @@ def _q_cypher_match(spark, sf_dir):
     )
 
 
+def _q_sssp_delta_step(spark, sf_dir):
+    """Δ-stepping SSSP (apps/flash/traversal/sssp-dlt-step.h): bucketed
+    light/heavy relaxation over the weighted customer graph — must land on
+    exactly sssp's distances (shares its oracle SQL). The trade vs the
+    Bellman-Ford frontier is bounded re-relaxation (shuffle volume), not
+    round count — measured honestly in tests/test_delta_stepping.py."""
+    from graphscope_spark.algorithms.traversal import sssp_delta_stepping
+
+    return sssp_delta_stepping(
+        _customer_graph(spark, sf_dir, weighted=True), source=0
+    ).orderBy("id")
+
+
 def _q_wcc_delta(spark, sf_dir):
     """Ingress delta recompute (docs/analytical_engine/ingress.md): wcc
     converges on ~92% of the customer-graph edges, then resumes with the
@@ -2601,6 +2614,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gremlin_two_hop": _q_gremlin_two_hop,
     "gremlin_triangle": _q_gremlin_triangle,
     "wcc_delta": _q_wcc_delta,
+    "sssp_delta_step": _q_sssp_delta_step,
     "rectangles": _q_rectangles,
     "cyclic_triangles": _q_cyclic_triangles,
     "tailed_triangles": _q_tailed_triangles,
@@ -2640,7 +2654,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "group_agg_events": _q_group_agg_events,
     "exists_subquery": _q_exists_subquery,
     "expr_surface": _q_expr_surface,
-    "maximal_matching": _q_maximal_matching,
     "msf": _q_msf,
     "bridges": _q_bridges,
     "articulation": _q_articulation,
@@ -2655,6 +2668,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "closeness": _q_closeness,
     "eigenvector": _q_eigenvector,
     "mis": _q_mis,
+    "maximal_matching": _q_maximal_matching,
     "four_cliques": _q_four_cliques,
     "diameter_2sweep": _q_diameter,
     "hetero_degree": _q_hetero_degree,
@@ -2967,6 +2981,8 @@ ORACLES["gremlin_two_hop"] = ORACLES["two_hop"]
 ORACLES["gremlin_triangle"] = ORACLES["match_triangle"]
 # Ingress delta recompute must land on the full-graph fixpoint exactly
 ORACLES["wcc_delta"] = ORACLES["wcc"]
+# Δ-stepping must land on exactly the Bellman-Ford distances
+ORACLES["sssp_delta_step"] = ORACLES["sssp"]
 
 
 # ---------------------------------------------------------------------------
