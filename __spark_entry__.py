@@ -2034,6 +2034,150 @@ def _q_cypher_match(spark, sf_dir):
     )
 
 
+def _q_fluid(spark, sf_dir):
+    """Fluid communities (flash fluid-community.h / fluid-by-color.h) on a
+    clique-pair fixture: cliques of 4 bridged in pairs, one seed per pair —
+    every pair must converge to exactly one 8-vertex community, and the
+    density weighting (1/cnt) plus color-scheduled async updates are
+    replayed by the unrolled oracle."""
+    from graphscope_spark.algorithms.fluid import fluid_communities
+    from graphscope_spark.graph.graph import Graph
+
+    customer = _load(spark, sf_dir, "customer")
+    n = customer.count()
+    cap = min(600, n)
+    G = 4
+    ngroups = cap // G
+    verts = customer.selectExpr("c_custkey AS id").where(f"id < {G * ngroups}")
+    a = verts.selectExpr("id AS src", f"CAST(id / {G} AS LONG) AS grp")
+    b = verts.selectExpr("id AS dst", f"CAST(id / {G} AS LONG) AS grp")
+    cliques = a.join(b, "grp").where("src < dst").select("src", "dst")
+    bridges = (
+        spark.range(ngroups - 1)
+        .where("id % 2 = 0")
+        .selectExpr(f"{G}*id+{G - 1} AS src", f"{G}*(id+1)+{G - 2} AS dst")
+    )
+    g = Graph(
+        cliques.unionByName(bridges), vertices=verts,
+        num_partitions=NUM_PARTITIONS,
+    )
+    seeds = [G * 2 * t for t in range((ngroups + 1) // 2)]
+    return (
+        fluid_communities(g, seeds)
+        .select("id", F.col("label").cast("long").alias("label"))
+        .orderBy("id")
+    )
+
+
+def _fluid_sql(crounds: int = 16, sweeps: int = 7, maxcolors: int = 5) -> str:
+    """Self-contained replay of _q_fluid: fixture edges → unrolled coloring
+    → sweeps × color-class fluid updates with per-sweep frozen community
+    sizes. Scores are single integer divisions (a/csize), so doubles are
+    bit-identical to Spark's; argmax = min(ROW(-score, lab)) lexicographic.
+    Poison rows: -8 coloring non-fixpoint, -7 color overflow, -9 fluid
+    non-convergence (last two sweep-ends differ)."""
+    G = 4
+    ctes = [
+        f"""fv AS MATERIALIZED (
+          SELECT c_custkey AS id FROM customer
+          WHERE c_custkey < {G} * (least(600, (SELECT count(*) FROM customer)) // {G}))""",
+        f"fng AS MATERIALIZED (SELECT least(600, (SELECT count(*) FROM customer)) // {G} AS ng)",
+        f"""fce AS MATERIALIZED (
+          SELECT a.id AS src, b.id AS dst FROM fv a JOIN fv b
+          ON a.id // {G} = b.id // {G} AND a.id < b.id)""",
+        f"""fbr AS MATERIALIZED (
+          SELECT {G}*g+{G - 1} AS src, {G}*(g+1)+{G - 2} AS dst
+          FROM (SELECT unnest(range(0, (SELECT ng FROM fng) - 1)) AS g)
+          WHERE g % 2 = 0)""",
+        """fund AS MATERIALIZED (
+          SELECT src, dst FROM fce UNION ALL SELECT dst, src FROM fce
+          UNION ALL SELECT src, dst FROM fbr UNION ALL SELECT dst, src FROM fbr)""",
+        "fduv AS MATERIALIZED (SELECT src AS id, count(*)::BIGINT AS d FROM fund GROUP BY src)",
+        """fhed AS MATERIALIZED (
+          SELECT e.src, e.dst FROM fund e
+          JOIN fduv s ON s.id = e.src JOIN fduv t ON t.id = e.dst
+          WHERE s.d > t.d OR (s.d = t.d AND e.src > e.dst))""",
+        "fc0 AS MATERIALIZED (SELECT id, 0 AS c FROM fv)",
+    ]
+    for r in range(1, crounds + 1):
+        p = r - 1
+        ctes.append(
+            f"""fcu{r} AS MATERIALIZED (
+              SELECT h.dst AS id, list(DISTINCT sc.c) AS cols
+              FROM fhed h JOIN fc{p} sc ON sc.id = h.src GROUP BY h.dst)"""
+        )
+        ctes.append(
+            f"""fc{r} AS MATERIALIZED (
+              SELECT v.id, CASE WHEN u.cols IS NULL THEN 0 ELSE
+                list_min(list_filter(range(0, len(u.cols) + 1),
+                                     x -> NOT list_contains(u.cols, x)))
+              END AS c
+              FROM fc{p} v LEFT JOIN fcu{r} u ON u.id = v.id)"""
+        )
+    ctes.append(
+        f"""fseed AS MATERIALIZED (
+          SELECT ({G * 2} * t)::BIGINT AS id, t::INT AS slab
+          FROM (SELECT unnest(range(0, ((SELECT ng FROM fng) + 1) // 2)) AS t))"""
+    )
+    ctes.append(
+        f"""fl_0_f AS MATERIALIZED (
+          SELECT c.id, coalesce(s.slab, -1)::INT AS lab, c.c AS col
+          FROM fc{crounds} c LEFT JOIN fseed s ON s.id = c.id)"""
+    )
+    cur = "fl_0_f"
+    sweep_ends = ["fl_0_f"]
+    for sw in range(1, sweeps + 1):
+        ctes.append(
+            f"""fsz{sw} AS MATERIALIZED (
+              SELECT lab, count(*)::BIGINT AS csize FROM {cur}
+              WHERE lab >= 0 GROUP BY lab)"""
+        )
+        for j in range(maxcolors):
+            ctes.append(
+                f"""fq_{sw}_{j} AS MATERIALIZED (
+                  SELECT q.id, q.lab, count(*)::BIGINT AS a FROM (
+                    SELECT id, lab FROM {cur} WHERE lab >= 0
+                    UNION ALL
+                    SELECT e.dst AS id, l.lab FROM fund e
+                    JOIN {cur} l ON l.id = e.src WHERE l.lab >= 0) q
+                  WHERE q.id IN (SELECT id FROM {cur} WHERE col = {j})
+                  GROUP BY q.id, q.lab)"""
+            )
+            ctes.append(
+                f"""fb_{sw}_{j} AS MATERIALIZED (
+                  SELECT id,
+                    min(ROW(-(a::DOUBLE / csize::DOUBLE), lab)
+                        ::STRUCT(ns DOUBLE, bl INT)) AS m,
+                    max(CASE WHEN lab = curlab
+                             THEN a::DOUBLE / csize::DOUBLE END) AS curscore
+                  FROM (SELECT c.id, c.lab, c.a, z.csize, t.lab AS curlab
+                        FROM fq_{sw}_{j} c JOIN fsz{sw} z ON z.lab = c.lab
+                        JOIN {cur} t ON t.id = c.id) q
+                  GROUP BY id)"""
+            )
+            ctes.append(
+                f"""fl_{sw}_{j} AS MATERIALIZED (
+                  SELECT t.id,
+                    CASE WHEN b.id IS NOT NULL AND (b.curscore IS NULL
+                           OR -struct_extract(b.m, 'ns') > b.curscore)
+                         THEN struct_extract(b.m, 'bl')
+                         ELSE t.lab END::INT AS lab,
+                    t.col
+                  FROM {cur} t LEFT JOIN fb_{sw}_{j} b ON b.id = t.id)"""
+            )
+            cur = f"fl_{sw}_{j}"
+        sweep_ends.append(cur)
+    last, prev = sweep_ends[-1], sweep_ends[-2]
+    return "WITH RECURSIVE " + ",".join(ctes) + f"""
+    SELECT id, lab::BIGINT AS label FROM {last}
+    UNION ALL SELECT DISTINCT -8, -8 FROM fc{crounds} a
+      JOIN fc{crounds - 1} b ON a.id = b.id AND a.c <> b.c
+    UNION ALL SELECT DISTINCT -7, -7 FROM fc{crounds} WHERE c >= {maxcolors}
+    UNION ALL SELECT DISTINCT -9, -9 FROM {last} a
+      JOIN {prev} b ON a.id = b.id AND a.lab <> b.lab
+    ORDER BY id"""
+
+
 def _q_sssp_delta_step(spark, sf_dir):
     """Δ-stepping SSSP (apps/flash/traversal/sssp-dlt-step.h): bucketed
     light/heavy relaxation over the weighted customer graph — must land on
@@ -2615,6 +2759,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gremlin_triangle": _q_gremlin_triangle,
     "wcc_delta": _q_wcc_delta,
     "sssp_delta_step": _q_sssp_delta_step,
+    "fluid_community": _q_fluid,
     "rectangles": _q_rectangles,
     "cyclic_triangles": _q_cyclic_triangles,
     "tailed_triangles": _q_tailed_triangles,
@@ -2656,7 +2801,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "expr_surface": _q_expr_surface,
     "msf": _q_msf,
     "bridges": _q_bridges,
-    "articulation": _q_articulation,
     "louvain_cliques": _q_louvain_cliques,
     "apsp": _q_apsp,
     # ---- position > 50: checked by tests/test_entry_oracle.py every run --
@@ -2669,6 +2813,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "eigenvector": _q_eigenvector,
     "mis": _q_mis,
     "maximal_matching": _q_maximal_matching,
+    "articulation": _q_articulation,
     "four_cliques": _q_four_cliques,
     "diameter_2sweep": _q_diameter,
     "hetero_degree": _q_hetero_degree,
@@ -2983,6 +3128,7 @@ ORACLES["gremlin_triangle"] = ORACLES["match_triangle"]
 ORACLES["wcc_delta"] = ORACLES["wcc"]
 # Δ-stepping must land on exactly the Bellman-Ford distances
 ORACLES["sssp_delta_step"] = ORACLES["sssp"]
+ORACLES["fluid_community"] = _fluid_sql(16, 7, 5)
 
 
 # ---------------------------------------------------------------------------
