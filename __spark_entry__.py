@@ -2034,6 +2034,38 @@ def _q_cypher_match(spark, sf_dir):
     )
 
 
+def _q_directed_census(spark, sf_dir):
+    """The four directed-triangle counts (flash/subgraph/acyclic-triangle.h,
+    in-triangle.h, out-triangle.h, cycle-plus-triangle.h) in one row —
+    integer-exact wedge-join sums over the directed customer graph."""
+    from graphscope_spark.algorithms.subgraph_counts import (
+        directed_triangle_census,
+    )
+
+    return directed_triangle_census(_customer_graph(spark, sf_dir))
+
+
+_MUTUAL_M = (
+    "(SELECT a.src AS u, a.dst AS v FROM edges a "
+    "JOIN edges b ON b.src = a.dst AND b.dst = a.src{orient}) m"
+)
+
+_DIRECTED_CENSUS_SQL_BODY = f"""
+  SELECT
+   (SELECT count(*) FROM edges e1 JOIN edges e2 ON e2.src = e1.src
+      JOIN edges e3 ON e3.src = e1.dst AND e3.dst = e2.dst)::BIGINT AS acyclic,
+   (SELECT count(*) FROM {_MUTUAL_M.format(orient=" WHERE a.src > a.dst")}
+      JOIN edges e2 ON e2.src = m.u
+      JOIN edges e3 ON e3.src = m.v AND e3.dst = e2.dst)::BIGINT AS in_tri,
+   (SELECT count(*) FROM {_MUTUAL_M.format(orient=" WHERE a.src > a.dst")}
+      JOIN edges e2 ON e2.dst = m.u
+      JOIN edges e3 ON e3.dst = m.v AND e3.src = e2.src)::BIGINT AS out_tri,
+   (SELECT count(*) FROM {_MUTUAL_M.format(orient="")}
+      JOIN edges e2 ON e2.dst = m.u
+      JOIN edges e3 ON e3.src = m.v AND e3.dst = e2.src)::BIGINT AS cycle_plus
+"""
+
+
 def _q_fluid(spark, sf_dir):
     """Fluid communities (flash fluid-community.h / fluid-by-color.h) on a
     clique-pair fixture: cliques of 4 bridged in pairs, one seed per pair —
@@ -2760,6 +2792,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wcc_delta": _q_wcc_delta,
     "sssp_delta_step": _q_sssp_delta_step,
     "fluid_community": _q_fluid,
+    "directed_census": _q_directed_census,
     "rectangles": _q_rectangles,
     "cyclic_triangles": _q_cyclic_triangles,
     "tailed_triangles": _q_tailed_triangles,
@@ -2800,7 +2833,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exists_subquery": _q_exists_subquery,
     "expr_surface": _q_expr_surface,
     "msf": _q_msf,
-    "bridges": _q_bridges,
     "louvain_cliques": _q_louvain_cliques,
     "apsp": _q_apsp,
     # ---- position > 50: checked by tests/test_entry_oracle.py every run --
@@ -2814,6 +2846,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mis": _q_mis,
     "maximal_matching": _q_maximal_matching,
     "articulation": _q_articulation,
+    "bridges": _q_bridges,
     "four_cliques": _q_four_cliques,
     "diameter_2sweep": _q_diameter,
     "hetero_degree": _q_hetero_degree,
@@ -3129,6 +3162,9 @@ ORACLES["wcc_delta"] = ORACLES["wcc"]
 # Δ-stepping must land on exactly the Bellman-Ford distances
 ORACLES["sssp_delta_step"] = ORACLES["sssp"]
 ORACLES["fluid_community"] = _fluid_sql(16, 7, 5)
+ORACLES["directed_census"] = _with(
+    "dummy AS (SELECT 1 AS one)"
+) + _DIRECTED_CENSUS_SQL_BODY
 
 
 # ---------------------------------------------------------------------------

@@ -51,3 +51,41 @@ def test_subgraph_counts(spark):
     ]
     tt = sum(len(adj[v]) - 2 for t in tris for v in t)
     assert tailed_triangles(g).collect()[0]["n"] == tt
+
+
+def test_directed_census_brute_force(spark):
+    """The four directed-triangle counts vs a literal Python rendering of
+    the reference headers' set-intersection sums."""
+    import random
+
+    from tests.conftest import make_graph
+
+    from graphscope_spark.algorithms.subgraph_counts import (
+        directed_triangle_census,
+    )
+
+    random.seed(41)
+    n = 18
+    edges = set()
+    while len(edges) < 70:
+        a, b = random.randrange(n), random.randrange(n)
+        if a != b:
+            edges.add((a, b))
+    # force some mutual pairs so in/out/cycle counts are non-trivial
+    for a, b in list(edges)[:15]:
+        edges.add((b, a))
+    E = sorted(edges)
+    out = {v: {b for a, b in E if a == v} for v in range(n)}
+    inn = {v: {a for a, b in E if b == v} for v in range(n)}
+    acyclic = sum(len(out[u] & out[v]) for u, v in E)
+    mutual = [(u, v) for u, v in E if (v, u) in edges]
+    in_tri = sum(len(out[u] & out[v]) for u, v in mutual if u > v)
+    out_tri = sum(len(inn[u] & inn[v]) for u, v in mutual if u > v)
+    cycle_plus = sum(len(inn[u] & out[v]) for u, v in mutual)
+    assert in_tri > 0 and out_tri > 0 and cycle_plus > 0 and acyclic > 0
+
+    g = make_graph(spark, E, vertices=list(range(n)))
+    row = directed_triangle_census(g).collect()[0]
+    assert (
+        row["acyclic"], row["in_tri"], row["out_tri"], row["cycle_plus"]
+    ) == (acyclic, in_tri, out_tri, cycle_plus)
