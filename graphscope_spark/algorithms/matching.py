@@ -323,7 +323,17 @@ def min_edge_cover(graph: Graph, max_rounds: int = 256) -> DataFrame:
     match; proposals aimed at vertices touched this round are cleared and
     re-proposed); every remaining unmatched non-isolated vertex is then
     covered by its min-(degree, id) incident edge. Deterministic
-    (the reference's own tie-break is already (nb.d, nb_id))."""
+    (the reference's own tie-break is already (nb.d, nb_id)).
+
+    Measured negative results on barrier reduction (r4, sf0.1 A/B, same
+    session): (a) a fused single-state (id, prop, partner) loop with 2
+    checkpoints/round hits exponentially growing localCheckpoint times
+    after ~8 rounds (0.7s → 121s/round at sf0.001) despite truncated
+    plans and constant row counts; (b) keeping this layout but leaving
+    `newly`/`cleared` lazy (3 checkpoints/round) measured 81.6s vs 66.6s
+    for this 5-checkpoint version. The 5 materializations stand — each
+    intermediate here is referenced 2+ times per round, and on this
+    engine recomputing them costs more than checkpointing them."""
     P = graph.num_partitions
     und = graph.to_undirected(dedup=True)
     edges = (
