@@ -356,6 +356,27 @@ def write_report(payload: dict, best: dict | None = None) -> None:
             "series above demonstrates (throughput still rising at the",
             "largest point that fits the 16g heap).",
         ]
+    lines += [
+        "",
+        "## Measured A/B decisions (negative results kept on record)",
+        "",
+        "| alternative | measured | decision |",
+        "|---|---|---|",
+        "| PageRank mode=csr (CSR gather-scatter in applyInPandas) at the "
+        "100M headline | 86.58s / 6.93 MTEPS vs dataframe 39.81s / 15.07 "
+        "MTEPS (6 rounds, fresh JVMs, same host phase — r4; 2.6x slower at "
+        "32M in r3) | dataframe stays the headline path: cogroup Arrow-ships "
+        "the static CSR blocks to Python every round |",
+        "| multi-round plan fusion | 4.5x slower (no exchange reuse, r1) "
+        "| one materialization per round |",
+        "| 40g driver heap | 3x slower than 16g at local[32] (r1) | 16g |",
+        "| spark.shuffle.compress=false | 3.6x slower (r3) | lz4 on |",
+        "| shuffle partitions 64 at 200M | ~40% worse than 32 (r3) | 32 |",
+        "| zstd shuffle codec | steady +8% but whole-run -8% (r3) | lz4 |",
+        "| min_edge_cover 2-3 checkpoints/round | 81.6s vs 66.6s for 5 "
+        "checkpoints at sf0.1 (r4) | keep 5 — intermediates referenced 2+ "
+        "times/round are cheaper materialized |",
+    ]
     cb = payload.get("closeness_batching")
     if cb:
         lines += [
