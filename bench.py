@@ -291,7 +291,10 @@ def write_report(payload: dict, best: dict | None = None) -> None:
         "| steady MTEPS |",
         "|---|---|---|---|---|---|---|---|",
     ]
-    keys = ["small", "large", "large_4x_data", "small_headline", "headline_100m"]
+    keys = [
+        "small", "large", "large_4x_data", "small_headline", "headline_100m",
+        "small_xl",
+    ]
     keys += sorted(
         (k for k in s if k.startswith("xl_")),
         key=lambda k: int(k[3:-1]),
@@ -411,6 +414,14 @@ def write_report(payload: dict, best: dict | None = None) -> None:
             "north rule's cluster-scale inputs the job is compute-bound and "
             "this trend is what carries it toward the ≥0.8 target",
         ]
+    if "strong_efficiency_xl" in s:
+        xl_edges = s.get("small_xl", {}).get("edges", 0)
+        lines += [
+            f"- strong scaling efficiency ({SMALL_CORES}→{CPUS} cores, "
+            f"{xl_edges // 1_000_000}M edges): "
+            f"**{s['strong_efficiency_xl']}** — the third point of the "
+            "rising efficiency-vs-input-size trend",
+        ]
     if "weak_efficiency" in s:
         lines += [
             f"- weak scaling efficiency ({SMALL_CORES} cores/E → {CPUS} cores/4·E): "
@@ -498,6 +509,16 @@ def main() -> None:
                 )
             except Exception as exc:  # noqa: BLE001
                 scaling["small_headline"] = {"error": str(exc)[:500]}
+        # strong scaling at the FIRST XL size too: the N→4N efficiency trend
+        # vs input size is the north-rule evidence this sandbox can show
+        if XL_EDGES and os.environ.get("SPARK_GRAFT_SKIP_XL_STRONG") != "1":
+            if time.time() - t_start <= DEADLINE_SEC:
+                try:
+                    scaling["small_xl"] = _pagerank_run(
+                        SMALL_CORES, XL_EDGES[0], rounds=6, timeout=3600
+                    )
+                except Exception as exc:  # noqa: BLE001
+                    scaling["small_xl"] = {"error": str(exc)[:500]}
         for xl in XL_EDGES:
             # XL points are trend evidence (steady MTEPS); 6 rounds give the
             # same per-iter median at ~60% of the cost. A soft deadline keeps
@@ -525,6 +546,17 @@ def main() -> None:
             scaling["strong_efficiency_headline"] = round(
                 scaling["small_headline"]["total_sec"]
                 / scaling["headline_100m"]["total_sec"] / ratio,
+                3,
+            )
+        xl0 = f"xl_{XL_EDGES[0] // 1_000_000}m" if XL_EDGES else None
+        if (
+            xl0
+            and "error" not in scaling.get("small_xl", {"error": 1})
+            and "error" not in scaling.get(xl0, {"error": 1})
+        ):
+            scaling["strong_efficiency_xl"] = round(
+                scaling["small_xl"]["total_sec"]
+                / scaling[xl0]["total_sec"] / ratio,
                 3,
             )
         scaling["weak_efficiency"] = round(
