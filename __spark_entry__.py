@@ -2034,6 +2034,20 @@ def _q_cypher_match(spark, sf_dir):
     )
 
 
+def _q_cypher_varlen(spark, sf_dir):
+    """Variable-length Cypher pattern -[:knows*1..2]-> lowered onto
+    PathExpand with TRAIL semantics (GIE PathExpand, algebra.proto:314-358):
+    per-path bag multiplicities, endpoint-only label/predicate binding,
+    start-set pushdown of a.id < 50."""
+    from graphscope_spark.operators.cypher import cypher_property
+
+    return cypher_property(
+        _property_graph(spark, sf_dir),
+        "MATCH (a:customer)-[:knows*1..2]->(b:customer) WHERE a.id < 50 "
+        "RETURN b.id AS id, count(*) AS n_paths",
+    ).orderBy("id")
+
+
 def _q_directed_census(spark, sf_dir):
     """The four directed-triangle counts (flash/subgraph/acyclic-triangle.h,
     in-triangle.h, out-triangle.h, cycle-plus-triangle.h) in one row —
@@ -2793,6 +2807,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sssp_delta_step": _q_sssp_delta_step,
     "fluid_community": _q_fluid,
     "directed_census": _q_directed_census,
+    "cypher_varlen": _q_cypher_varlen,
     "rectangles": _q_rectangles,
     "cyclic_triangles": _q_cyclic_triangles,
     "tailed_triangles": _q_tailed_triangles,
@@ -2832,7 +2847,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "group_agg_events": _q_group_agg_events,
     "exists_subquery": _q_exists_subquery,
     "expr_surface": _q_expr_surface,
-    "msf": _q_msf,
     "louvain_cliques": _q_louvain_cliques,
     "apsp": _q_apsp,
     # ---- position > 50: checked by tests/test_entry_oracle.py every run --
@@ -2847,6 +2861,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "maximal_matching": _q_maximal_matching,
     "articulation": _q_articulation,
     "bridges": _q_bridges,
+    "msf": _q_msf,
     "four_cliques": _q_four_cliques,
     "diameter_2sweep": _q_diameter,
     "hetero_degree": _q_hetero_degree,
@@ -3165,6 +3180,20 @@ ORACLES["fluid_community"] = _fluid_sql(16, 7, 5)
 ORACLES["directed_census"] = _with(
     "dummy AS (SELECT 1 AS one)"
 ) + _DIRECTED_CENSUS_SQL_BODY
+# var-length 1..2 knows-paths: trail semantics needs no dedup at hop 2
+# (reusing the single relationship would require src = dst, excluded)
+ORACLES["cypher_varlen"] = """
+WITH knows AS (
+  SELECT DISTINCT o_custkey AS src,
+         (o_orderkey * 97) % (SELECT count(*) FROM customer) AS dst
+  FROM orders
+  WHERE o_custkey <> (o_orderkey * 97) % (SELECT count(*) FROM customer))
+SELECT dst AS id, count(*)::BIGINT AS n_paths FROM (
+  SELECT src, dst FROM knows WHERE src < 50
+  UNION ALL
+  SELECT k1.src, k2.dst FROM knows k1
+  JOIN knows k2 ON k2.src = k1.dst WHERE k1.src < 50
+) p GROUP BY dst ORDER BY id"""
 
 
 # ---------------------------------------------------------------------------

@@ -31,7 +31,10 @@ Grammar (subset)::
     query  := MATCH path (, path)* [WHERE pred (AND pred)*]
               RETURN [DISTINCT] item (, item)*
     node   := '(' tag [':' label] ')'
-    edge   := -[var?][:elabel?]-> | <-[...]- | -[...]- | --> | <-- | --
+    edge   := -[var?][:elabel?][*lo..hi]-> | <-[...]- | -[...]- | --> | <-- | --
+              (variable-length patterns need a finite upper bound and lower
+              to PathExpand with TRAIL semantics; labels/predicates bind the
+              endpoints only, as in Cypher)
     item   := count(*) [AS a] | tag [AS a] | tag.prop [AS a]
     pred   := operand (= | <> | != | < | <= | > | >=) operand
     operand:= tag.prop | tag | int | float | 'string'
@@ -55,7 +58,8 @@ _NODE = re.compile(
 )
 _EDGE = re.compile(
     r"(<-|-)\s*(?:\[\s*([A-Za-z_][A-Za-z_0-9]*)?\s*"
-    r"(?::\s*([A-Za-z_][A-Za-z_0-9]*))?\s*\]\s*)?(->|-)"
+    r"(?::\s*([A-Za-z_][A-Za-z_0-9]*))?\s*"
+    r"(?:(\*)\s*(\d+)?\s*(?:(\.\.)\s*(\d+)?)?)?\s*\]\s*)?(->|-)"
 )
 _RETURN_ITEM = re.compile(
     r"^(?:(count)\s*\(\s*\*\s*\)"
@@ -90,6 +94,8 @@ def parse_cypher(query: str) -> dict:
 
     sentences: list[tuple[str, str, str, str | None]] = []
     labels: dict[str, str | None] = {}
+    # sentence index → (min_hops, max_hops) for -[*a..b]-> patterns
+    var_hops: dict[int, tuple[int, int]] = {}
 
     def note_label(tag: str, label: str | None) -> None:
         prev = labels.get(tag)
@@ -109,7 +115,24 @@ def parse_cypher(query: str) -> dict:
             em = _EDGE.match(path, pos)
             if not em:
                 raise ValueError(f"expected an edge pattern at: {path[pos:]!r}")
-            left, _var, elabel, right = em.groups()
+            left, _var, elabel, star, hmin, dots, hmax, right = em.groups()
+            hops = None
+            if star:
+                lo = int(hmin) if hmin else 1
+                if hmax:
+                    hi = int(hmax)
+                elif hmin and not dots:
+                    hi = lo  # [*n] = exactly n
+                else:
+                    hi = None  # [*], [*n..], [*..] — unbounded
+                if hi is None:
+                    raise ValueError(
+                        "unbounded variable-length patterns ([*], [*n..]) "
+                        "are not supported — give an upper bound"
+                    )
+                if lo < 1 or hi < lo:
+                    raise ValueError(f"bad hop range *{lo}..{hi}")
+                hops = (lo, hi)
             pos = em.end()
             node = _NODE.match(path, pos)
             if not node:
@@ -125,6 +148,8 @@ def parse_cypher(query: str) -> dict:
                 sentences.append((cur, "both", nxt, elabel))
             else:
                 raise ValueError(f"unsupported edge direction {left}…{right}")
+            if hops is not None:
+                var_hops[len(sentences) - 1] = hops
             cur = nxt
     if not sentences:
         raise ValueError("empty MATCH pattern")
@@ -181,6 +206,7 @@ def parse_cypher(query: str) -> dict:
     return {
         "sentences": sentences,
         "labels": labels,
+        "var_hops": var_hops,
         "where": preds,
         "return": {"distinct": distinct, "items": items},
     }
@@ -203,6 +229,10 @@ def parse_match(query: str) -> tuple[list[tuple[str, str, str]], dict]:
         )
     if ast["where"]:
         raise ValueError("WHERE is not supported by parse_match")
+    if ast["var_hops"]:
+        raise ValueError(
+            "variable-length patterns require cypher_property (PathExpand)"
+        )
     items = []
     for kind, tag, prop, alias in ast["return"]["items"]:
         if kind == "prop":
@@ -364,8 +394,42 @@ def cypher_property(
 
     # --- build oriented per-sentence edge DataFrames, semi-joined with the
     # pushed-down vertex filters (FilterIntoJoinRule) ------------------------
+    def _label_ids(tag: str) -> DataFrame | None:
+        lab = labels.get(tag)
+        return pg.vertices[lab].select("id") if lab else None
+
     sentence_dfs: list[tuple[str, str, DataFrame]] = []
-    for a, direction, b, elabel in ast["sentences"]:
+    for i, (a, direction, b, elabel) in enumerate(ast["sentences"]):
+        if i in ast["var_hops"]:
+            # -[*lo..hi]-> : PathExpand with TRAIL semantics (Cypher's
+            # no-repeated-relationship rule), one row per path — bag
+            # multiplicities flow into the join DAG. Only the ENDPOINTS
+            # carry the tags' label/predicate constraints (Cypher leaves
+            # intermediate vertices unconstrained), so the edge table is
+            # filtered by edge label alone; the a-side label + pushed
+            # predicates restrict the expansion's start set (the cheap
+            # side) and the b-side ones filter path endpoints.
+            from graphscope_spark.operators.relational import path_expand
+
+            lo, hi = ast["var_hops"][i]
+            e = _sentence_edges(pg, None, None, elabel, direction)
+            starts = e.select(F.col("src").alias("v")).distinct()
+            for df in (_label_ids(a), allowed.get(a)):
+                if df is not None:
+                    starts = starts.join(
+                        df.withColumnRenamed("id", "v"), "v", "left_semi"
+                    )
+            paths = path_expand(starts, e, lo, hi, semantics="trail")
+            e = paths.select(
+                F.col("start").alias("src"), F.col("end").alias("dst")
+            )
+            for df in (_label_ids(b), allowed.get(b)):
+                if df is not None:
+                    e = e.join(
+                        df.withColumnRenamed("id", "dst"), "dst", "left_semi"
+                    )
+            sentence_dfs.append((a, b, e))
+            continue
         e = _sentence_edges(pg, labels.get(a), labels.get(b), elabel, direction)
         if a in allowed:
             e = e.join(allowed[a].withColumnRenamed("id", "src"), "src", "left_semi")

@@ -213,6 +213,41 @@ def test_cypher_property_errors(spark):
         ).collect()
 
 
+def test_cypher_varlen_paths(spark):
+    from graphscope_spark.operators.cypher import cypher_property, parse_cypher
+
+    ast = parse_cypher("MATCH (a)-[:knows*1..3]->(b) RETURN a")
+    assert ast["var_hops"] == {0: (1, 3)}
+    assert parse_cypher("MATCH (a)-[*2]->(b) RETURN a")["var_hops"] == {0: (2, 2)}
+    with pytest.raises(ValueError, match="upper bound"):
+        parse_cypher("MATCH (a)-[*]->(b) RETURN a")
+
+    pg = _pgraph(spark)
+    # knows chain 0→1→2→3→4 plus 0→2: paths of length 1..2 from 0:
+    # 0→1, 0→2, 0→1→2, 0→2→3 → b multiset {1, 2, 2, 3}
+    rows = cypher_property(
+        pg,
+        "MATCH (a:person)-[:knows*1..2]->(b:person) WHERE a = 0 "
+        "RETURN b, count(*) AS n",
+    ).collect()
+    assert {(r["b"], r["n"]) for r in rows} == {(1, 1), (2, 2), (3, 1)}
+
+
+def test_cypher_varlen_endpoint_labels_only(spark):
+    """Intermediate vertices of a var-length pattern are unconstrained:
+    person→company edges can chain through a company even when endpoints
+    are labeled person/company."""
+    from graphscope_spark.operators.cypher import cypher_property
+
+    pg = _pgraph(spark)
+    n = cypher_property(
+        pg, "MATCH (a:person)-[*1..2]->(c:company) RETURN count(*) AS n"
+    ).collect()[0]["n"]
+    # length-1: works_at edges (5); length-2: knows→works_at chains
+    # 0→1→100, 1→2→101, 2→3→101, 3→4→101, 0→2→101 (5) → 10
+    assert n == 10
+
+
 def test_cypher_property_pushdown_plan(spark):
     """The single-tag predicate must reach the scan side, not sit above the
     pattern join: the physical plan filters person rows before the join."""
