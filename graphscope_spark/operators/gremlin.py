@@ -109,6 +109,17 @@ def _parse_arg(raw: str):
         return ("str", raw[1:-1])
     if _NUM.match(raw):
         return ("num", float(raw) if "." in raw else int(raw))
+    m = re.match(r"^(?:__\s*\.\s*)?([A-Za-z_]\w*)\s*\(", raw)
+    if m and m.group(1) in ("out", "in", "both"):
+        # anonymous traversal argument (repeat(out('label')) — single-step
+        # subset)
+        inner, end = _scan_args(raw, m.end() - 1)
+        if raw[end:].strip():
+            raise ValueError(
+                "anonymous traversals support a single out/in/both step"
+            )
+        vals = [_parse_arg(a) for a in _split_top(inner)] if inner.strip() else []
+        return ("step", (m.group(1), vals))
     m = re.match(r"^(?:P\s*\.\s*)?([A-Za-z_]\w*)\s*\(", raw)
     if m and m.group(1) in _PREDS | {"select"}:
         inner, end = _scan_args(raw, m.end() - 1)
@@ -249,6 +260,27 @@ def gremlin(graph: Graph | PropertyGraph, query: str) -> DataFrame:
             df = edge_expand(df, e, name, "_cur", "_nxt").drop("_cur").withColumnRenamed(
                 "_nxt", "_cur"
             )
+        elif name == "repeat":
+            # repeat(out()).times(n): unroll the inner step n times —
+            # GIE's PathExpand iteration scope with a fixed hop count
+            if len(args) != 1 or args[0][0] != "step":
+                raise ValueError("repeat() takes one anonymous out/in/both step")
+            if i + 1 >= len(steps) or steps[i + 1][0] != "times":
+                raise ValueError("repeat(...) must be followed by .times(n)")
+            inner_name, inner_args = args[0][1]
+            n_times = int(steps[i + 1][1][0][1])
+            elabel = inner_args[0][1] if inner_args else None
+            e = _edges_for(graph, inner_name, elabel)
+            for _ in range(n_times):
+                df = (
+                    edge_expand(df, e, inner_name, "_cur", "_nxt")
+                    .drop("_cur")
+                    .withColumnRenamed("_nxt", "_cur")
+                )
+        elif name == "times":
+            if i == 0 or steps[i - 1][0] != "repeat":
+                raise ValueError(".times(n) must follow repeat(...)")
+            # handled by the preceding repeat step
         elif name == "has":
             if len(args) != 2 or args[0][0] != "str":
                 raise ValueError("has() takes (prop, literal | P-predicate)")

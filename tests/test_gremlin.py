@@ -36,7 +36,10 @@ def test_parse_shapes():
     with pytest.raises(ValueError, match="start with g.V"):
         parse_gremlin("g.E().count()")
     with pytest.raises(ValueError, match="unsupported argument"):
-        parse_gremlin("g.V().repeat(out())")
+        parse_gremlin("g.V().repeat(outE())")
+    assert parse_gremlin("g.V().repeat(out('knows')).times(3)")[1] == (
+        "repeat", [("step", ("out", [("str", "knows")]))]
+    )
 
 
 def test_gremlin_count_equals_edges(spark):
@@ -125,3 +128,18 @@ def test_gremlin_simple_graph_rejects_labels(spark):
         gremlin(g, "g.V().out('knows').count()")
     with pytest.raises(ValueError, match="PropertyGraph"):
         gremlin(g, "g.V().hasLabel('x').count()")
+
+
+def test_gremlin_repeat_times(spark):
+    g = _rand_graph(spark)
+    want = gremlin(g, "g.V().has('id', lt(5)).out().out().count()").collect()[0][
+        "count"
+    ]
+    got = gremlin(
+        g, "g.V().has('id', lt(5)).repeat(out()).times(2).count()"
+    ).collect()[0]["count"]
+    assert got == want
+    with pytest.raises(ValueError, match="followed by .times"):
+        gremlin(g, "g.V().repeat(out()).count()")
+    with pytest.raises(ValueError, match="must follow repeat"):
+        gremlin(g, "g.V().times(2).count()")
