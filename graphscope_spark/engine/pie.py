@@ -12,9 +12,13 @@ the ``PIEAggregateType`` registered in ``Init`` — exactly GRAPE's
 partial-evaluate / incremental-evaluate / sync loop.
 
 COMPAT path: the inner loop is per-vertex Python (the fast path is the
-vectorized contract in engine/superstep.py). Scale behavior is still sound:
-fragments are processed in parallel and each superstep costs one
-adjacency-mirror shuffle + one value-sync shuffle.
+vectorized contract in engine/superstep.py), and each superstep REBUILDS
+the adjacency ``collect_list`` (the per-edge dst-value mirror changes every
+round, so the full edge set re-shuffles and Arrow-ships to Python per
+round — the same cost class as the measured-negative CSR-in-Python path).
+Use this surface to port reference UDF apps verbatim, not as the scale
+path; the r3 CSR A/B in BENCH/BASELINE.md quantifies why static blocks
+re-shipped to Python every round lose to the JVM dataframe loop.
 """
 
 from __future__ import annotations
