@@ -71,77 +71,79 @@ def fluid_communities(
     )
 
     converged = False
-    for _ in range(max_sweeps):
-        # community sizes frozen for the whole sweep (fluid-community.h:100
-        # reduces cnt once per outer round)
-        csize = (
-            state.filter("lab >= 0")
-            .groupBy("lab")
-            .agg(F.count(F.lit(1)).alias("csize"))
-        )
-        for j in range(n_colors):
-            self_c = state.filter("lab >= 0").select("id", "lab")
-            nbr_c = edges.join(
-                state.select(F.col("id").alias("src"), F.col("lab").alias("nl"))
-                .filter("nl >= 0"),
-                "src",
-            ).select(F.col("dst").alias("id"), F.col("nl").alias("lab"))
-            cnts = (
-                self_c.unionByName(nbr_c)
-                .join(
-                    state.filter(F.col("color") == j).select("id"),
-                    "id",
-                    "left_semi",
+    try:
+        for _ in range(max_sweeps):
+            # community sizes frozen for the whole sweep (fluid-community.h:100
+            # reduces cnt once per outer round)
+            csize = (
+                state.filter("lab >= 0")
+                .groupBy("lab")
+                .agg(F.count(F.lit(1)).alias("csize"))
+            )
+            for j in range(n_colors):
+                self_c = state.filter("lab >= 0").select("id", "lab")
+                nbr_c = edges.join(
+                    state.select(F.col("id").alias("src"), F.col("lab").alias("nl"))
+                    .filter("nl >= 0"),
+                    "src",
+                ).select(F.col("dst").alias("id"), F.col("nl").alias("lab"))
+                cnts = (
+                    self_c.unionByName(nbr_c)
+                    .join(
+                        state.filter(F.col("color") == j).select("id"),
+                        "id",
+                        "left_semi",
+                    )
+                    .groupBy("id", "lab")
+                    .agg(F.count(F.lit(1)).alias("a"))
+                    .join(F.broadcast(csize), "lab")
+                    .withColumn("score", F.col("a") / F.col("csize"))
+                    .join(state.select("id", F.col("lab").alias("curlab")), "id")
                 )
-                .groupBy("id", "lab")
-                .agg(F.count(F.lit(1)).alias("a"))
-                .join(F.broadcast(csize), "lab")
-                .withColumn("score", F.col("a") / F.col("csize"))
-                .join(state.select("id", F.col("lab").alias("curlab")), "id")
-            )
-            best = cnts.groupBy("id").agg(
-                F.max(F.struct(F.col("score"), (-F.col("lab")).alias("negl"))).alias(
-                    "b"
-                ),
-                F.max(
-                    F.when(F.col("lab") == F.col("curlab"), F.col("score"))
-                ).alias("curscore"),
-            ).select(
-                "id",
-                F.when(
-                    F.col("curscore").isNull()
-                    | (F.col("b.score") > F.col("curscore")),
-                    (-F.col("b.negl")).cast("int"),
-                ).alias("newl"),
-            )
-            # ONE materialization per class step; changes accumulate in chg
-            # and are counted once per sweep (barrier budget: the per-class
-            # count doubled wall time for no information)
-            state = (
-                state.join(best, "id", "left")
-                .select(
+                best = cnts.groupBy("id").agg(
+                    F.max(F.struct(F.col("score"), (-F.col("lab")).alias("negl"))).alias(
+                        "b"
+                    ),
+                    F.max(
+                        F.when(F.col("lab") == F.col("curlab"), F.col("score"))
+                    ).alias("curscore"),
+                ).select(
                     "id",
-                    F.coalesce("newl", "lab").alias("lab"),
-                    "color",
-                    (
-                        F.col("chg")
-                        | (F.coalesce("newl", "lab") != F.col("lab"))
-                    ).alias("chg"),
+                    F.when(
+                        F.col("curscore").isNull()
+                        | (F.col("b.score") > F.col("curscore")),
+                        (-F.col("b.negl")).cast("int"),
+                    ).alias("newl"),
                 )
-                .localCheckpoint(eager=True)
-            )
-        if state.filter("chg").isEmpty():
-            converged = True
-            break
-        state = state.withColumn("chg", F.lit(False))
-    if not converged:
-        import warnings
+                # ONE materialization per class step; changes accumulate in chg
+                # and are counted once per sweep (barrier budget: the per-class
+                # count doubled wall time for no information)
+                state = (
+                    state.join(best, "id", "left")
+                    .select(
+                        "id",
+                        F.coalesce("newl", "lab").alias("lab"),
+                        "color",
+                        (
+                            F.col("chg")
+                            | (F.coalesce("newl", "lab") != F.col("lab"))
+                        ).alias("chg"),
+                    )
+                    .localCheckpoint(eager=True)
+                )
+            if state.filter("chg").isEmpty():
+                converged = True
+                break
+            state = state.withColumn("chg", F.lit(False))
+        if not converged:
+            import warnings
 
-        warnings.warn(
-            f"fluid_communities: max_sweeps={max_sweeps} exhausted before a "
-            "change-free sweep — labels may not be final",
-            stacklevel=2,
-        )
-    edges.unpersist()
-    colors.unpersist()
+            warnings.warn(
+                f"fluid_communities: max_sweeps={max_sweeps} exhausted before a "
+                "change-free sweep — labels may not be final",
+                stacklevel=2,
+            )
+    finally:
+        edges.unpersist()
+        colors.unpersist()
     return state.select("id", F.col("lab").alias("label"))

@@ -268,6 +268,8 @@ def bfs(
     )
 
     def init() -> DataFrame:
+        if warm_start is not None:
+            return warm_start.select("id", "depth", "changed").repartition(P, "id")
         return graph.vertices.select(
             "id",
             F.when(F.col("id") == source, 0).otherwise(-1).cast("int").alias("depth"),

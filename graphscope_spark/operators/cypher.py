@@ -275,36 +275,26 @@ def _sentence_edges(
     pg: PropertyGraph, a_label, b_label, elabel, direction
 ) -> DataFrame:
     """Union the per-label edge tables matching one MATCH sentence, oriented
-    a→b. Edge-table keys are (edge_label, src_label, dst_label); endpoints
-    are guaranteed within their label tables by PropertyGraph.add_edges."""
-    fwd = [
-        df
+    a→b (parse_cypher normalizes ``<-`` arrows to ``out`` sentences, so
+    direction is 'out' or 'both'). Edge-table keys are (edge_label,
+    src_label, dst_label); endpoints are guaranteed within their label
+    tables by PropertyGraph.add_edges."""
+    parts = [
+        df.select("src", "dst")
         for (el, sl, dl), df in pg.edges.items()
         if (elabel is None or el == elabel)
         and (a_label is None or sl == a_label)
         and (b_label is None or dl == b_label)
     ]
-    rev = [
-        df
-        for (el, sl, dl), df in pg.edges.items()
-        if (elabel is None or el == elabel)
-        and (a_label is None or dl == a_label)
-        and (b_label is None or sl == b_label)
-    ]
-    parts = []
-    if direction in ("out", "both"):
-        parts += [df.select("src", "dst") for df in fwd]
-    if direction == "in":
-        parts += [
-            df.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-            for df in rev
-        ]
     if direction == "both":
         # each relationship also binds in the reverse orientation (Cypher
         # undirected semantics: one row per direction assignment)
         parts += [
             df.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-            for df in rev
+            for (el, sl, dl), df in pg.edges.items()
+            if (elabel is None or el == elabel)
+            and (a_label is None or dl == a_label)
+            and (b_label is None or sl == b_label)
         ]
     if not parts:
         raise ValueError(
@@ -411,6 +401,14 @@ def cypher_property(
             # side) and the b-side ones filter path endpoints.
             from graphscope_spark.operators.relational import path_expand
 
+            if direction == "both":
+                # the fwd+rev union makes one relationship two directed
+                # rows, which path_expand's trail dedup cannot identify —
+                # Cypher's relationship-uniqueness rule would be violated
+                raise ValueError(
+                    "undirected variable-length patterns are not supported "
+                    "(trail semantics needs directed relationships)"
+                )
             lo, hi = ast["var_hops"][i]
             e = _sentence_edges(pg, None, None, elabel, direction)
             starts = e.select(F.col("src").alias("v")).distinct()
@@ -449,12 +447,32 @@ def cypher_property(
             if score > best_score:
                 best_i, best_score = i, score
         a, b, e = remaining.pop(best_i)
+        if a == b:
+            # self-loop pattern (a)-->(a): a unary constraint, not a join —
+            # aliasing src and dst to the same name would create duplicate
+            # columns
+            loops = e.filter(F.col("src") == F.col("dst")).select(
+                F.col("src").alias(a)
+            )
+            if out is None:
+                out = loops
+                bound.add(a)
+            elif a in bound:
+                out = out.join(loops, a)
+            else:
+                out = out.crossJoin(loops)
+                bound.add(a)
+            continue
         e = e.select(F.col("src").alias(a), F.col("dst").alias(b))
         if out is None:
             out = e
             bound.update((a, b))
         elif a in bound and b in bound:
-            out = out.join(e, [a, b], "left_semi")
+            # INNER join, not semi: a closing sentence with multiplicities
+            # (variable-length paths, parallel edges across label tables)
+            # contributes one binding per relationship/path — Cypher bag
+            # semantics
+            out = out.join(e, [a, b])
         elif a in bound:
             out = out.join(e, a)
             bound.add(b)

@@ -268,7 +268,10 @@ def gremlin(graph: Graph | PropertyGraph, query: str) -> DataFrame:
             if i + 1 >= len(steps) or steps[i + 1][0] != "times":
                 raise ValueError("repeat(...) must be followed by .times(n)")
             inner_name, inner_args = args[0][1]
-            n_times = int(steps[i + 1][1][0][1])
+            targs = steps[i + 1][1]
+            if len(targs) != 1 or targs[0][0] != "num":
+                raise ValueError(".times(n) takes one integer argument")
+            n_times = int(targs[0][1])
             elabel = inner_args[0][1] if inner_args else None
             e = _edges_for(graph, inner_name, elabel)
             for _ in range(n_times):
@@ -285,9 +288,11 @@ def gremlin(graph: Graph | PropertyGraph, query: str) -> DataFrame:
             if len(args) != 2 or args[0][0] != "str":
                 raise ValueError("has() takes (prop, literal | P-predicate)")
             prop = args[0][1]
-            if prop == "id" or isinstance(graph, Graph):
+            if prop == "id":
                 df = df.filter(_pred_col(F.col("_cur"), args[1]))
             else:
+                # _prop_table raises for a simple Graph (ids only) — never
+                # silently reinterpret a named property as the vertex id
                 pt = _prop_table(graph, prop).filter(_pred_col(F.col("_p"), args[1]))
                 df = df.join(pt.select("_cur"), "_cur", "left_semi")
         elif name == "hasLabel":
@@ -345,7 +350,7 @@ def gremlin(graph: Graph | PropertyGraph, query: str) -> DataFrame:
             if i != len(steps) - 1:
                 raise ValueError("values() must be terminal in this subset")
             prop = args[0][1]
-            if prop == "id" or isinstance(graph, Graph):
+            if prop == "id":
                 return df.select(F.col("_cur").alias(prop))
             pt = _prop_table(graph, prop)
             return df.join(pt, "_cur").select(F.col("_p").alias(prop))

@@ -261,3 +261,39 @@ def test_cypher_property_pushdown_plan(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan
+
+
+def test_cypher_selfloop_pattern(spark):
+    from graphscope_spark.graph.property_graph import PropertyGraph
+    from graphscope_spark.operators.cypher import cypher_property
+
+    v = spark.createDataFrame([(0,), (1,), (2,)], "id long")
+    e = spark.createDataFrame([(0, 0), (0, 1), (2, 2)], "src long, dst long")
+    pg = PropertyGraph().add_vertices("n", v).add_edges("e", "n", "n", e)
+    rows = cypher_property(pg, "MATCH (a:n)-[:e]->(a) RETURN a").collect()
+    assert sorted(r["a"] for r in rows) == [0, 2]
+
+
+def test_cypher_varlen_undirected_rejected(spark):
+    from graphscope_spark.operators.cypher import cypher_property
+
+    pg = _pgraph(spark)
+    with pytest.raises(ValueError, match="undirected variable-length"):
+        cypher_property(pg, "MATCH (a:person)-[:knows*1..2]-(b) RETURN a")
+
+
+def test_cypher_closing_sentence_bag_semantics(spark):
+    """A closing sentence with path multiplicities contributes one binding
+    per path (inner join), not an existence check: (0,2) has both the
+    direct edge and the 0→1→2 path."""
+    from graphscope_spark.operators.cypher import cypher_property
+
+    pg = _pgraph(spark)
+    n = cypher_property(
+        pg,
+        "MATCH (a:person)-[:knows]->(b:person), (a)-[:knows*1..2]->(b) "
+        "RETURN count(*) AS n",
+    ).collect()[0]["n"]
+    # pairs with a direct edge: (0,1),(1,2),(2,3),(3,4),(0,2); 1..2-hop
+    # path counts: 1,1,1,1,2 → 6 bindings
+    assert n == 6

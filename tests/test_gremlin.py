@@ -143,3 +143,15 @@ def test_gremlin_repeat_times(spark):
         gremlin(g, "g.V().repeat(out()).count()")
     with pytest.raises(ValueError, match="must follow repeat"):
         gremlin(g, "g.V().times(2).count()")
+
+
+def test_gremlin_simple_graph_property_has_raises(spark):
+    """has()/values() on a simple Graph must not silently reinterpret a
+    named property as the vertex id."""
+    g = _rand_graph(spark)
+    with pytest.raises(ValueError, match="needs a PropertyGraph"):
+        gremlin(g, "g.V().has('age', gt(3)).count()").collect()
+    with pytest.raises(ValueError, match="needs a PropertyGraph"):
+        gremlin(g, "g.V().values('name')").collect()
+    with pytest.raises(ValueError, match="one integer argument"):
+        gremlin(g, "g.V().repeat(out()).times().count()")

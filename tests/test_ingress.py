@@ -125,3 +125,33 @@ def test_warm_start_fewer_rounds_on_chain(spark):
     assert _rows(warm.state.select("id", "label")) == _rows(
         full.state.select("id", "label")
     )
+
+
+def test_bfs_warm_start_fewer_rounds_on_chain(spark):
+    """bfs must honor warm_start (it silently ignored it once): extending a
+    converged chain converges in O(1) rounds, not O(length)."""
+    from pyspark.sql import functions as F
+
+    from graphscope_spark.algorithms.traversal import bfs
+
+    n = 50
+    chain = [(i, i + 1) for i in range(n - 1)]
+    g = make_graph(spark, chain, vertices=list(range(n)))
+    prev = bfs(g, 0)
+    ddf = spark.createDataFrame([(n - 1, n)], "src long, dst long")
+    g2 = g.add_edges(ddf)
+    full = bfs(g2, 0, return_result=True)
+    state = (
+        g2.vertices.select("id")
+        .join(prev.select("id", F.col("depth").alias("pdepth")), "id", "left")
+        .select(
+            "id",
+            F.coalesce("pdepth", F.lit(-1)).cast("int").alias("depth"),
+            (F.col("id") == n - 1).alias("changed"),
+        )
+    )
+    warm = bfs(g2, 0, return_result=True, warm_start=state)
+    assert warm.rounds < full.rounds / 4
+    assert _rows(warm.state.select("id", "depth")) == _rows(
+        full.state.select("id", "depth")
+    )
