@@ -28,8 +28,10 @@ Two execution surfaces:
 
 Grammar (subset)::
 
-    query  := MATCH path (, path)* [WHERE pred (AND pred)*]
-              RETURN [DISTINCT] item (, item)*
+    query  := MATCH path (, path)* [OPTIONAL MATCH path (, path)*]
+              [WHERE pred (AND pred)*] RETURN [DISTINCT] item (, item)*
+              (the optional pattern LEFT-joins on its shared tags; unmatched
+              rows carry nulls for optional-only tags)
     node   := '(' tag [':' label] ')'
     edge   := -[var?][:elabel?][*lo..hi]-> | <-[...]- | -[...]- | --> | <-- | --
               (variable-length patterns need a finite upper bound and lower
@@ -86,11 +88,16 @@ def parse_cypher(query: str) -> dict:
     """
     q = query.strip().rstrip(";")
     m = re.match(
-        r"(?is)^\s*MATCH\s+(.*?)(?:\s+WHERE\s+(.*?))?\s+RETURN\s+(.+)$", q
+        r"(?is)^\s*MATCH\s+(.*?)(?:\s+OPTIONAL\s+MATCH\s+(.*?))?"
+        r"(?:\s+WHERE\s+(.*?))?\s+RETURN\s+(.+)$",
+        q,
     )
     if not m:
-        raise ValueError("expected 'MATCH <patterns> [WHERE <preds>] RETURN <items>'")
-    pattern_part, where_part, return_part = m.group(1), m.group(2), m.group(3)
+        raise ValueError(
+            "expected 'MATCH <patterns> [OPTIONAL MATCH <patterns>] "
+            "[WHERE <preds>] RETURN <items>'"
+        )
+    pattern_part, optional_part, where_part, return_part = m.groups()
 
     sentences: list[tuple[str, str, str, str | None]] = []
     labels: dict[str, str | None] = {}
@@ -103,54 +110,60 @@ def parse_cypher(query: str) -> dict:
             raise ValueError(f"tag {tag!r} bound to two labels: {prev}, {label}")
         labels[tag] = label if label is not None else prev
 
-    for path in (p.strip() for p in pattern_part.split(",") if p.strip()):
-        pos = 0
-        node = _NODE.match(path, pos)
-        if not node:
-            raise ValueError(f"expected a node pattern at: {path[pos:]!r}")
-        cur = node.group(1)
-        note_label(cur, node.group(2))
-        pos = node.end()
-        while pos < len(path):
-            em = _EDGE.match(path, pos)
-            if not em:
-                raise ValueError(f"expected an edge pattern at: {path[pos:]!r}")
-            left, _var, elabel, star, hmin, dots, hmax, right = em.groups()
-            hops = None
-            if star:
-                lo = int(hmin) if hmin else 1
-                if hmax:
-                    hi = int(hmax)
-                elif hmin and not dots:
-                    hi = lo  # [*n] = exactly n
-                else:
-                    hi = None  # [*], [*n..], [*..] — unbounded
-                if hi is None:
-                    raise ValueError(
-                        "unbounded variable-length patterns ([*], [*n..]) "
-                        "are not supported — give an upper bound"
-                    )
-                if lo < 1 or hi < lo:
-                    raise ValueError(f"bad hop range *{lo}..{hi}")
-                hops = (lo, hi)
-            pos = em.end()
+    def parse_part(part_text: str) -> None:
+        for path in (p.strip() for p in part_text.split(",") if p.strip()):
+            pos = 0
             node = _NODE.match(path, pos)
             if not node:
                 raise ValueError(f"expected a node pattern at: {path[pos:]!r}")
-            nxt = node.group(1)
-            note_label(nxt, node.group(2))
+            cur = node.group(1)
+            note_label(cur, node.group(2))
             pos = node.end()
-            if left == "-" and right == "->":
-                sentences.append((cur, "out", nxt, elabel))
-            elif left == "<-" and right == "-":
-                sentences.append((nxt, "out", cur, elabel))
-            elif left == "-" and right == "-":
-                sentences.append((cur, "both", nxt, elabel))
-            else:
-                raise ValueError(f"unsupported edge direction {left}…{right}")
-            if hops is not None:
-                var_hops[len(sentences) - 1] = hops
-            cur = nxt
+            while pos < len(path):
+                em = _EDGE.match(path, pos)
+                if not em:
+                    raise ValueError(f"expected an edge pattern at: {path[pos:]!r}")
+                left, _var, elabel, star, hmin, dots, hmax, right = em.groups()
+                hops = None
+                if star:
+                    lo = int(hmin) if hmin else 1
+                    if hmax:
+                        hi = int(hmax)
+                    elif hmin and not dots:
+                        hi = lo  # [*n] = exactly n
+                    else:
+                        hi = None  # [*], [*n..], [*..] — unbounded
+                    if hi is None:
+                        raise ValueError(
+                            "unbounded variable-length patterns ([*], [*n..]) "
+                            "are not supported — give an upper bound"
+                        )
+                    if lo < 1 or hi < lo:
+                        raise ValueError(f"bad hop range *{lo}..{hi}")
+                    hops = (lo, hi)
+                pos = em.end()
+                node = _NODE.match(path, pos)
+                if not node:
+                    raise ValueError(f"expected a node pattern at: {path[pos:]!r}")
+                nxt = node.group(1)
+                note_label(nxt, node.group(2))
+                pos = node.end()
+                if left == "-" and right == "->":
+                    sentences.append((cur, "out", nxt, elabel))
+                elif left == "<-" and right == "-":
+                    sentences.append((nxt, "out", cur, elabel))
+                elif left == "-" and right == "-":
+                    sentences.append((cur, "both", nxt, elabel))
+                else:
+                    raise ValueError(f"unsupported edge direction {left}…{right}")
+                if hops is not None:
+                    var_hops[len(sentences) - 1] = hops
+                cur = nxt
+
+    parse_part(pattern_part)
+    n_mandatory = len(sentences)
+    if optional_part:
+        parse_part(optional_part)
     if not sentences:
         raise ValueError("empty MATCH pattern")
     tags = set(labels)
@@ -205,6 +218,7 @@ def parse_cypher(query: str) -> dict:
         raise ValueError("empty RETURN")
     return {
         "sentences": sentences,
+        "n_mandatory": n_mandatory,
         "labels": labels,
         "var_hops": var_hops,
         "where": preds,
@@ -233,6 +247,8 @@ def parse_match(query: str) -> tuple[list[tuple[str, str, str]], dict]:
         raise ValueError(
             "variable-length patterns require cypher_property (PathExpand)"
         )
+    if ast["n_mandatory"] != len(ast["sentences"]):
+        raise ValueError("OPTIONAL MATCH requires cypher_property")
     items = []
     for kind, tag, prop, alias in ast["return"]["items"]:
         if kind == "prop":
@@ -437,56 +453,87 @@ def cypher_property(
 
     # --- greedy closing-first join DAG (the match() plan over per-sentence
     # tables) ----------------------------------------------------------------
-    remaining = list(sentence_dfs)
-    bound: set[str] = set()
-    out: DataFrame | None = None
-    while remaining:
-        best_i, best_score = 0, -1
-        for i, (a, b, _e) in enumerate(remaining):
-            score = (a in bound) + (b in bound)
-            if score > best_score:
-                best_i, best_score = i, score
-        a, b, e = remaining.pop(best_i)
-        if a == b:
-            # self-loop pattern (a)-->(a): a unary constraint, not a join —
-            # aliasing src and dst to the same name would create duplicate
-            # columns
-            loops = e.filter(F.col("src") == F.col("dst")).select(
-                F.col("src").alias(a)
-            )
+    def run_dag(dfs: list) -> tuple[DataFrame, set[str]]:
+        remaining = list(dfs)
+        bound: set[str] = set()
+        out: DataFrame | None = None
+        while remaining:
+            best_i, best_score = 0, -1
+            for i, (a, b, _e) in enumerate(remaining):
+                score = (a in bound) + (b in bound)
+                if score > best_score:
+                    best_i, best_score = i, score
+            a, b, e = remaining.pop(best_i)
+            if a == b:
+                # self-loop pattern (a)-->(a): a unary constraint, not a
+                # join — aliasing src and dst to the same name would create
+                # duplicate columns
+                loops = e.filter(F.col("src") == F.col("dst")).select(
+                    F.col("src").alias(a)
+                )
+                if out is None:
+                    out = loops
+                    bound.add(a)
+                elif a in bound:
+                    out = out.join(loops, a)
+                else:
+                    out = out.crossJoin(loops)
+                    bound.add(a)
+                continue
+            e = e.select(F.col("src").alias(a), F.col("dst").alias(b))
             if out is None:
-                out = loops
-                bound.add(a)
+                out = e
+                bound.update((a, b))
+            elif a in bound and b in bound:
+                # INNER join, not semi: a closing sentence with
+                # multiplicities (variable-length paths, parallel edges
+                # across label tables) contributes one binding per
+                # relationship/path — Cypher bag semantics
+                out = out.join(e, [a, b])
             elif a in bound:
-                out = out.join(loops, a)
-            else:
-                out = out.crossJoin(loops)
+                out = out.join(e, a)
+                bound.add(b)
+            elif b in bound:
+                out = out.join(e, b)
                 bound.add(a)
-            continue
-        e = e.select(F.col("src").alias(a), F.col("dst").alias(b))
-        if out is None:
-            out = e
-            bound.update((a, b))
-        elif a in bound and b in bound:
-            # INNER join, not semi: a closing sentence with multiplicities
-            # (variable-length paths, parallel edges across label tables)
-            # contributes one binding per relationship/path — Cypher bag
-            # semantics
-            out = out.join(e, [a, b])
-        elif a in bound:
-            out = out.join(e, a)
-            bound.add(b)
-        elif b in bound:
-            out = out.join(e, b)
-            bound.add(a)
-        else:
-            out = out.crossJoin(e)
-            bound.update((a, b))
+            else:
+                out = out.crossJoin(e)
+                bound.update((a, b))
+        return out, bound
+
+    n_mand = ast["n_mandatory"]
+    out, bound = run_dag(sentence_dfs[:n_mand])
+    optional_only: set[str] = set()
+    if sentence_dfs[n_mand:]:
+        # OPTIONAL MATCH: evaluate the optional pattern as its own DAG and
+        # LEFT-join it on the shared tags — unmatched bindings keep the
+        # mandatory row with nulls for the optional-only tags (Cypher's
+        # optional semantics). Single-tag predicates on optional tags were
+        # pushed into the pattern above (= Cypher's OPTIONAL MATCH…WHERE);
+        # cross-tag post-predicates run after the left join and therefore
+        # drop null rows, as a top-level WHERE does in Cypher.
+        opt_out, opt_bound = run_dag(sentence_dfs[n_mand:])
+        shared = sorted(bound & opt_bound)
+        if not shared:
+            raise ValueError(
+                "OPTIONAL MATCH must share at least one tag with MATCH"
+            )
+        out = out.join(opt_out, shared, "left")
+        optional_only = opt_bound - bound
+        bound = bound | opt_bound
     if distinct_vertices:
         tags = sorted(bound)
         for i in range(len(tags)):
             for j in range(i + 1, len(tags)):
-                out = out.filter(F.col(tags[i]) != F.col(tags[j]))
+                neq = F.col(tags[i]) != F.col(tags[j])
+                if tags[i] in optional_only or tags[j] in optional_only:
+                    # unmatched optional bindings (null) are not duplicates
+                    neq = (
+                        F.col(tags[i]).isNull()
+                        | F.col(tags[j]).isNull()
+                        | neq
+                    )
+                out = out.filter(neq)
 
     # --- join vertex properties needed by post-WHERE / RETURN ---------------
     need_props = {
@@ -506,6 +553,8 @@ def cypher_property(
         out = out.join(
             v.select(F.col("id").alias(tag), F.col(prop).alias(f"{tag}__{prop}")),
             tag,
+            # null bindings from OPTIONAL MATCH must survive prop access
+            "left" if tag in optional_only else "inner",
         )
 
     def propcol(tag: str, prop: str) -> Column:

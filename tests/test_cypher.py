@@ -297,3 +297,58 @@ def test_cypher_closing_sentence_bag_semantics(spark):
     # pairs with a direct edge: (0,1),(1,2),(2,3),(3,4),(0,2); 1..2-hop
     # path counts: 1,1,1,1,2 → 6 bindings
     assert n == 6
+
+
+def test_cypher_optional_match(spark):
+    from graphscope_spark.operators.cypher import cypher_property
+
+    pg = _pgraph(spark)
+    # every person knows-edge; optionally the target's company
+    rows = cypher_property(
+        pg,
+        "MATCH (a:person)-[:knows]->(b:person) "
+        "OPTIONAL MATCH (b)-[:works_at]->(c:company) RETURN a, b, c",
+    ).collect()
+    got = {(r["a"], r["b"], r["c"]) for r in rows}
+    # knows: (0,1),(1,2),(2,3),(3,4),(0,2); works_at: 0→100,1→100,2→101,
+    # 3→101, 4→101 — every b works somewhere here, so no nulls yet
+    assert got == {
+        (0, 1, 100), (1, 2, 101), (2, 3, 101), (3, 4, 101), (0, 2, 101)
+    }
+    # with a pushed filter making some optional sides empty → null rows
+    rows = cypher_property(
+        pg,
+        "MATCH (a:person)-[:knows]->(b:person) "
+        "OPTIONAL MATCH (b)-[:works_at]->(c:company) "
+        "WHERE c.size > 100 RETURN b, c",
+    ).collect()
+    got = {(r["b"], r["c"]) for r in rows}
+    # only company 101 (size 2000) survives the pushdown; b=1 (works at
+    # 100) keeps its row with a null c
+    assert got == {(1, None), (2, 101), (3, 101), (4, 101)}
+
+
+def test_cypher_optional_prop_access_keeps_nulls(spark):
+    from graphscope_spark.operators.cypher import cypher_property
+
+    pg = _pgraph(spark)
+    rows = cypher_property(
+        pg,
+        "MATCH (a:person)-[:knows]->(b:person) "
+        "OPTIONAL MATCH (b)-[:works_at]->(c:company) "
+        "WHERE c.size > 100 RETURN b, c.size AS csize",
+    ).collect()
+    got = {(r["b"], r["csize"]) for r in rows}
+    assert got == {(1, None), (2, 2000), (3, 2000), (4, 2000)}
+
+
+def test_cypher_optional_requires_shared_tag(spark):
+    from graphscope_spark.operators.cypher import cypher_property
+
+    pg = _pgraph(spark)
+    with pytest.raises(ValueError, match="share at least one tag"):
+        cypher_property(
+            pg,
+            "MATCH (a:person)-[:knows]->(b:person) "
+            "OPTIONAL MATCH (x:person)-[:works_at]->(y:company) RETURN a",
+        )
