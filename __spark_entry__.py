@@ -2064,6 +2064,20 @@ def _q_cypher_optional(spark, sf_dir):
     ).orderBy("id")
 
 
+def _q_cypher_topk(spark, sf_dir):
+    """RETURN ... ORDER BY n_paths DESC, supplier_id LIMIT 10 — the Cypher
+    top-k tail lowered to orderBy().limit() (Catalyst's TakeOrdered);
+    deterministic because ties break on supplier_id."""
+    from graphscope_spark.operators.cypher import cypher_property
+
+    return cypher_property(
+        _property_graph(spark, sf_dir),
+        "MATCH (a:customer)-[:knows]->(b:customer)-[:buys_from]->(s:supplier) "
+        "RETURN s.id AS supplier_id, count(*) AS n_paths "
+        "ORDER BY n_paths DESC, supplier_id ASC LIMIT 10",
+    )
+
+
 def _q_directed_census(spark, sf_dir):
     """The four directed-triangle counts (flash/subgraph/acyclic-triangle.h,
     in-triangle.h, out-triangle.h, cycle-plus-triangle.h) in one row —
@@ -2825,6 +2839,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "directed_census": _q_directed_census,
     "cypher_varlen": _q_cypher_varlen,
     "cypher_optional": _q_cypher_optional,
+    "cypher_topk": _q_cypher_topk,
     "rectangles": _q_rectangles,
     "cyclic_triangles": _q_cyclic_triangles,
     "tailed_triangles": _q_tailed_triangles,
@@ -2864,8 +2879,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "group_agg_events": _q_group_agg_events,
     "exists_subquery": _q_exists_subquery,
     "expr_surface": _q_expr_surface,
-    "louvain_cliques": _q_louvain_cliques,
     # ---- position > 50: checked by tests/test_entry_oracle.py every run --
+    "louvain_cliques": _q_louvain_cliques,
     "apsp": _q_apsp,
     # (demoted twice-green: four_cliques, diameter_2sweep, hetero_degree,
     # kshell, clustering_global, hits, katz, closeness, eigenvector —
@@ -3199,6 +3214,10 @@ ORACLES["directed_census"] = _with(
 ) + _DIRECTED_CENSUS_SQL_BODY
 # var-length 1..2 knows-paths: trail semantics needs no dedup at hop 2
 # (reusing the single relationship would require src = dst, excluded)
+ORACLES["cypher_topk"] = _CROSS_LABEL_SQL.replace(
+    "ORDER BY supplier_id", "ORDER BY n_paths DESC, supplier_id LIMIT 10"
+)
+
 ORACLES["cypher_optional"] = """
 WITH knows AS (
   SELECT DISTINCT o_custkey AS src,

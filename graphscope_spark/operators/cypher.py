@@ -30,6 +30,7 @@ Grammar (subset)::
 
     query  := MATCH path (, path)* [OPTIONAL MATCH path (, path)*]
               [WHERE pred (AND pred)*] RETURN [DISTINCT] item (, item)*
+              [ORDER BY alias [ASC|DESC] (, ...)*] [SKIP n] [LIMIT n]
               (the optional pattern LEFT-joins on its shared tags; unmatched
               rows carry nulls for optional-only tags)
     node   := '(' tag [':' label] ')'
@@ -193,6 +194,18 @@ def parse_cypher(query: str) -> dict:
             preds.append((parse_operand(pm.group(1)), op, parse_operand(pm.group(3))))
 
     rp = return_part.strip()
+    tm = re.match(
+        r"(?is)^(.*?)(?:\s+ORDER\s+BY\s+(.*?))?(?:\s+SKIP\s+(\d+))?"
+        r"(?:\s+LIMIT\s+(\d+))?$",
+        rp,
+    )
+    rp, order_part, skip_n, limit_n = tm.groups()
+    order = []
+    if order_part:
+        for raw in (x.strip() for x in order_part.split(",")):
+            om = re.match(r"(?i)^(.*?)(?:\s+(ASC|DESC))?$", raw)
+            key, direction = om.group(1).strip(), (om.group(2) or "ASC").upper()
+            order.append((key, direction == "DESC"))
     distinct = False
     dm = re.match(r"(?i)^DISTINCT\s+(.*)$", rp)
     if dm:
@@ -216,13 +229,27 @@ def parse_cypher(query: str) -> dict:
             items.append(("tag", tag, None, alias or tag))
     if not items:
         raise ValueError("empty RETURN")
+    out_names = {it[3] for it in items} | {
+        it[1] for it in items if it[0] == "tag"
+    }
+    for key, _desc in order:
+        if key not in out_names:
+            raise ValueError(
+                f"ORDER BY key {key!r} must be a RETURN item alias"
+            )
     return {
         "sentences": sentences,
         "n_mandatory": n_mandatory,
         "labels": labels,
         "var_hops": var_hops,
         "where": preds,
-        "return": {"distinct": distinct, "items": items},
+        "return": {
+            "distinct": distinct,
+            "items": items,
+            "order": order,
+            "skip": int(skip_n) if skip_n else None,
+            "limit": int(limit_n) if limit_n else None,
+        },
     }
 
 
@@ -249,6 +276,10 @@ def parse_match(query: str) -> tuple[list[tuple[str, str, str]], dict]:
         )
     if ast["n_mandatory"] != len(ast["sentences"]):
         raise ValueError("OPTIONAL MATCH requires cypher_property")
+    if ast["return"]["order"] or ast["return"]["skip"] or (
+        ast["return"]["limit"] is not None
+    ):
+        raise ValueError("ORDER BY/SKIP/LIMIT require cypher_property")
     items = []
     for kind, tag, prop, alias in ast["return"]["items"]:
         if kind == "prop":
@@ -587,4 +618,18 @@ def cypher_property(
         out = out.select(*keys)
         if ast["return"]["distinct"]:
             out = out.distinct()
+    # ORDER BY / SKIP / LIMIT → orderBy + offset + limit (TakeOrdered when
+    # Catalyst sees orderBy().limit())
+    ret = ast["return"]
+    if ret["order"]:
+        out = out.orderBy(
+            *[
+                F.col(k).desc() if desc else F.col(k).asc()
+                for k, desc in ret["order"]
+            ]
+        )
+    if ret["skip"]:
+        out = out.offset(ret["skip"])
+    if ret["limit"] is not None:
+        out = out.limit(ret["limit"])
     return out

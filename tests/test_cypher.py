@@ -352,3 +352,31 @@ def test_cypher_optional_requires_shared_tag(spark):
             "MATCH (a:person)-[:knows]->(b:person) "
             "OPTIONAL MATCH (x:person)-[:works_at]->(y:company) RETURN a",
         )
+
+
+def test_cypher_order_by_limit_skip(spark):
+    from graphscope_spark.operators.cypher import cypher_property, parse_cypher
+
+    ast = parse_cypher(
+        "MATCH (a)-[:e]->(b) RETURN a, b ORDER BY b DESC, a SKIP 2 LIMIT 3"
+    )
+    assert ast["return"]["order"] == [("b", True), ("a", False)]
+    assert ast["return"]["skip"] == 2 and ast["return"]["limit"] == 3
+    with pytest.raises(ValueError, match="RETURN item alias"):
+        parse_cypher("MATCH (a)-[:e]->(b) RETURN a ORDER BY z")
+
+    pg = _pgraph(spark)
+    rows = cypher_property(
+        pg,
+        "MATCH (a:person)-[:knows]->(b:person) "
+        "RETURN a, b ORDER BY b DESC, a ASC LIMIT 2",
+    ).collect()
+    # knows: (0,1),(1,2),(2,3),(3,4),(0,2) → by b desc: (3,4),(2,3)
+    assert [(r["a"], r["b"]) for r in rows] == [(3, 4), (2, 3)]
+    rows = cypher_property(
+        pg,
+        "MATCH (a:person)-[:knows]->(b:person) "
+        "RETURN a, b ORDER BY b ASC, a ASC SKIP 1 LIMIT 2",
+    ).collect()
+    # ordered: (0,1),(0,2),(1,2),(2,3),(3,4) → skip 1, take 2
+    assert [(r["a"], r["b"]) for r in rows] == [(0, 2), (1, 2)]
