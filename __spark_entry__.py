@@ -798,7 +798,10 @@ def _roll(expr: str, seed: int = 7) -> str:
     )
 
 
-def _minhash_sql(threshold: float = 0.5, seed: int = 42) -> str:
+def _minhash_ctes(seed: int = 42) -> str:
+    """Shared WITH-clause body: documents → MinHash signatures → banded LSH
+    candidate pairs → `est` (id_a, id_b, est_jaccard). Used by the pair
+    oracle and the cluster oracle (which chains min-label propagation)."""
     a = lambda i: 2 * (seed + i) + 1  # noqa: E731
     b = lambda i: 7919 * (i + 1)  # noqa: E731
     sig_items = ", ".join(
@@ -815,8 +818,7 @@ def _minhash_sql(threshold: float = 0.5, seed: int = 42) -> str:
         f"(CASE WHEN a.sig[{i + 1}] = b.sig[{i + 1}] THEN 1 ELSE 0 END)"
         for i in range(64)
     )
-    return f"""
-    WITH toks AS (SELECT doc_id AS id,
+    return f"""toks AS (SELECT doc_id AS id,
            regexp_split_to_array(lower(trim(text)), '\\s+') AS t
            FROM documents WHERE doc_id < 2000),
     shg AS (SELECT id,
@@ -832,9 +834,47 @@ def _minhash_sql(threshold: float = 0.5, seed: int = 42) -> str:
              FROM fl a JOIN fl b ON a.band = b.band AND a.bucket = b.bucket
              WHERE a.id < b.id),
     est AS (SELECT c.id_a, c.id_b, ({eq_items}) / 64.0 AS est_jaccard
-            FROM cand c JOIN sig a ON a.id = c.id_a JOIN sig b ON b.id = c.id_b)
+            FROM cand c JOIN sig a ON a.id = c.id_a JOIN sig b ON b.id = c.id_b)"""
+
+
+def _minhash_sql(threshold: float = 0.5, seed: int = 42) -> str:
+    return f"""
+    WITH {_minhash_ctes(seed)}
     SELECT id_a, id_b, round(est_jaccard, 6) AS est_jaccard
     FROM est WHERE est_jaccard >= {threshold} ORDER BY id_a, id_b"""
+
+
+def _near_dup_clusters_sql(
+    threshold: float = 0.5, rounds: int = 8, seed: int = 42
+) -> str:
+    """Near-dup clusters = connected components of the MinHash+LSH pair
+    graph, cluster = min doc id in the component. Unrolled min-label
+    propagation (1 hop/round, components are shallow); a (-9,-9) poison row
+    fires if the unroll was truncated before the fixpoint."""
+    steps = []
+    for r in range(1, rounds + 1):
+        steps.append(
+            f"""l{r} AS MATERIALIZED (
+        SELECT l.id, least(l.lab, coalesce(min(n.lab), l.lab)) AS lab
+        FROM l{r - 1} l
+        LEFT JOIN und e ON e.s = l.id
+        LEFT JOIN l{r - 1} n ON n.id = e.d
+        GROUP BY l.id, l.lab)"""
+        )
+    return f"""
+    WITH {_minhash_ctes(seed)},
+    pairs AS MATERIALIZED (SELECT id_a, id_b FROM est
+                           WHERE est_jaccard >= {threshold}),
+    und AS MATERIALIZED (SELECT id_a AS s, id_b AS d FROM pairs
+                         UNION ALL SELECT id_b, id_a FROM pairs),
+    l0 AS MATERIALIZED (SELECT id, id AS lab FROM toks),
+    {",".join(steps)}
+    SELECT id AS doc_id, lab AS cluster FROM l{rounds}
+    UNION ALL
+    SELECT -9 AS doc_id, -9 AS cluster
+    WHERE EXISTS (SELECT 1 FROM l{rounds} a JOIN l{rounds - 1} b
+                  ON a.id = b.id AND a.lab <> b.lab)
+    ORDER BY doc_id"""
 
 
 def _simhash_sql(max_hamming: int = 3) -> str:
@@ -1589,6 +1629,14 @@ def _q_minhash_dups(spark, sf_dir):
     return out.select(
         "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")
     ).orderBy("id_a", "id_b")
+
+
+def _q_near_dup_clusters(spark, sf_dir):
+    from graphscope_spark.operators.dedup import near_dup_clusters
+
+    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    out = near_dup_clusters(docs, threshold=0.5, hash_fn="portable")
+    return out.orderBy("doc_id")
 
 
 def _q_simhash_dups(spark, sf_dir):
@@ -2840,6 +2888,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cypher_varlen": _q_cypher_varlen,
     "cypher_optional": _q_cypher_optional,
     "cypher_topk": _q_cypher_topk,
+    "near_dup_clusters": _q_near_dup_clusters,
     "rectangles": _q_rectangles,
     "cyclic_triangles": _q_cyclic_triangles,
     "tailed_triangles": _q_tailed_triangles,
@@ -3060,6 +3109,7 @@ GROUP BY b.dst ORDER BY supplier_id
     ),
     "doc_fingerprint": _fingerprint_sql(),
     "minhash_dups": _minhash_sql(0.5),
+    "near_dup_clusters": _near_dup_clusters_sql(0.5),
     "simhash_dups": _simhash_sql(3),
     "embedding_lsh_topk": _lsh_topk_sql(64, 5, 4, 16),
     "doc_sha256": (

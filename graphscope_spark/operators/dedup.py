@@ -31,6 +31,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "with_simhash",
     "simhash_pairs",
+    "near_dup_clusters",
 ]
 
 # 2^31 - 1 (Mersenne prime): keeps h·a+b < 2^62, no int64 overflow under ANSI
@@ -391,3 +392,45 @@ def simhash_pairs(
     return cand.select("id_a", "id_b", ham.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    hash_fn: str = "xxhash64",
+    **minhash_kwargs,
+) -> DataFrame:
+    """(id, cluster) — near-duplicate CLUSTERS: the MinHash+LSH pair graph's
+    connected components, cluster = min doc id in the component (documents
+    with no near-dup form singletons).
+
+    The real-pipeline shape of dedup at corpus scale: pairs alone double-
+    count transitive duplicates (A≈B≈C yields 2-3 pairs); keep-one-per-
+    cluster needs the component structure. Pairs come from
+    :func:`minhash_lsh_pairs` (banded bucket equijoin — no all-pairs) and
+    the components from the wcc kernel (min-label frontier propagation);
+    near-dup components are shallow, so wcc converges in a handful of
+    rounds. Reference analogue: dedup pipelines over
+    apps/flash/connectivity + the GIE pattern ops; clustering convention as
+    in SURVEY §2 (component = min member id, exact-match comparable).
+    """
+    from graphscope_spark.algorithms.wcc import wcc
+    from graphscope_spark.graph.graph import Graph
+
+    pairs = minhash_lsh_pairs(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        threshold=threshold,
+        hash_fn=hash_fn,
+        **minhash_kwargs,
+    )
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    g = Graph(edges, vertices=df.select(F.col(id_col).cast("long").alias("id")))
+    out = wcc(g).select(
+        F.col("id").alias(id_col), F.col("component").alias("cluster")
+    )
+    g.unpersist()
+    return out

@@ -89,6 +89,29 @@ def test_minhash_lsh_finds_near_dups(docs):
     assert all(not (a == 3 or b == 3) for a, b in pairs)
 
 
+def test_near_dup_clusters_transitive(docs):
+    from graphscope_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        near_dup_clusters,
+    )
+
+    clusters = {
+        r["doc_id"]: r["cluster"]
+        for r in near_dup_clusters(docs, threshold=0.5).collect()
+    }
+    # every doc appears exactly once (singletons included)
+    assert sorted(clusters) == [d[0] for d in DOCS]
+    # the exact/near-dup family 0,1,2,6 collapses to one cluster = min id
+    assert clusters[0] == clusters[1] == clusters[6] == 0
+    assert clusters[2] == 0  # transitive: 2 pairs with 0/1 via shingles
+    # unrelated docs stay singletons labeled by their own id
+    for d in (3, 4, 5, 7):
+        assert clusters[d] == d
+    # cluster labels agree with the pair graph: any pair shares a cluster
+    for r in minhash_lsh_pairs(docs, threshold=0.5).collect():
+        assert clusters[r["id_a"]] == clusters[r["id_b"]]
+
+
 def test_minhash_deterministic(docs):
     from graphscope_spark.operators.dedup import with_minhash
 
