@@ -2368,6 +2368,31 @@ def _q_gremlin_triangle(spark, sf_dir):
     return res.selectExpr("CAST(count AS BIGINT) AS n")
 
 
+def _q_gremlin_order(spark, sf_dir):
+    """order().by(prop, desc).by('id').limit(n) — the Gremlin top-k tail
+    lowered to Catalyst TakeOrderedAndProject; the integer nationkey ties
+    break on id so membership is deterministic."""
+    from graphscope_spark.operators.gremlin import gremlin
+
+    pg = _property_graph(spark, sf_dir)
+    return gremlin(
+        pg,
+        "g.V().hasLabel('supplier').order().by('nationkey', desc)"
+        ".by('id').limit(10).values('id')",
+    ).orderBy("id")
+
+
+def _q_gremlin_sum(spark, sf_dir):
+    """values(prop).sum() terminal with traverser multiplicity: every
+    buys_from edge contributes its target supplier's nationkey once."""
+    from graphscope_spark.operators.gremlin import gremlin
+
+    pg = _property_graph(spark, sf_dir)
+    return gremlin(
+        pg, "g.V().out('buys_from').values('nationkey').sum()"
+    ).selectExpr("CAST(sum AS BIGINT) AS sum")
+
+
 def _q_cypher_cross_label(spark, sf_dir):
     """cross_label_2hop reproduced from a LABELED Cypher string through
     cypher_property (r3 VERDICT item 2): vertex labels select the per-label
@@ -2881,6 +2906,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cypher_filtered": _q_cypher_filtered,
     "gremlin_two_hop": _q_gremlin_two_hop,
     "gremlin_triangle": _q_gremlin_triangle,
+    "gremlin_order": _q_gremlin_order,
+    "gremlin_sum": _q_gremlin_sum,
     "wcc_delta": _q_wcc_delta,
     "sssp_delta_step": _q_sssp_delta_step,
     "fluid_community": _q_fluid,
@@ -2992,6 +3019,16 @@ ORACLES: dict[str, str] = {
     "min_dominating": _min_dominating_sql(44),
     "cross_label_2hop": _CROSS_LABEL_SQL,
     "cypher_cross_label": _CROSS_LABEL_SQL,
+    "gremlin_order": """
+SELECT 1000000 + s_suppkey AS id FROM supplier
+ORDER BY s_nationkey DESC, id LIMIT 10""",
+    "gremlin_sum": """
+WITH buys AS (
+  SELECT DISTINCT o_custkey AS src,
+         1000000 + (o_orderkey % (SELECT count(*) FROM supplier)) AS dst
+  FROM orders)
+SELECT SUM(s_nationkey)::BIGINT AS sum
+FROM buys b JOIN supplier s ON b.dst = 1000000 + s_suppkey""",
     "cypher_filtered": """
 WITH knows AS (
   SELECT DISTINCT o_custkey AS src,

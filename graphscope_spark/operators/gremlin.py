@@ -17,12 +17,15 @@ Supported chain grammar::
      .as(tag)
      .where(eq(tag) | neq(tag))   # cycle close against a tagged vertex
      .dedup([tag, ...])
+     .order().by(prop|select(tag) [, asc|desc]).by(...)  # multi-key sort
      .limit(n)
     terminal:
      .count()                     → 1 row, column `count`
-     .groupCount([.by(select(tag))])  → (tag|v, count)
+     .groupCount([.by(select(tag) | prop)])  → (tag|v|prop, count)
      .select(tag, ...)            → tag columns
      .values(prop)                → property of the current element
+     .values(prop).sum()|min()|max()|mean()  → 1-row aggregate
+    (a chain without a terminal sinks the current elements as `id`)
 
 Execution state is a DataFrame with column ``_cur`` (current vertex) plus
 one column per ``as`` tag — the traverser-path rendering of the reference's
@@ -109,6 +112,9 @@ def _parse_arg(raw: str):
         return ("str", raw[1:-1])
     if _NUM.match(raw):
         return ("num", float(raw) if "." in raw else int(raw))
+    if raw in ("asc", "desc", "Order.asc", "Order.desc", "incr", "decr"):
+        d = raw.split(".")[-1]
+        return ("ord", {"incr": "asc", "decr": "desc"}.get(d, d))
     m = re.match(r"^(?:__\s*\.\s*)?([A-Za-z_]\w*)\s*\(", raw)
     if m and m.group(1) in ("out", "in", "both"):
         # anonymous traversal argument (repeat(out('label')) — single-step
@@ -224,27 +230,85 @@ def gremlin(graph: Graph | PropertyGraph, query: str) -> DataFrame:
     df: DataFrame | None = None
     tags: list[str] = []
     pending_group: str | None = None  # waiting for an optional .by(...)
+    pending_order: list | None = None  # [(sort_col, 'asc'|'desc'), ...]
+    n_ord = 0
 
     def finish_group(by_tag: str | None) -> DataFrame:
         key = F.col(by_tag) if by_tag else F.col("_cur").alias("v")
         return df.groupBy(key).agg(F.count(F.lit(1)).cast("bigint").alias("count"))
 
+    def apply_order() -> DataFrame:
+        exprs = [
+            F.col(c).asc() if d == "asc" else F.col(c).desc()
+            for c, d in pending_order
+        ]
+        return df.orderBy(*exprs)
+
     for i, (name, args) in enumerate(steps):
+        if pending_order is not None and name != "by":
+            # first non-by step closes the order scope; the _ord columns
+            # stay in the frame so Catalyst can plan orderBy+limit+project
+            # as one TakeOrderedAndProject — terminals project them away
+            if not pending_order:
+                pending_order = [("_cur", "asc")]
+            df = apply_order()
+            pending_order = None
         if pending_group is not None:
             if name == "by":
-                if (
-                    len(args) != 1
-                    or args[0][0] != "select"
-                    or len(args[0][1]) != 1
-                ):
-                    raise ValueError(".by() supports only by(select('tag'))")
-                tag = args[0][1][0][1]
-                if tag not in tags:
-                    raise ValueError(f"unbound tag {tag!r} in by(select(...))")
                 if i != len(steps) - 1:
                     raise ValueError("groupCount().by() must be terminal")
-                return finish_group(tag)
-            raise ValueError("groupCount() may only be followed by .by(select(...))")
+                if (
+                    len(args) == 1
+                    and args[0][0] == "select"
+                    and len(args[0][1]) == 1
+                ):
+                    tag = args[0][1][0][1]
+                    if tag not in tags:
+                        raise ValueError(f"unbound tag {tag!r} in by(select(...))")
+                    return finish_group(tag)
+                if len(args) == 1 and args[0][0] == "str":
+                    # groupCount().by('prop'): count traversers per property
+                    # value (elements without the property are dropped, as
+                    # Gremlin throws for them)
+                    prop = args[0][1]
+                    keyed = (
+                        df
+                        if prop == "id"
+                        else df.join(_prop_table(graph, prop), "_cur")
+                    )
+                    key = F.col("_cur" if prop == "id" else "_p").alias(prop)
+                    return keyed.groupBy(key).agg(
+                        F.count(F.lit(1)).cast("bigint").alias("count")
+                    )
+                raise ValueError(
+                    ".by() after groupCount takes select('tag') or 'prop'"
+                )
+            raise ValueError("groupCount() may only be followed by .by(...)")
+        if pending_order is not None and name == "by":
+            # by('prop' [, desc]) | by(select('tag') [, desc]) | by(desc)
+            direction = "asc"
+            keyargs = list(args)
+            if keyargs and keyargs[-1][0] == "ord":
+                direction = keyargs.pop()[1]
+            if not keyargs:
+                col = "_cur"
+            elif keyargs[0][0] == "str":
+                prop = keyargs[0][1]
+                if prop == "id":
+                    col = "_cur"
+                else:
+                    n_ord += 1
+                    col = f"_ord{n_ord}"
+                    pt = _prop_table(graph, prop).withColumnRenamed("_p", col)
+                    df = df.join(pt, "_cur")
+            elif keyargs[0][0] == "select" and len(keyargs[0][1]) == 1:
+                col = keyargs[0][1][0][1]
+                if col not in tags:
+                    raise ValueError(f"unbound tag {col!r} in order().by()")
+            else:
+                raise ValueError(f"unsupported order().by() argument: {args!r}")
+            pending_order.append((col, direction))
+            continue
 
         if name == "V":
             df = _all_vertices(graph)
@@ -335,6 +399,11 @@ def gremlin(graph: Graph | PropertyGraph, query: str) -> DataFrame:
             if i != len(steps) - 1:
                 raise ValueError("count() must be terminal")
             return df.agg(F.count(F.lit(1)).cast("bigint").alias("count"))
+        elif name == "order":
+            if args:
+                raise ValueError("order() takes no arguments (use .by(...))")
+            pending_order = []
+            continue
         elif name == "groupCount":
             pending_group = "_cur"
             continue
@@ -347,16 +416,34 @@ def gremlin(graph: Graph | PropertyGraph, query: str) -> DataFrame:
                     raise ValueError(f"unbound tag {c!r} in select()")
             return df.select(*cols)
         elif name == "values":
-            if i != len(steps) - 1:
-                raise ValueError("values() must be terminal in this subset")
             prop = args[0][1]
             if prop == "id":
-                return df.select(F.col("_cur").alias(prop))
-            pt = _prop_table(graph, prop)
-            return df.join(pt, "_cur").select(F.col("_p").alias(prop))
+                vdf = df.select(F.col("_cur").alias(prop))
+            else:
+                vdf = df.join(_prop_table(graph, prop), "_cur").select(
+                    F.col("_p").alias(prop)
+                )
+            if i == len(steps) - 1:
+                return vdf
+            nxt, nargs = steps[i + 1]
+            if nxt in ("sum", "min", "max", "mean") and i + 2 == len(steps):
+                if nargs:
+                    raise ValueError(f"{nxt}() takes no arguments")
+                agg = {"sum": F.sum, "min": F.min, "max": F.max, "mean": F.avg}
+                return vdf.agg(agg[nxt](prop).alias(nxt))
+            raise ValueError(
+                "values() must be terminal or followed by a terminal "
+                "sum()/min()/max()/mean()"
+            )
         else:
             raise ValueError(f"unsupported step: {name}()")
 
     if pending_group is not None:
         return finish_group(None)
+    if pending_order is not None:
+        if not pending_order:
+            pending_order = [("_cur", "asc")]
+        df = apply_order()
+    # non-terminated chain: the current elements, GIE Sink-style
+    return df.select(F.col("_cur").alias("id"))
     return df.select(*tags, F.col("_cur").alias("v"))

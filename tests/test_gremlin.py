@@ -155,3 +155,89 @@ def test_gremlin_simple_graph_property_has_raises(spark):
         gremlin(g, "g.V().values('name')").collect()
     with pytest.raises(ValueError, match="one integer argument"):
         gremlin(g, "g.V().repeat(out()).times().count()")
+
+
+def _pg_people(spark):
+    from graphscope_spark.graph.property_graph import PropertyGraph
+
+    person = spark.createDataFrame(
+        [(0, 35, "x"), (1, 31, "y"), (2, 31, "z"), (3, 40, "w"), (4, 28, "v")],
+        "id long, age long, name string",
+    )
+    company = spark.createDataFrame([(100, 10), (101, 2000)], "id long, size long")
+    knows = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (0, 2)], "src long, dst long"
+    )
+    works = spark.createDataFrame(
+        [(0, 100), (1, 100), (2, 101), (3, 101)], "src long, dst long"
+    )
+    return (
+        PropertyGraph()
+        .add_vertices("person", person)
+        .add_vertices("company", company)
+        .add_edges("knows", "person", "person", knows)
+        .add_edges("works_at", "person", "company", works)
+    )
+
+
+def test_gremlin_order_by_limit(spark):
+    pg = _pg_people(spark)
+    # multi-key: age desc, id asc breaks the 31-31 tie deterministically
+    rows = gremlin(
+        pg,
+        "g.V().hasLabel('person').order().by('age', desc).by('id').limit(3)"
+        ".values('id')",
+    ).collect()
+    assert sorted(r["id"] for r in rows) == [0, 1, 3]
+    # order by id via the implicit element: order().by(desc)
+    rows = gremlin(
+        pg, "g.V().hasLabel('person').order().by(desc).limit(2)"
+    ).collect()
+    assert sorted(r["id"] for r in rows) == [3, 4]
+    # order().by(select(tag)) over a tagged upstream vertex
+    rows = gremlin(
+        pg,
+        "g.V().hasLabel('person').as('p').out('knows')"
+        ".order().by(select('p'), desc).limit(2).select('p')",
+    ).collect()
+    assert sorted(r["p"] for r in rows) == [2, 3]
+
+
+def test_gremlin_values_aggregates(spark):
+    pg = _pg_people(spark)
+    got = gremlin(
+        pg, "g.V().hasLabel('person').values('age').sum()"
+    ).collect()[0]["sum"]
+    assert got == 35 + 31 + 31 + 40 + 28
+    assert (
+        gremlin(pg, "g.V().hasLabel('person').values('age').min()")
+        .collect()[0]["min"] == 28
+    )
+    assert (
+        gremlin(pg, "g.V().hasLabel('person').values('age').max()")
+        .collect()[0]["max"] == 40
+    )
+    assert gremlin(
+        pg, "g.V().hasLabel('person').values('age').mean()"
+    ).collect()[0]["mean"] == pytest.approx(165 / 5)
+    # traverser multiplicity: out('works_at').values('size').sum() counts
+    # the company size once PER EDGE, not per distinct company
+    got = gremlin(
+        pg, "g.V().out('works_at').values('size').sum()"
+    ).collect()[0]["sum"]
+    assert got == 10 + 10 + 2000 + 2000
+
+
+def test_gremlin_group_count_by_prop(spark):
+    pg = _pg_people(spark)
+    rows = gremlin(
+        pg, "g.V().hasLabel('person').out('knows').groupCount().by('age')"
+    ).collect()
+    # knows dsts: 1(31), 2(31), 3(40), 4(28), 2(31) -> {31:3, 40:1, 28:1}
+    assert {r["age"]: r["count"] for r in rows} == {31: 3, 40: 1, 28: 1}
+
+
+def test_gremlin_unterminated_chain_sinks_ids(spark):
+    g = _rand_graph(spark)
+    rows = gremlin(g, "g.V().has('id', lt(3))").collect()
+    assert sorted(r["id"] for r in rows) == [0, 1, 2]
