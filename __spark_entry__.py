@@ -2368,6 +2368,20 @@ def _q_gremlin_triangle(spark, sf_dir):
     return res.selectExpr("CAST(count AS BIGINT) AS n")
 
 
+def _q_cypher_with_agg(spark, sf_dir):
+    """WITH-pipelined two-stage aggregation (degree histogram with a
+    HAVING-shaped WHERE): stage 1 groups knows-edges per customer, the
+    WITH-scope WHERE filters the aggregated frame, stage 2 re-aggregates."""
+    from graphscope_spark.operators.cypher import cypher_property
+
+    return cypher_property(
+        _property_graph(spark, sf_dir),
+        "MATCH (a:customer)-[:knows]->(b:customer) "
+        "WITH a, count(*) AS deg WHERE deg >= 2 "
+        "RETURN deg, count(*) AS n_customers ORDER BY deg",
+    )
+
+
 def _q_gremlin_order(spark, sf_dir):
     """order().by(prop, desc).by('id').limit(n) — the Gremlin top-k tail
     lowered to Catalyst TakeOrderedAndProject; the integer nationkey ties
@@ -2908,6 +2922,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gremlin_triangle": _q_gremlin_triangle,
     "gremlin_order": _q_gremlin_order,
     "gremlin_sum": _q_gremlin_sum,
+    "cypher_with_agg": _q_cypher_with_agg,
     "wcc_delta": _q_wcc_delta,
     "sssp_delta_step": _q_sssp_delta_step,
     "fluid_community": _q_fluid,
@@ -3029,6 +3044,15 @@ WITH buys AS (
   FROM orders)
 SELECT SUM(s_nationkey)::BIGINT AS sum
 FROM buys b JOIN supplier s ON b.dst = 1000000 + s_suppkey""",
+    "cypher_with_agg": """
+WITH knows AS (
+  SELECT DISTINCT o_custkey AS src,
+         (o_orderkey * 97) % (SELECT count(*) FROM customer) AS dst
+  FROM orders
+  WHERE o_custkey <> (o_orderkey * 97) % (SELECT count(*) FROM customer)),
+degs AS (SELECT src, count(*)::BIGINT AS deg FROM knows GROUP BY src)
+SELECT deg, count(*)::BIGINT AS n_customers FROM degs
+WHERE deg >= 2 GROUP BY deg ORDER BY deg""",
     "cypher_filtered": """
 WITH knows AS (
   SELECT DISTINCT o_custkey AS src,

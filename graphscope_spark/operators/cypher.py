@@ -29,16 +29,24 @@ Two execution surfaces:
 Grammar (subset)::
 
     query  := MATCH path (, path)* [OPTIONAL MATCH path (, path)*]
-              [WHERE pred (AND pred)*] RETURN [DISTINCT] item (, item)*
+              [WHERE pred (AND pred)*]
+              [WITH [DISTINCT] item (, item)* [WHERE pred (AND pred)*]]
+              RETURN [DISTINCT] item (, item)*
               [ORDER BY alias [ASC|DESC] (, ...)*] [SKIP n] [LIMIT n]
               (the optional pattern LEFT-joins on its shared tags; unmatched
-              rows carry nulls for optional-only tags)
+              rows carry nulls for optional-only tags; WITH pipelines one
+              projection/aggregation stage — its WHERE filters the
+              aggregated frame, Cypher's HAVING shape — and RETURN then
+              sees only the WITH aliases)
     node   := '(' tag [':' label] ')'
     edge   := -[var?][:elabel?][*lo..hi]-> | <-[...]- | -[...]- | --> | <-- | --
               (variable-length patterns need a finite upper bound and lower
               to PathExpand with TRAIL semantics; labels/predicates bind the
               endpoints only, as in Cypher)
-    item   := count(*) [AS a] | tag [AS a] | tag.prop [AS a]
+    item   := count(*) | count([DISTINCT] tag[.prop]) | sum(tag[.prop])
+              | min(...) | max(...) | avg(...) | collect(...)  # sorted list
+              | tag | tag.prop            — each with optional [AS a];
+              non-aggregate items are the implicit grouping keys
     pred   := operand (= | <> | != | < | <= | > | >=) operand
     operand:= tag.prop | tag | int | float | 'string'
 """
@@ -66,6 +74,8 @@ _EDGE = re.compile(
 )
 _RETURN_ITEM = re.compile(
     r"^(?:(count)\s*\(\s*\*\s*\)"
+    r"|(count|sum|min|max|avg|collect)\s*\(\s*(DISTINCT\s+)?"
+    r"([A-Za-z_][A-Za-z_0-9]*)(?:\.([A-Za-z_][A-Za-z_0-9]*))?\s*\)"
     r"|([A-Za-z_][A-Za-z_0-9]*)(?:\.([A-Za-z_][A-Za-z_0-9]*))?)"
     r"(?:\s+AS\s+([A-Za-z_][A-Za-z_0-9]*))?$",
     re.IGNORECASE,
@@ -88,17 +98,46 @@ def parse_cypher(query: str) -> dict:
     ``("lit", value)`` and item kind ∈ {"tag", "prop", "count"}.
     """
     q = query.strip().rstrip(";")
-    m = re.match(
-        r"(?is)^\s*MATCH\s+(.*?)(?:\s+OPTIONAL\s+MATCH\s+(.*?))?"
-        r"(?:\s+WHERE\s+(.*?))?\s+RETURN\s+(.+)$",
-        q,
+    toks = re.split(
+        r"(?is)\b(OPTIONAL\s+MATCH|MATCH|WHERE|WITH|RETURN)\b", q
     )
-    if not m:
+    if toks[0].strip() or len(toks) < 3:
         raise ValueError(
             "expected 'MATCH <patterns> [OPTIONAL MATCH <patterns>] "
-            "[WHERE <preds>] RETURN <items>'"
+            "[WHERE <preds>] [WITH <items> [WHERE <preds>]] RETURN <items>'"
         )
-    pattern_part, optional_part, where_part, return_part = m.groups()
+    pattern_part = optional_part = where_part = return_part = None
+    with_part = with_where_part = None
+    scope = "match"  # WHERE binds to the MATCH scope until WITH is seen
+    for kw, text in zip(toks[1::2], toks[2::2]):
+        kw = re.sub(r"\s+", " ", kw.upper())
+        text = text.strip()
+        if kw == "MATCH":
+            if pattern_part is not None:
+                raise ValueError("only one MATCH clause is supported")
+            pattern_part = text
+        elif kw == "OPTIONAL MATCH":
+            if optional_part is not None:
+                raise ValueError("only one OPTIONAL MATCH clause is supported")
+            optional_part = text
+        elif kw == "WHERE":
+            if scope == "match":
+                if where_part is not None:
+                    raise ValueError("duplicate WHERE in the MATCH scope")
+                where_part = text
+            else:
+                if with_where_part is not None:
+                    raise ValueError("duplicate WHERE in the WITH scope")
+                with_where_part = text
+        elif kw == "WITH":
+            if with_part is not None:
+                raise ValueError("only one WITH clause is supported")
+            with_part = text
+            scope = "with"
+        else:  # RETURN
+            return_part = text
+    if pattern_part is None or return_part is None:
+        raise ValueError("query needs both a MATCH and a RETURN clause")
 
     sentences: list[tuple[str, str, str, str | None]] = []
     labels: dict[str, str | None] = {}
@@ -193,6 +232,100 @@ def parse_cypher(query: str) -> dict:
             op = "<>" if pm.group(2) == "!=" else pm.group(2)
             preds.append((parse_operand(pm.group(1)), op, parse_operand(pm.group(3))))
 
+    def parse_items(text: str, names: set, allow_props: bool, what: str):
+        distinct = False
+        text = text.strip()
+        dm = re.match(r"(?i)^DISTINCT\s+(.*)$", text)
+        if dm:
+            distinct = True
+            text = dm.group(1)
+        items = []
+        for raw in (x.strip() for x in text.split(",")):
+            im = _RETURN_ITEM.match(raw)
+            if not im:
+                raise ValueError(f"unsupported {what} item: {raw!r}")
+            cnt, fn, dkw, atag, aprop, tag, prop, alias = im.groups()
+            if cnt:
+                items.append(("count", "*", None, alias or "count"))
+            elif fn:
+                fn = fn.lower()
+                if atag not in names:
+                    raise ValueError(f"{fn}() references unbound name {atag!r}")
+                if aprop and not allow_props:
+                    raise ValueError(
+                        "property access after WITH is not supported — "
+                        "project the property in the WITH items"
+                    )
+                if dkw and fn != "count":
+                    raise ValueError(
+                        "DISTINCT inside an aggregate supports count() only"
+                    )
+                kind = f"agg:{fn}" + (":d" if dkw else "")
+                default = f"{fn}_{atag}" + (f"_{aprop}" if aprop else "")
+                items.append((kind, atag, aprop, alias or default))
+            elif prop:
+                if not allow_props:
+                    raise ValueError(
+                        "property access after WITH is not supported — "
+                        "project the property in the WITH items"
+                    )
+                if tag not in names:
+                    raise ValueError(f"{what} references unbound tag {tag!r}")
+                items.append(("prop", tag, prop, alias or f"{tag}_{prop}"))
+            else:
+                if tag not in names:
+                    raise ValueError(f"{what} references unbound tag {tag!r}")
+                items.append(("tag", tag, None, alias or tag))
+        if not items:
+            raise ValueError(f"empty {what}")
+        return distinct, items
+
+    with_spec = None
+    ret_names, ret_props = tags, True
+    if with_part is not None:
+        wdistinct, witems = parse_items(with_part, tags, True, "WITH")
+        waliases = {it[3] for it in witems}
+
+        def parse_with_operand(raw: str):
+            om = _OPERAND.match(raw.strip())
+            if not om:
+                raise ValueError(f"unsupported operand: {raw!r}")
+            tag, prop, flt, intg, s = om.groups()
+            if tag is not None:
+                if prop:
+                    raise ValueError(
+                        "property access after WITH is not supported"
+                    )
+                if tag not in waliases:
+                    raise ValueError(
+                        f"WHERE after WITH references unknown alias {tag!r}"
+                    )
+                return ("tag", tag)
+            if flt is not None:
+                return ("lit", float(flt))
+            if intg is not None:
+                return ("lit", int(intg))
+            return ("lit", s)
+
+        wpreds = []
+        if with_where_part:
+            for raw in re.split(r"(?i)\s+AND\s+", with_where_part.strip()):
+                pm = _PRED.match(raw.strip())
+                if not pm:
+                    raise ValueError(f"unsupported predicate: {raw!r}")
+                op = "<>" if pm.group(2) == "!=" else pm.group(2)
+                wpreds.append(
+                    (
+                        parse_with_operand(pm.group(1)),
+                        op,
+                        parse_with_operand(pm.group(3)),
+                    )
+                )
+        with_spec = {"distinct": wdistinct, "items": witems, "where": wpreds}
+        ret_names, ret_props = waliases, False
+    elif with_where_part is not None:
+        raise ValueError("WHERE after WITH requires a WITH clause")
+
     rp = return_part.strip()
     tm = re.match(
         r"(?is)^(.*?)(?:\s+ORDER\s+BY\s+(.*?))?(?:\s+SKIP\s+(\d+))?"
@@ -206,29 +339,7 @@ def parse_cypher(query: str) -> dict:
             om = re.match(r"(?i)^(.*?)(?:\s+(ASC|DESC))?$", raw)
             key, direction = om.group(1).strip(), (om.group(2) or "ASC").upper()
             order.append((key, direction == "DESC"))
-    distinct = False
-    dm = re.match(r"(?i)^DISTINCT\s+(.*)$", rp)
-    if dm:
-        distinct = True
-        rp = dm.group(1)
-    items = []
-    for raw in (x.strip() for x in rp.split(",")):
-        im = _RETURN_ITEM.match(raw)
-        if not im:
-            raise ValueError(f"unsupported RETURN item: {raw!r}")
-        cnt, tag, prop, alias = im.groups()
-        if cnt:
-            items.append(("count", "*", None, alias or "count"))
-        elif prop:
-            if tag not in tags:
-                raise ValueError(f"RETURN references unbound tag {tag!r}")
-            items.append(("prop", tag, prop, alias or f"{tag}_{prop}"))
-        else:
-            if tag not in tags:
-                raise ValueError(f"RETURN references unbound tag {tag!r}")
-            items.append(("tag", tag, None, alias or tag))
-    if not items:
-        raise ValueError("empty RETURN")
+    distinct, items = parse_items(rp, ret_names, ret_props, "RETURN")
     out_names = {it[3] for it in items} | {
         it[1] for it in items if it[0] == "tag"
     }
@@ -243,6 +354,7 @@ def parse_cypher(query: str) -> dict:
         "labels": labels,
         "var_hops": var_hops,
         "where": preds,
+        "with": with_spec,
         "return": {
             "distinct": distinct,
             "items": items,
@@ -276,6 +388,8 @@ def parse_match(query: str) -> tuple[list[tuple[str, str, str]], dict]:
         )
     if ast["n_mandatory"] != len(ast["sentences"]):
         raise ValueError("OPTIONAL MATCH requires cypher_property")
+    if ast["with"] is not None:
+        raise ValueError("WITH requires cypher_property")
     if ast["return"]["order"] or ast["return"]["skip"] or (
         ast["return"]["limit"] is not None
     ):
@@ -284,6 +398,8 @@ def parse_match(query: str) -> tuple[list[tuple[str, str, str]], dict]:
     for kind, tag, prop, alias in ast["return"]["items"]:
         if kind == "prop":
             raise ValueError("property access requires cypher_property")
+        if kind.startswith("agg:"):
+            raise ValueError("aggregate functions require cypher_property")
         items.append((kind, tag if kind == "tag" else "*", alias))
     return (
         [(a, d, b) for a, d, b, _el in ast["sentences"]],
@@ -567,6 +683,13 @@ def cypher_property(
                 out = out.filter(neq)
 
     # --- join vertex properties needed by post-WHERE / RETURN ---------------
+    # props consumed by the first projection stage: the WITH items when a
+    # WITH pipeline is present (RETURN then sees only WITH aliases), else
+    # the RETURN items directly
+    stage1_items = (
+        ast["with"]["items"] if ast["with"] is not None
+        else ast["return"]["items"]
+    )
     need_props = {
         (o[1], o[2])
         for pred in post
@@ -574,8 +697,8 @@ def cypher_property(
         if o[0] == "prop"
     } | {
         (tag, prop)
-        for kind, tag, prop, _al in ast["return"]["items"]
-        if kind == "prop"
+        for kind, tag, prop, _al in stage1_items
+        if prop is not None and (kind == "prop" or kind.startswith("agg:"))
     }
     for tag, prop in sorted(need_props):
         v = pg.vertices[tag_label(tag)]
@@ -596,28 +719,55 @@ def cypher_property(
             _OPS[op](_operand_col(lhs, propcol), _operand_col(rhs, propcol))
         )
 
-    # --- RETURN: projection / implicit grouping -----------------------------
+    # --- WITH / RETURN: projection / implicit grouping ----------------------
+    # (Cypher's implicit aggregation: non-aggregate items are the grouping
+    # keys; aggregates reduce each group)
+    def apply_items(df, items, distinct, pcol):
+        keys, aggs = [], []
+        for kind, tag, prop, alias in items:
+            col = None
+            if tag != "*":
+                col = F.col(tag) if prop is None else pcol(tag, prop)
+            if kind == "count":
+                aggs.append(F.count(F.lit(1)).cast("bigint").alias(alias))
+            elif kind.startswith("agg:"):
+                parts = kind.split(":")
+                fn, dct = parts[1], len(parts) > 2
+                if fn == "count":
+                    cnt = F.countDistinct(col) if dct else F.count(col)
+                    aggs.append(cnt.cast("bigint").alias(alias))
+                elif fn == "collect":
+                    # Cypher leaves collect() order unspecified; sort for
+                    # a deterministic, engine-comparable result
+                    aggs.append(F.sort_array(F.collect_list(col)).alias(alias))
+                else:
+                    aggs.append(
+                        {"sum": F.sum, "min": F.min, "max": F.max, "avg": F.avg}[
+                            fn
+                        ](col).alias(alias)
+                    )
+            else:
+                keys.append(col.alias(alias))
+        if aggs and keys:
+            res = df.groupBy(*keys).agg(*aggs)
+            return res.select(*[al for _k, _t, _p, al in items])
+        if aggs:
+            return df.agg(*aggs)
+        res = df.select(*keys)
+        return res.distinct() if distinct else res
+
     items = ast["return"]["items"]
-    keys = [
-        (F.col(tag) if kind == "tag" else propcol(tag, prop)).alias(alias)
-        for kind, tag, prop, alias in items
-        if kind != "count"
-    ]
-    counts = [
-        F.count(F.lit(1)).cast("bigint").alias(alias)
-        for kind, _t, _p, alias in items
-        if kind == "count"
-    ]
-    if counts and keys:
-        out = out.groupBy(*keys).agg(*counts)
-        # restore the RETURN item order
-        out = out.select(*[al for _k, _t, _p, al in items])
-    elif counts:
-        out = out.agg(*counts)
+    if ast["with"] is not None:
+        w = ast["with"]
+        out = apply_items(out, w["items"], w["distinct"], propcol)
+        for lhs, op, rhs in w["where"]:
+            # WITH-scope predicates see only bare aliases and literals
+            out = out.filter(
+                _OPS[op](_operand_col(lhs, None), _operand_col(rhs, None))
+            )
+        out = apply_items(out, items, ast["return"]["distinct"], None)
     else:
-        out = out.select(*keys)
-        if ast["return"]["distinct"]:
-            out = out.distinct()
+        out = apply_items(out, items, ast["return"]["distinct"], propcol)
     # ORDER BY / SKIP / LIMIT → orderBy + offset + limit (TakeOrdered when
     # Catalyst sees orderBy().limit())
     ret = ast["return"]

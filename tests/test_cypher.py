@@ -380,3 +380,107 @@ def test_cypher_order_by_limit_skip(spark):
     ).collect()
     # ordered: (0,1),(0,2),(1,2),(2,3),(3,4) → skip 1, take 2
     assert [(r["a"], r["b"]) for r in rows] == [(0, 2), (1, 2)]
+
+
+def test_cypher_aggregate_functions(spark):
+    from graphscope_spark.operators.cypher import cypher_property
+
+    pg = _pgraph(spark)
+    # knows edges: 0->1, 1->2, 2->3, 3->4, 0->2; dst ages 31,32,33,34,32
+    rows = cypher_property(
+        pg,
+        "MATCH (a:person)-[:knows]->(b:person) "
+        "RETURN a.id AS src, sum(b.age) AS total, max(b.age) AS oldest",
+    ).collect()
+    got = {r["src"]: (r["total"], r["oldest"]) for r in rows}
+    assert got == {0: (31 + 32, 32), 1: (32, 32), 2: (33, 33), 3: (34, 34)}
+    # global aggregate (no grouping keys): avg + count(DISTINCT)
+    row = cypher_property(
+        pg,
+        "MATCH (a:person)-[:works_at]->(c:company) "
+        "RETURN avg(c.size) AS mean_size, count(DISTINCT c) AS n_companies",
+    ).collect()[0]
+    assert row["n_companies"] == 2
+    assert row["mean_size"] == pytest.approx((10 + 10 + 2000 * 3) / 5)
+    # collect() returns a deterministic sorted list
+    row = cypher_property(
+        pg,
+        "MATCH (a:person)-[:knows]->(b:person) WHERE a.id = 0 "
+        "RETURN collect(b.age) AS ages",
+    ).collect()[0]
+    assert row["ages"] == [31, 32]
+
+
+def test_cypher_with_pipeline_having(spark):
+    from graphscope_spark.operators.cypher import cypher_property
+
+    pg = _pgraph(spark)
+    # degree histogram through WITH + WHERE (HAVING shape):
+    # out-degrees: 0->2, 1->1, 2->1, 3->1
+    rows = cypher_property(
+        pg,
+        "MATCH (a:person)-[:knows]->(b:person) "
+        "WITH a, count(*) AS deg "
+        "WHERE deg >= 1 "
+        "RETURN deg, count(*) AS n ORDER BY deg",
+    ).collect()
+    assert [(r["deg"], r["n"]) for r in rows] == [(1, 3), (2, 1)]
+    # WITH WHERE filters groups before the second aggregation
+    rows = cypher_property(
+        pg,
+        "MATCH (a:person)-[:knows]->(b:person) "
+        "WITH a, count(*) AS deg WHERE deg >= 2 "
+        "RETURN count(*) AS n_hubs",
+    ).collect()
+    assert rows[0]["n_hubs"] == 1
+    # WITH projecting properties, RETURN aggregating the aliases
+    row = cypher_property(
+        pg,
+        "MATCH (a:person)-[:works_at]->(c:company) "
+        "WITH a.age AS age, c.size AS size WHERE size > 100 "
+        "RETURN min(age) AS youngest, count(*) AS n",
+    ).collect()[0]
+    assert (row["youngest"], row["n"]) == (32, 3)
+
+
+def test_cypher_count_tag_counts_non_null(spark):
+    from graphscope_spark.operators.cypher import cypher_property
+
+    pg = _pgraph(spark)
+    # optional company binding: count(c) skips unmatched (null) bindings
+    rows = cypher_property(
+        pg,
+        "MATCH (a:person)-[:knows]->(b:person) "
+        "OPTIONAL MATCH (b)-[:works_at]->(c:company) "
+        "WHERE c.id = 101 "
+        "RETURN a.id AS src, count(c) AS n_bound ORDER BY src",
+    ).collect()
+    # b bindings per a: 0->{1,2}, 1->{2}, 2->{3}, 3->{4}; b in {2,3,4} works
+    # at 101 -> counts: a=0: 1 (b=2), a=1: 1, a=2: 1, a=3: 1
+    assert [(r["src"], r["n_bound"]) for r in rows] == [
+        (0, 1), (1, 1), (2, 1), (3, 1),
+    ]
+
+
+def test_cypher_with_errors(spark):
+    from graphscope_spark.operators.cypher import cypher_property, parse_cypher
+
+    pg = _pgraph(spark)
+    with pytest.raises(ValueError, match="property access after WITH"):
+        parse_cypher(
+            "MATCH (a:person)-[:knows]->(b:person) WITH a, count(*) AS d "
+            "RETURN a.age"
+        )
+    with pytest.raises(ValueError, match="unknown alias"):
+        parse_cypher(
+            "MATCH (a:person)-[:knows]->(b:person) WITH a, count(*) AS d "
+            "WHERE nope > 1 RETURN d"
+        )
+    with pytest.raises(ValueError, match="DISTINCT inside an aggregate"):
+        parse_cypher(
+            "MATCH (a:person)-[:knows]->(b:person) RETURN sum(DISTINCT b.age)"
+        )
+    with pytest.raises(ValueError, match="WITH requires cypher_property"):
+        from graphscope_spark.operators.cypher import parse_match
+
+        parse_match("MATCH (a)-->(b) WITH a, count(*) AS d RETURN d")
