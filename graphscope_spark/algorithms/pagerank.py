@@ -154,8 +154,16 @@ def pagerank(
     resume: bool = True,
     mode: str = "dataframe",
     return_result: bool = False,
+    init_ranks: DataFrame | None = None,
 ) -> DataFrame | SuperstepResult:
-    """NetworkX-exact PageRank. Returns ``(id, pagerank)``; scores sum to 1."""
+    """NetworkX-exact PageRank. Returns ``(id, pagerank)``; scores sum to 1.
+
+    ``init_ranks`` — optional warm-start vector ``(id, pagerank)`` (e.g. the
+    converged scores of a previous run before a graph delta, NetworkX's
+    ``nstart``). The teleport fixpoint is unique, so any start converges to
+    the same scores; a warm start near the fixpoint just needs fewer rounds
+    (the Ingress accumulative-kernel shape — see engine/ingress.py).
+    """
     res = _pagerank_loop(
         graph,
         alpha=alpha,
@@ -166,6 +174,7 @@ def pagerank(
         checkpoint_every=checkpoint_every,
         resume=resume,
         mode=mode,
+        init_ranks=init_ranks,
     )
     if return_result:
         return res
@@ -216,6 +225,7 @@ def _pagerank_loop(
     resume: bool,
     mode: str,
     fuse_rounds: int = 1,
+    init_ranks: DataFrame | None = None,
 ) -> SuperstepResult:
     P = graph.num_partitions
     n = graph.num_vertices
@@ -240,12 +250,34 @@ def _pagerank_loop(
     def init() -> DataFrame:
         # dangling flag is part of the state so a resumed run needs no
         # side-table (north rule: resumable from checkpoint alone).
+        if init_ranks is not None:
+            # warm start: previous scores where known, 1/n for new vertices,
+            # normalized to a distribution (NetworkX nstart semantics)
+            prev = init_ranks.select(
+                F.col("id").cast("long").alias("id"),
+                F.col(init_ranks.columns[-1]).cast("double").alias("_prev"),
+            )
+            raw = (
+                graph.vertices.select("id")
+                .join(prev, "id", "left")
+                .select(
+                    "id", F.coalesce(F.col("_prev"), F.lit(1.0 / n)).alias("r")
+                )
+            )
+            tot = raw.agg(F.sum("r").alias("_s"))
+            start = raw.crossJoin(F.broadcast(tot)).select(
+                "id", (F.col("r") / F.col("_s")).alias("rank")
+            )
+        else:
+            start = graph.vertices.select(
+                "id", F.lit(1.0 / n).alias("rank")
+            )
         return (
-            graph.vertices.select("id")
+            start
             .join(out_w.withColumnRenamed("src", "id"), "id", "left")
             .select(
                 "id",
-                F.lit(1.0 / n).alias("rank"),
+                "rank",
                 F.col("wdeg").isNull().alias("dangling"),
             )
             .repartition(P, "id")

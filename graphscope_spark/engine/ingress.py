@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from graphscope_spark.graph.graph import Graph
 
-__all__ = ["wcc_delta", "sssp_delta", "bfs_delta"]
+__all__ = ["wcc_delta", "sssp_delta", "bfs_delta", "pagerank_delta"]
 
 
 def _endpoints(new_edges: DataFrame, side: str | None = None) -> DataFrame:
@@ -143,3 +143,31 @@ def bfs_delta(
         )
     )
     return bfs(g2, source, max_depth=max_depth, warm_start=state)
+
+
+def pagerank_delta(
+    graph: Graph,
+    new_edges: DataFrame,
+    prev_scores: DataFrame,
+    alpha: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 100,
+) -> DataFrame:
+    """``(id, pagerank)`` over ``graph.add_edges(new_edges)``, warm-started
+    from the converged base scores ``prev_scores`` (id, pagerank).
+
+    PageRank is Ingress's *accumulative* category, not monotone: an added
+    edge redistributes mass, so the converged vector is not a bound — but
+    the teleport fixpoint is a contraction with a unique solution, so
+    restarting the power iteration FROM the old vector (new vertices at
+    1/n, renormalized) converges to the full-recompute answer in rounds
+    proportional to how far the delta moved the fixpoint, not to the cold
+    mixing time. Deletions work through the same call (pass the already
+    mutated graph a no-op delta) since the start vector never affects the
+    fixpoint, only the round count."""
+    from graphscope_spark.algorithms.pagerank import pagerank
+
+    g2 = graph.add_edges(new_edges)
+    return pagerank(
+        g2, alpha=alpha, tol=tol, max_iter=max_iter, init_ranks=prev_scores
+    )

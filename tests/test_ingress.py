@@ -155,3 +155,30 @@ def test_bfs_warm_start_fewer_rounds_on_chain(spark):
     assert _rows(warm.state.select("id", "depth")) == _rows(
         full.state.select("id", "depth")
     )
+
+
+def test_pagerank_delta_matches_full_and_saves_rounds(spark):
+    from graphscope_spark.algorithms.pagerank import pagerank
+    from graphscope_spark.engine.ingress import pagerank_delta
+
+    n = 60
+    base = _rand_edges(n, 150, seed=21)
+    delta = [e for e in _rand_edges(n, 8, seed=77) if e not in set(base)]
+    g = make_graph(spark, base, vertices=list(range(n)))
+    prev = pagerank(g, tol=1e-10)
+    ddf = spark.createDataFrame(delta, "src long, dst long")
+
+    warm = {r["id"]: r["pagerank"] for r in
+            pagerank_delta(g, ddf, prev, tol=1e-10).collect()}
+    cold = {r["id"]: r["pagerank"] for r in
+            pagerank(g.add_edges(ddf), tol=1e-10).collect()}
+    assert set(warm) == set(cold)
+    for v in warm:
+        assert abs(warm[v] - cold[v]) < 1e-6, (v, warm[v], cold[v])
+
+    # the point of the warm start: fewer power-iteration rounds than cold
+    g2 = g.add_edges(ddf)
+    r_warm = pagerank(g2, tol=1e-8, init_ranks=prev, return_result=True)
+    r_cold = pagerank(g2, tol=1e-8, return_result=True)
+    assert r_warm.converged and r_cold.converged
+    assert r_warm.rounds < r_cold.rounds, (r_warm.rounds, r_cold.rounds)
