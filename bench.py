@@ -117,26 +117,29 @@ from graphscope_spark.sources.synthetic import power_law_edges
 g = Graph(power_law_edges(spark, {n_edges}, {n_edges} // 10), num_partitions={sp})
 ne = g.num_edges
 t0 = time.time()
-res = _pagerank_loop(g, alpha=0.85, max_iter={rounds}, tol=0.0, weight_col=None,
-                     checkpoint_dir=None, checkpoint_every=0, resume=False,
-                     mode="dataframe")
+res = _pagerank_loop(g, alpha=0.85, max_iter={rounds}, tol={tol},
+                     weight_col=None, checkpoint_dir=None, checkpoint_every=0,
+                     resume=False, mode="dataframe")
 total = time.time() - t0
+# to-convergence mode (tol>0): rounds actually run, not the max_iter cap
+nr = res.rounds if {tol} > 0 else {rounds}
 secs = sorted(h["sec"] for h in res.history if "sec" in h)
 med = secs[len(secs) // 2]
 print("BENCHJSON" + json.dumps({{
-    "cores": {cores}, "edges": ne, "rounds": {rounds},
+    "cores": {cores}, "edges": ne, "rounds": nr,
+    "converged": bool(res.converged) if {tol} > 0 else None,
     "total_sec": round(total, 2),
-    "sec_per_iter": round(total / {rounds}, 3),
+    "sec_per_iter": round(total / nr, 3),
     "sec_per_iter_median": round(med, 3),
-    "gteps": round(ne * {rounds} / total / 1e9, 6),
-    "mteps": round(ne * {rounds} / total / 1e6, 2),
+    "gteps": round(ne * nr / total / 1e9, 6),
+    "mteps": round(ne * nr / total / 1e6, 2),
     "steady_mteps": round(ne / med / 1e6, 2)}}))
 spark.stop()
 """
 
 
 def _pagerank_run(cores: int, n_edges: int, rounds: int = 10,
-                  timeout: int = 1200) -> dict:
+                  timeout: int = 1200, tol: float = 0.0) -> dict:
     """Each scaling level runs in a FRESH subprocess: reusing one JVM across
     local[N] sessions contaminates later runs (heap fragmentation + leftover
     blocks measured 3-4x slowdowns)."""
@@ -145,6 +148,7 @@ def _pagerank_run(cores: int, n_edges: int, rounds: int = 10,
     code = _SCALING_SCRIPT.format(
         repo=os.path.dirname(os.path.abspath(__file__)),
         cores=cores, sp=max(cores, 8), n_edges=n_edges, rounds=rounds,
+        tol=tol,
     )
     proc = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True,
@@ -293,7 +297,7 @@ def write_report(payload: dict, best: dict | None = None) -> None:
     ]
     keys = [
         "small", "large", "large_4x_data", "small_headline", "headline_100m",
-        "small_xl",
+        "headline_converged", "small_xl",
     ]
     keys += sorted(
         (k for k in s if k.startswith("xl_")),
@@ -309,6 +313,16 @@ def write_report(payload: dict, best: dict | None = None) -> None:
             )
         elif r:
             lines.append(f"| {key} | — | — | FAILED: {r['error'][:80]} | | | | |")
+    c = s.get("headline_converged")
+    if c and "error" not in c:
+        lines += [
+            "",
+            f"- **to-convergence run (BASELINE.json metric verbatim)**: "
+            f"PageRank tol=1e-6 (NetworkX Σ|Δ|<tol·N criterion) "
+            f"converged={c.get('converged')} in **{c['rounds']} rounds**, "
+            f"{c['total_sec']}s total, {c['sec_per_iter_median']} s/iter "
+            f"median, **{c['gteps']} GTEPS**.",
+        ]
     h = s.get("headline_100m")
     if h and "error" in h:
         h = None
@@ -500,6 +514,16 @@ def main() -> None:
                 )
             except Exception as exc:  # noqa: BLE001 — record, don't die
                 scaling["headline_100m"] = {"error": str(exc)[:500]}
+            # the north-rule metric verbatim: PageRank-TO-CONVERGENCE at
+            # tol=1e-6 (NetworkX criterion), GTEPS + sec/iteration — one
+            # run (round count varies with the graph, so the fixed-round
+            # series above stays the comparable TEPS evidence)
+            try:
+                scaling["headline_converged"] = _pagerank_run(
+                    CPUS, HEADLINE_EDGES, rounds=100, tol=1e-6, timeout=3600
+                )
+            except Exception as exc:  # noqa: BLE001
+                scaling["headline_converged"] = {"error": str(exc)[:500]}
             # strong scaling AT THE HEADLINE SIZE: barrier overhead
             # amortizes with input, so N→4N efficiency rises with scale —
             # the regime the ≥0.8 target assumes
@@ -578,6 +602,11 @@ def main() -> None:
     payload["mteps"] = head.get("mteps")
     payload["steady_mteps"] = head.get("steady_mteps")
     payload["sec_per_iteration"] = head.get("sec_per_iter_median")
+    conv = scaling.get("headline_converged") or {}
+    if "error" not in conv and conv:
+        payload["converged_rounds"] = conv.get("rounds")
+        payload["converged_gteps"] = conv.get("gteps")
+        payload["converged_sec_per_iteration"] = conv.get("sec_per_iter_median")
 
     write_report(payload, best=best)
     print(json.dumps(payload))
