@@ -106,25 +106,28 @@ def parse_cypher(query: str) -> dict:
             "expected 'MATCH <patterns> [OPTIONAL MATCH <patterns>] "
             "[WHERE <preds>] [WITH <items> [WHERE <preds>]] RETURN <items>'"
         )
-    pattern_part = optional_part = where_part = return_part = None
+    pattern_parts: list[str] = []
+    where_parts: list[str] = []
+    optional_part = return_part = None
     with_part = with_where_part = None
     scope = "match"  # WHERE binds to the MATCH scope until WITH is seen
     for kw, text in zip(toks[1::2], toks[2::2]):
         kw = re.sub(r"\s+", " ", kw.upper())
         text = text.strip()
         if kw == "MATCH":
-            if pattern_part is not None:
-                raise ValueError("only one MATCH clause is supported")
-            pattern_part = text
+            # several MATCH clauses join on their shared tags — for the
+            # inner-pattern subset this equals one comma-joined pattern list
+            if optional_part is not None:
+                raise ValueError("MATCH may not follow OPTIONAL MATCH")
+            pattern_parts.append(text)
         elif kw == "OPTIONAL MATCH":
             if optional_part is not None:
                 raise ValueError("only one OPTIONAL MATCH clause is supported")
             optional_part = text
         elif kw == "WHERE":
             if scope == "match":
-                if where_part is not None:
-                    raise ValueError("duplicate WHERE in the MATCH scope")
-                where_part = text
+                # per-clause WHEREs all filter the joined match frame (AND)
+                where_parts.append(text)
             else:
                 if with_where_part is not None:
                     raise ValueError("duplicate WHERE in the WITH scope")
@@ -136,8 +139,10 @@ def parse_cypher(query: str) -> dict:
             scope = "with"
         else:  # RETURN
             return_part = text
-    if pattern_part is None or return_part is None:
+    if not pattern_parts or return_part is None:
         raise ValueError("query needs both a MATCH and a RETURN clause")
+    pattern_part = ", ".join(pattern_parts)
+    where_part = " AND ".join(where_parts) if where_parts else None
 
     sentences: list[tuple[str, str, str, str | None]] = []
     labels: dict[str, str | None] = {}

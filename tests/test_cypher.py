@@ -484,3 +484,33 @@ def test_cypher_with_errors(spark):
         from graphscope_spark.operators.cypher import parse_match
 
         parse_match("MATCH (a)-->(b) WITH a, count(*) AS d RETURN d")
+
+
+def test_cypher_multiple_match_clauses(spark):
+    from graphscope_spark.operators.cypher import cypher_property
+
+    pg = _pgraph(spark)
+    # two MATCH clauses join on the shared tag b; per-clause WHEREs AND
+    rows = cypher_property(
+        pg,
+        "MATCH (a:person)-[:knows]->(b:person) WHERE a.id = 0 "
+        "MATCH (b)-[:works_at]->(c:company) WHERE c.size > 100 "
+        "RETURN b.id AS b, c.id AS c ORDER BY b",
+    ).collect()
+    # a=0 knows {1,2}; works_at: 1->100(small), 2->101(big) -> only b=2
+    assert [(r["b"], r["c"]) for r in rows] == [(2, 101)]
+    # equivalent comma form gives the same result
+    rows2 = cypher_property(
+        pg,
+        "MATCH (a:person)-[:knows]->(b:person), (b)-[:works_at]->(c:company) "
+        "WHERE a.id = 0 AND c.size > 100 "
+        "RETURN b.id AS b, c.id AS c ORDER BY b",
+    ).collect()
+    assert [(r["b"], r["c"]) for r in rows2] == [(2, 101)]
+    with pytest.raises(ValueError, match="MATCH may not follow OPTIONAL"):
+        cypher_property(
+            pg,
+            "MATCH (a:person)-[:knows]->(b:person) "
+            "OPTIONAL MATCH (b)-[:works_at]->(c:company) "
+            "MATCH (c)-[:knows]->(d:person) RETURN d",
+        )
