@@ -1631,6 +1631,20 @@ def _q_minhash_dups(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def _q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language document sample (threshold pre-filter +
+    exact window top-n + shortfall repair — no full per-stratum sort at
+    scale); portable hash ⇒ bit-identical DuckDB twin."""
+    from graphscope_spark.operators.text import stratified_sample
+
+    docs = _load(spark, sf_dir, "documents")
+    return (
+        stratified_sample(docs, "lang", 20, hash_fn="portable")
+        .select("doc_id", "lang")
+        .orderBy("lang", "doc_id")
+    )
+
+
 def _q_near_dup_clusters(spark, sf_dir):
     from graphscope_spark.operators.dedup import near_dup_clusters
 
@@ -2931,6 +2945,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cypher_optional": _q_cypher_optional,
     "cypher_topk": _q_cypher_topk,
     "near_dup_clusters": _q_near_dup_clusters,
+    "stratified_sample": _q_stratified_sample,
     "rectangles": _q_rectangles,
     "cyclic_triangles": _q_cyclic_triangles,
     "tailed_triangles": _q_tailed_triangles,
@@ -3173,6 +3188,17 @@ GROUP BY b.dst ORDER BY supplier_id
     "doc_fingerprint": _fingerprint_sql(),
     "minhash_dups": _minhash_sql(0.5),
     "near_dup_clusters": _near_dup_clusters_sql(0.5),
+    "stratified_sample": f"""
+WITH keyed AS (
+  SELECT doc_id, lang,
+         (('0x' || substr(md5('42:' || doc_id::VARCHAR), 1, 15))::BIGINT
+          % {_PMOD}) AS sk
+  FROM documents),
+ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY sk, doc_id) AS rk
+  FROM keyed)
+SELECT doc_id, lang FROM ranked WHERE rk <= 20 ORDER BY lang, doc_id""",
     "simhash_dups": _simhash_sql(3),
     "embedding_lsh_topk": _lsh_topk_sql(64, 5, 4, 16),
     "doc_sha256": (

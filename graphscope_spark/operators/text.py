@@ -19,6 +19,7 @@ __all__ = [
     "with_lang_id",
     "with_quality_score",
     "with_fingerprint",
+    "stratified_sample",
     "LANG_MARKERS",
 ]
 
@@ -107,3 +108,96 @@ def with_fingerprint(
 
         return df.withColumn(out, portable_str_hash(normalized))
     return df.withColumn(out, F.xxhash64(normalized))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+    oversample: float = 2.0,
+) -> DataFrame:
+    """Deterministic per-stratum sample: rank each stratum's rows by a
+    seeded hash of the id (a reproducible pseudo-random order, ties on id)
+    and keep the first ``n_per_stratum``. Same rows on every engine/run.
+
+    Scale path (100 TB): a naive ``row_number() OVER (PARTITION BY
+    stratum)`` ships EVERY row of a stratum through one task — a viral
+    stratum (lang='en' at corpus scale) is a straggler. Instead:
+
+    1. per-stratum counts (map-side combined, tiny),
+    2. broadcast a per-stratum hash threshold ≈ oversample·n/count of the
+       hash range — the scan keeps ~oversample·n rows per stratum and the
+       filter runs JVM-side on the full scan, no shuffle,
+    3. exact top-n window over the ~n·oversample survivors (small),
+    4. shortfall repair: any stratum whose survivor count came up short of
+       min(n, count) (hash fluctuation) is re-ranked over its full rows —
+       exactness is never sacrificed, the repair set is just rare.
+
+    hash_fn="portable" uses the md5-fold (bit-identical in DuckDB) so the
+    sample is oracle-checkable; "xxhash64" is the fast production path.
+    """
+    from pyspark.sql import Window
+
+    from graphscope_spark.operators.dedup import _P, portable_str_hash
+
+    if hash_fn == "portable":
+        key = portable_str_hash(F.col(id_col).cast("string"), seed)
+        key_range = _P
+    else:
+        key = F.xxhash64(F.col(id_col), F.lit(seed))
+        key_range = None  # full int64 range, handled below
+
+    keyed = df.withColumn("_sk", key)
+    if key_range is None:
+        # map xxhash64's signed 64-bit output onto [0, 2^63) for the
+        # threshold arithmetic (shift by abs of min-long via bitwise)
+        keyed = keyed.withColumn(
+            "_sk", F.shiftrightunsigned(F.col("_sk"), 1)
+        )
+        key_range = (1 << 63) - 1  # int64 max: _sk ∈ [0, 2^63)
+
+    counts = keyed.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    thr = counts.select(
+        strata_col,
+        "_cnt",
+        F.least(
+            F.lit(key_range),
+            (
+                F.lit(float(key_range))
+                * F.lit(oversample)
+                * F.lit(n_per_stratum)
+                / F.col("_cnt")
+            ).cast("long"),
+        ).alias("_thr"),
+    )
+    cand = keyed.join(F.broadcast(thr), strata_col).filter(
+        F.col("_sk") <= F.col("_thr")
+    )
+    w = Window.partitionBy(strata_col).orderBy(
+        F.col("_sk").asc(), F.col(id_col).asc()
+    )
+    ranked = cand.withColumn("_rk", F.row_number().over(w))
+    picked = ranked.filter(F.col("_rk") <= n_per_stratum)
+
+    # shortfall repair (exactness guard): strata where the threshold kept
+    # fewer than min(n, cnt) rows re-rank over their full row set
+    got = picked.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_got"))
+    short = (
+        thr.join(got, strata_col, "left")
+        .filter(
+            F.coalesce(F.col("_got"), F.lit(0))
+            < F.least(F.lit(n_per_stratum), F.col("_cnt"))
+        )
+        .select(strata_col)
+    )
+    repaired = (
+        keyed.join(F.broadcast(short), strata_col, "left_semi")
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_stratum)
+    )
+    ok = picked.join(F.broadcast(short), strata_col, "left_anti")
+    cols = df.columns
+    return ok.select(*cols).unionByName(repaired.select(*cols))

@@ -159,3 +159,35 @@ def test_token_counts_and_quality(docs):
         assert r["n_tokens"] == len(DOCS[r["doc_id"]][1].split())
         assert r["n_bpe_tokens"] >= r["n_tokens"]
         assert 0.0 <= r["quality"] <= 1.0
+
+
+def test_stratified_sample(spark):
+    from graphscope_spark.operators.text import stratified_sample
+
+    rows = [(i, f"t{i}", ["en", "de", "fr"][i % 3]) for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    s = stratified_sample(df, "lang", 5, hash_fn="portable")
+    got = s.groupBy("lang").count().collect()
+    assert {r["lang"]: r["count"] for r in got} == {"en": 5, "de": 5, "fr": 5}
+    # deterministic across runs
+    a = sorted(r["doc_id"] for r in s.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in stratified_sample(df, "lang", 5, hash_fn="portable").collect()
+    )
+    assert a == b
+    # over-ask returns every row of the stratum, no duplicates
+    allr = stratified_sample(df, "lang", 1000, hash_fn="portable").collect()
+    assert sorted(r["doc_id"] for r in allr) == list(range(90))
+    # shortfall repair: a threshold that keeps ~nothing must still produce
+    # the exact same sample as a generous one
+    tight = sorted(
+        r["doc_id"]
+        for r in stratified_sample(
+            df, "lang", 5, hash_fn="portable", oversample=0.01
+        ).collect()
+    )
+    assert tight == a
+    # xxhash64 fast path: same counts, deterministic
+    x = stratified_sample(df, "lang", 5)
+    assert x.count() == 15
