@@ -25,6 +25,7 @@ Supported chain grammar::
      .select(tag, ...)            → tag columns
      .values(prop)                → property of the current element
      .values(prop).sum()|min()|max()|mean()  → 1-row aggregate
+     .path()                      → visited-vertex history (array column)
     (a chain without a terminal sinks the current elements as `id`)
 
 Execution state is a DataFrame with column ``_cur`` (current vertex) plus
@@ -232,6 +233,8 @@ def gremlin(graph: Graph | PropertyGraph, query: str) -> DataFrame:
     pending_group: str | None = None  # waiting for an optional .by(...)
     pending_order: list | None = None  # [(sort_col, 'asc'|'desc'), ...]
     n_ord = 0
+    # vertex-history tracking is paid only when a path() terminal asks
+    track_path = any(name == "path" for name, _a in steps)
 
     def finish_group(by_tag: str | None) -> DataFrame:
         key = F.col(by_tag) if by_tag else F.col("_cur").alias("v")
@@ -316,6 +319,8 @@ def gremlin(graph: Graph | PropertyGraph, query: str) -> DataFrame:
                 df = df.filter(
                     F.col("_cur").isin([v for _k, v in args])
                 )
+            if track_path:
+                df = df.withColumn("_path", F.array(F.col("_cur")))
         elif df is None:
             raise ValueError("traversal must start with g.V(...)")
         elif name in ("out", "in", "both"):
@@ -324,6 +329,10 @@ def gremlin(graph: Graph | PropertyGraph, query: str) -> DataFrame:
             df = edge_expand(df, e, name, "_cur", "_nxt").drop("_cur").withColumnRenamed(
                 "_nxt", "_cur"
             )
+            if track_path:
+                df = df.withColumn(
+                    "_path", F.concat(F.col("_path"), F.array(F.col("_cur")))
+                )
         elif name == "repeat":
             # repeat(out()).times(n): unroll the inner step n times —
             # GIE's PathExpand iteration scope with a fixed hop count
@@ -344,6 +353,11 @@ def gremlin(graph: Graph | PropertyGraph, query: str) -> DataFrame:
                     .drop("_cur")
                     .withColumnRenamed("_nxt", "_cur")
                 )
+                if track_path:
+                    df = df.withColumn(
+                        "_path",
+                        F.concat(F.col("_path"), F.array(F.col("_cur"))),
+                    )
         elif name == "times":
             if i == 0 or steps[i - 1][0] != "repeat":
                 raise ValueError(".times(n) must follow repeat(...)")
@@ -399,6 +413,12 @@ def gremlin(graph: Graph | PropertyGraph, query: str) -> DataFrame:
             if i != len(steps) - 1:
                 raise ValueError("count() must be terminal")
             return df.agg(F.count(F.lit(1)).cast("bigint").alias("count"))
+        elif name == "path":
+            if i != len(steps) - 1:
+                raise ValueError("path() must be terminal in this subset")
+            # vertex-path subset of Gremlin's path(): the traverser's
+            # visited-vertex history as an array column
+            return df.select(F.col("_path").alias("path"))
         elif name == "order":
             if args:
                 raise ValueError("order() takes no arguments (use .by(...))")

@@ -241,3 +241,23 @@ def test_gremlin_unterminated_chain_sinks_ids(spark):
     g = _rand_graph(spark)
     rows = gremlin(g, "g.V().has('id', lt(3))").collect()
     assert sorted(r["id"] for r in rows) == [0, 1, 2]
+
+
+def test_gremlin_path(spark):
+    g = make_graph(spark, [(0, 1), (1, 2), (0, 2)], vertices=[0, 1, 2])
+    paths = sorted(
+        tuple(r["path"])
+        for r in gremlin(g, "g.V(0).out().out().path()").collect()
+    )
+    assert paths == [(0, 1, 2)]
+    # repeat() tracks every hop
+    paths = sorted(
+        tuple(r["path"])
+        for r in gremlin(g, "g.V(0).repeat(out()).times(2).path()").collect()
+    )
+    assert paths == [(0, 1, 2)]
+    # 1-hop: every out edge from 0
+    paths = sorted(
+        tuple(r["path"]) for r in gremlin(g, "g.V(0).out().path()").collect()
+    )
+    assert paths == [(0, 1), (0, 2)]
