@@ -14,8 +14,10 @@ partial-evaluate / incremental-evaluate / sync loop.
 COMPAT path: the inner loop is per-vertex Python (the fast path is the
 vectorized contract in engine/superstep.py), and each superstep REBUILDS
 the adjacency ``collect_list`` (the per-edge dst-value mirror changes every
-round, so the full edge set re-shuffles and Arrow-ships to Python per
-round — the same cost class as the measured-negative CSR-in-Python path).
+round). The edge table is persisted pre-partitioned on dst, so the state
+join co-locates without re-shuffling edges — but the per-round regroup by
+src still shuffles edge-sized data and Arrow-ships it to Python (the same
+cost class as the measured-negative CSR-in-Python path).
 Use this surface to port reference UDF apps verbatim, not as the scale
 path; the r3 CSR A/B in BENCH/BASELINE.md quantifies why static blocks
 re-shipped to Python every round lose to the JVM dataframe loop.
@@ -180,7 +182,14 @@ def run_pie(
         else F.lit(1.0)
     )
     part = F.pmod(F.xxhash64("id"), F.lit(P))
-    flat = graph.edges.select("src", "dst", w.alias("w"))
+    # persisted, pre-partitioned on dst: the per-round state join then
+    # co-locates on the (small) state side only — the edge table is scanned
+    # from cache, not re-shuffled every round (r3 VERDICT wrong-item 3)
+    flat = (
+        graph.edges.select("src", "dst", w.alias("w"))
+        .repartition(P, "dst")
+        .persist()
+    )
 
     def block(pdf: pd.DataFrame, phase: str) -> pd.DataFrame:
         ids = pdf["id"].tolist()
@@ -216,7 +225,9 @@ def run_pie(
         else:
             src_df = state.select("id", "value")
             e = flat.join(
-                state.select(F.col("id").alias("dst"), F.col("value").alias("dval")),
+                state.select(
+                    F.col("id").alias("dst"), F.col("value").alias("dval")
+                ).hint("shuffle_hash"),
                 "dst",
                 "left",
             ).select("src", "dst", "w", "dval")
@@ -260,6 +271,7 @@ def run_pie(
             RuntimeWarning,
             stacklevel=2,
         )
+    flat.unpersist()
     return state.select("id", "value")
 
 

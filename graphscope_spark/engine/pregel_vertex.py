@@ -144,11 +144,13 @@ def run_pregel_vertex(
         if weight_col and weight_col in graph.edges.columns
         else F.lit(1.0)
     )
-    # adjacency grouped once: (id, nbrs: array<struct<dst,w>>)
+    # adjacency grouped + PERSISTED once: it is static and referenced every
+    # round — left lazy, each superstep would re-run the edges groupBy
     adj = (
         graph.edges.select("src", "dst", w.alias("w"))
         .groupBy(F.col("src").alias("id"))
         .agg(F.collect_list(F.struct("dst", "w")).alias("nbrs"))
+        .persist()
     )
     part = F.pmod(F.xxhash64("id"), F.lit(P))
 
@@ -232,4 +234,5 @@ def run_pregel_vertex(
         if status["active"] == 0 and n_msgs == 0:
             break
 
+    adj.unpersist()
     return state.select("id", "value")
