@@ -321,7 +321,14 @@ def write_report(payload: dict, best: dict | None = None) -> None:
             f"PageRank tol=1e-6 (NetworkX Σ|Δ|<tol·N criterion) "
             f"converged={c.get('converged')} in **{c['rounds']} rounds**, "
             f"{c['total_sec']}s total, {c['sec_per_iter_median']} s/iter "
-            f"median, **{c['gteps']} GTEPS**.",
+            f"median, **{c['gteps']} GTEPS**. Note the criterion is the "
+            f"REFERENCE's own N-scaled stop rule "
+            f"(apps/pagerank/pagerank_networkx.h:147, `total_eps < tol * "
+            f"graph_vnum`): at ~1e7 vertices the threshold is Σ|Δ| < 10, "
+            f"which a uniform start crosses almost immediately — convergence "
+            f"round counts are scale-degenerate BY THE REFERENCE'S OWN "
+            f"SEMANTICS, which is why the fixed-round series above is the "
+            f"throughput evidence.",
         ]
     h = s.get("headline_100m")
     if h and "error" in h:
