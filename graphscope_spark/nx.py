@@ -76,10 +76,19 @@ from graphscope_spark.algorithms.msf import (
     minimum_spanning_forest as minimum_spanning_tree,
 )
 from graphscope_spark.algorithms.ranking import articlerank, ppr
+from graphscope_spark.algorithms.fluid import fluid_communities as asyn_fluidc
+from graphscope_spark.algorithms.lpa_color import (
+    lpa_by_color as asyn_lpa_communities,
+)
+from graphscope_spark.algorithms.flash_extras import onion_layer_ordering
+from graphscope_spark.algorithms.kcore import core_numbers as core_number
+from graphscope_spark.algorithms.matching import min_edge_cover
 
 label_propagation_communities = cdlp
 shortest_path_length = single_source_dijkstra_path_length
 personalized_pagerank = ppr
+onion_layers = onion_layer_ordering
+dominating_set = min_dominating_set
 
 __all__ = [
     "articulation_points", "biconnected_components", "bridges",
@@ -97,5 +106,6 @@ __all__ = [
     "edge_boundary", "node_boundary", "harmonic_centrality", "greedy_color",
     "maximal_independent_set", "maximal_matching", "min_cover_greedy",
     "min_dominating_set", "minimum_spanning_tree", "articlerank", "ppr",
-    "personalized_pagerank",
+    "personalized_pagerank", "asyn_fluidc", "asyn_lpa_communities",
+    "onion_layers", "core_number", "min_edge_cover", "dominating_set",
 ]
