@@ -18,7 +18,7 @@ Supported chain grammar::
      .where(eq(tag) | neq(tag))   # cycle close against a tagged vertex
      .dedup([tag, ...])
      .order().by(prop|select(tag) [, asc|desc]).by(...)  # multi-key sort
-     .limit(n)
+     .limit(n) | .sample(n) | .coin(p)   # deterministic seeded sampling
     terminal:
      .count()                     → 1 row, column `count`
      .groupCount([.by(select(tag) | prop)])  → (tag|v|prop, count)
@@ -409,6 +409,21 @@ def gremlin(graph: Graph | PropertyGraph, query: str) -> DataFrame:
             df = df.dropDuplicates(cols)
         elif name == "limit":
             df = df.limit(int(args[0][1]))
+        elif name == "sample":
+            # deterministic seeded-hash sample of n traversers (GIE Sample;
+            # stable across partitionings unlike df.sample)
+            from graphscope_spark.operators.relational import sample_n
+
+            df = sample_n(df, int(args[0][1]))
+        elif name == "coin":
+            # keep each traverser with probability p — seeded hash of the
+            # full row, so the same traverser always flips the same way
+            p = float(args[0][1])
+            hv = F.pmod(
+                F.xxhash64(*[F.col(c) for c in df.columns], F.lit(7)),
+                F.lit(1_000_000),
+            )
+            df = df.filter(hv < F.lit(int(p * 1_000_000)))
         elif name == "count":
             if i != len(steps) - 1:
                 raise ValueError("count() must be terminal")

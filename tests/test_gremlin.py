@@ -261,3 +261,16 @@ def test_gremlin_path(spark):
         tuple(r["path"]) for r in gremlin(g, "g.V(0).out().path()").collect()
     )
     assert paths == [(0, 1), (0, 2)]
+
+
+def test_gremlin_sample_coin(spark):
+    g = _rand_graph(spark)
+    got = gremlin(g, "g.V().sample(5)").collect()
+    assert len(got) == 5
+    # deterministic
+    again = gremlin(g, "g.V().sample(5)").collect()
+    assert sorted(r["id"] for r in got) == sorted(r["id"] for r in again)
+    n_all = gremlin(g, "g.V().count()").collect()[0]["count"]
+    n_half = gremlin(g, "g.V().coin(0.5).count()").collect()[0]["count"]
+    assert 0 < n_half < n_all
+    assert gremlin(g, "g.V().coin(1.0).count()").collect()[0]["count"] == n_all
