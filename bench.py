@@ -45,7 +45,9 @@ HEADLINE_RUNS = int(os.environ.get("SPARK_GRAFT_HEADLINE_RUNS", "3"))
 # counts; "" disables) — the 200M point showed throughput still rising in r2
 XL_EDGES = [
     int(x)
-    for x in os.environ.get("SPARK_GRAFT_XL_EDGES", "200000000,400000000").split(",")
+    for x in os.environ.get(
+        "SPARK_GRAFT_XL_EDGES", "200000000,400000000,800000000"
+    ).split(",")
     if x.strip()
 ]
 SMALL_CORES = max(CPUS // 4, 1)
@@ -139,10 +141,14 @@ spark.stop()
 
 
 def _pagerank_run(cores: int, n_edges: int, rounds: int = 10,
-                  timeout: int = 1200, tol: float = 0.0) -> dict:
+                  timeout: int = 1200, tol: float = 0.0,
+                  driver_mem: str | None = None) -> dict:
     """Each scaling level runs in a FRESH subprocess: reusing one JVM across
     local[N] sessions contaminates later runs (heap fragmentation + leftover
-    blocks measured 3-4x slowdowns)."""
+    blocks measured 3-4x slowdowns). ``driver_mem`` overrides the measured-
+    optimal 16g default — needed at ≥800M edges, where the persisted link
+    table no longer fits a 16g heap (16g run died mid-shuffle; 24g ran
+    clean at 36.75 steady MTEPS with no sign of the 40g GC cliff)."""
     import subprocess
 
     code = _SCALING_SCRIPT.format(
@@ -150,9 +156,12 @@ def _pagerank_run(cores: int, n_edges: int, rounds: int = 10,
         cores=cores, sp=max(cores, 8), n_edges=n_edges, rounds=rounds,
         tol=tol,
     )
+    env = dict(os.environ)
+    if driver_mem:
+        env["SPARK_GRAFT_DRIVER_MEM"] = driver_mem
     proc = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True,
-        timeout=timeout,
+        timeout=timeout, env=env,
     )
     for line in proc.stdout.splitlines():
         if line.startswith("BENCHJSON"):
@@ -562,7 +571,8 @@ def main() -> None:
                 continue
             try:
                 scaling[f"xl_{xl // 1_000_000}m"] = _pagerank_run(
-                    CPUS, xl, rounds=6, timeout=3600
+                    CPUS, xl, rounds=6, timeout=3600,
+                    driver_mem="24g" if xl >= 600_000_000 else None,
                 )
             except Exception as exc:  # noqa: BLE001 — record, don't die
                 scaling[f"xl_{xl // 1_000_000}m"] = {"error": str(exc)[:500]}
