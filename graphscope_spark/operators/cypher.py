@@ -30,7 +30,7 @@ Grammar (subset)::
 
     query  := MATCH path (, path)* [OPTIONAL MATCH path (, path)*]
               [WHERE pred (AND pred)*]
-              [WITH [DISTINCT] item (, item)* [WHERE pred (AND pred)*]]
+              (WITH [DISTINCT] item (, item)* [WHERE pred (AND pred)*])*
               RETURN [DISTINCT] item (, item)*
               [ORDER BY alias [ASC|DESC] (, ...)*] [SKIP n] [LIMIT n]
               (the optional pattern LEFT-joins on its shared tags; unmatched
@@ -109,7 +109,8 @@ def parse_cypher(query: str) -> dict:
     pattern_parts: list[str] = []
     where_parts: list[str] = []
     optional_part = return_part = None
-    with_part = with_where_part = None
+    # each WITH opens a pipeline stage: [{"text": items, "where": [texts]}]
+    with_stages_raw: list[dict] = []
     scope = "match"  # WHERE binds to the MATCH scope until WITH is seen
     for kw, text in zip(toks[1::2], toks[2::2]):
         kw = re.sub(r"\s+", " ", kw.upper())
@@ -119,23 +120,23 @@ def parse_cypher(query: str) -> dict:
             # inner-pattern subset this equals one comma-joined pattern list
             if optional_part is not None:
                 raise ValueError("MATCH may not follow OPTIONAL MATCH")
+            if scope != "match":
+                raise ValueError("MATCH after WITH is not supported")
             pattern_parts.append(text)
         elif kw == "OPTIONAL MATCH":
             if optional_part is not None:
                 raise ValueError("only one OPTIONAL MATCH clause is supported")
+            if scope != "match":
+                raise ValueError("OPTIONAL MATCH after WITH is not supported")
             optional_part = text
         elif kw == "WHERE":
             if scope == "match":
                 # per-clause WHEREs all filter the joined match frame (AND)
                 where_parts.append(text)
             else:
-                if with_where_part is not None:
-                    raise ValueError("duplicate WHERE in the WITH scope")
-                with_where_part = text
+                with_stages_raw[-1]["where"].append(text)
         elif kw == "WITH":
-            if with_part is not None:
-                raise ValueError("only one WITH clause is supported")
-            with_part = text
+            with_stages_raw.append({"text": text, "where": []})
             scope = "with"
         else:  # RETURN
             return_part = text
@@ -285,51 +286,51 @@ def parse_cypher(query: str) -> dict:
             raise ValueError(f"empty {what}")
         return distinct, items
 
-    with_spec = None
-    ret_names, ret_props = tags, True
-    if with_part is not None:
-        wdistinct, witems = parse_items(with_part, tags, True, "WITH")
+    def parse_alias_operand(raw: str, names: set):
+        om = _OPERAND.match(raw.strip())
+        if not om:
+            raise ValueError(f"unsupported operand: {raw!r}")
+        tag, prop, flt, intg, s = om.groups()
+        if tag is not None:
+            if prop:
+                raise ValueError("property access after WITH is not supported")
+            if tag not in names:
+                raise ValueError(
+                    f"WHERE after WITH references unknown alias {tag!r}"
+                )
+            return ("tag", tag)
+        if flt is not None:
+            return ("lit", float(flt))
+        if intg is not None:
+            return ("lit", int(intg))
+        return ("lit", s)
+
+    with_specs: list[dict] = []
+    cur_names, cur_props = tags, True
+    for stage in with_stages_raw:
+        wdistinct, witems = parse_items(
+            stage["text"], cur_names, cur_props, "WITH"
+        )
         waliases = {it[3] for it in witems}
-
-        def parse_with_operand(raw: str):
-            om = _OPERAND.match(raw.strip())
-            if not om:
-                raise ValueError(f"unsupported operand: {raw!r}")
-            tag, prop, flt, intg, s = om.groups()
-            if tag is not None:
-                if prop:
-                    raise ValueError(
-                        "property access after WITH is not supported"
-                    )
-                if tag not in waliases:
-                    raise ValueError(
-                        f"WHERE after WITH references unknown alias {tag!r}"
-                    )
-                return ("tag", tag)
-            if flt is not None:
-                return ("lit", float(flt))
-            if intg is not None:
-                return ("lit", int(intg))
-            return ("lit", s)
-
         wpreds = []
-        if with_where_part:
-            for raw in re.split(r"(?i)\s+AND\s+", with_where_part.strip()):
+        for wtext in stage["where"]:
+            for raw in re.split(r"(?i)\s+AND\s+", wtext.strip()):
                 pm = _PRED.match(raw.strip())
                 if not pm:
                     raise ValueError(f"unsupported predicate: {raw!r}")
                 op = "<>" if pm.group(2) == "!=" else pm.group(2)
                 wpreds.append(
                     (
-                        parse_with_operand(pm.group(1)),
+                        parse_alias_operand(pm.group(1), waliases),
                         op,
-                        parse_with_operand(pm.group(3)),
+                        parse_alias_operand(pm.group(3), waliases),
                     )
                 )
-        with_spec = {"distinct": wdistinct, "items": witems, "where": wpreds}
-        ret_names, ret_props = waliases, False
-    elif with_where_part is not None:
-        raise ValueError("WHERE after WITH requires a WITH clause")
+        with_specs.append(
+            {"distinct": wdistinct, "items": witems, "where": wpreds}
+        )
+        cur_names, cur_props = waliases, False
+    ret_names, ret_props = cur_names, cur_props
 
     rp = return_part.strip()
     tm = re.match(
@@ -359,7 +360,7 @@ def parse_cypher(query: str) -> dict:
         "labels": labels,
         "var_hops": var_hops,
         "where": preds,
-        "with": with_spec,
+        "with": with_specs,
         "return": {
             "distinct": distinct,
             "items": items,
@@ -393,7 +394,7 @@ def parse_match(query: str) -> tuple[list[tuple[str, str, str]], dict]:
         )
     if ast["n_mandatory"] != len(ast["sentences"]):
         raise ValueError("OPTIONAL MATCH requires cypher_property")
-    if ast["with"] is not None:
+    if ast["with"]:
         raise ValueError("WITH requires cypher_property")
     if ast["return"]["order"] or ast["return"]["skip"] or (
         ast["return"]["limit"] is not None
@@ -692,8 +693,7 @@ def cypher_property(
     # WITH pipeline is present (RETURN then sees only WITH aliases), else
     # the RETURN items directly
     stage1_items = (
-        ast["with"]["items"] if ast["with"] is not None
-        else ast["return"]["items"]
+        ast["with"][0]["items"] if ast["with"] else ast["return"]["items"]
     )
     need_props = {
         (o[1], o[2])
@@ -762,14 +762,18 @@ def cypher_property(
         return res.distinct() if distinct else res
 
     items = ast["return"]["items"]
-    if ast["with"] is not None:
-        w = ast["with"]
-        out = apply_items(out, w["items"], w["distinct"], propcol)
-        for lhs, op, rhs in w["where"]:
-            # WITH-scope predicates see only bare aliases and literals
-            out = out.filter(
-                _OPS[op](_operand_col(lhs, None), _operand_col(rhs, None))
+    if ast["with"]:
+        for k, w in enumerate(ast["with"]):
+            # only the FIRST stage sees pattern-tag properties; later
+            # stages (and RETURN) see the previous stage's bare aliases
+            out = apply_items(
+                out, w["items"], w["distinct"], propcol if k == 0 else None
             )
+            for lhs, op, rhs in w["where"]:
+                # WITH-scope predicates see only bare aliases and literals
+                out = out.filter(
+                    _OPS[op](_operand_col(lhs, None), _operand_col(rhs, None))
+                )
         out = apply_items(out, items, ast["return"]["distinct"], None)
     else:
         out = apply_items(out, items, ast["return"]["distinct"], propcol)

@@ -514,3 +514,29 @@ def test_cypher_multiple_match_clauses(spark):
             "OPTIONAL MATCH (b)-[:works_at]->(c:company) "
             "MATCH (c)-[:knows]->(d:person) RETURN d",
         )
+
+
+def test_cypher_multi_stage_with(spark):
+    from graphscope_spark.operators.cypher import cypher_property
+
+    pg = _pgraph(spark)
+    # stage 1: out-degree per person; stage 2: histogram; RETURN: how many
+    # distinct histogram buckets — three aggregation stages chained
+    row = cypher_property(
+        pg,
+        "MATCH (a:person)-[:knows]->(b:person) "
+        "WITH a, count(*) AS deg "
+        "WITH deg, count(*) AS n WHERE n >= 1 "
+        "RETURN count(*) AS n_buckets, sum(n) AS n_people",
+    ).collect()[0]
+    # degrees: {0:2, 1:1, 2:1, 3:1} -> histogram {2:1, 1:3} -> 2 buckets, 4 ppl
+    assert (row["n_buckets"], row["n_people"]) == (2, 4)
+    # second-stage WHERE references only the second stage's aliases
+    with pytest.raises(ValueError, match="unknown alias"):
+        cypher_property(
+            pg,
+            "MATCH (a:person)-[:knows]->(b:person) "
+            "WITH a, count(*) AS deg "
+            "WITH deg, count(*) AS n WHERE a > 1 "
+            "RETURN n",
+        )
