@@ -12,6 +12,9 @@ Supported chain grammar::
 
     g.V([id, ...])
      .out([elabel]) | .in([elabel]) | .both([elabel])
+     .outE([elabel]) | .inE([elabel])  # traverser becomes the EDGE — its
+         property columns drive has()/values(); .inV()/.outV() return to
+         vertices; an unterminated edge chain sinks (src, dst, props)
      .has(prop, literal | P)      # P: lt/lte/gt/gte/eq/neq/within(...)
      .hasLabel(label)             # PropertyGraph only
      .as(tag)
@@ -194,6 +197,30 @@ def _edges_for(graph, direction: str, elabel: str | None) -> DataFrame:
     return out
 
 
+def _edges_full(graph, elabel: str | None) -> DataFrame:
+    """Edge tables WITH their property columns (for the edge-element steps
+    outE/inE). A simple Graph keeps every edge column (weight, …); a
+    PropertyGraph unions per-label tables on (src, dst) only — per-label
+    property schemas differ, so edge-property access there needs a
+    single-label step, which keeps that label's columns."""
+    if isinstance(graph, Graph):
+        if elabel is not None:
+            raise ValueError("edge labels need a PropertyGraph")
+        return graph.edges
+    parts = [
+        df for (el, _sl, _dl), df in graph.edges.items()
+        if elabel is None or el == elabel
+    ]
+    if not parts:
+        raise ValueError(f"no edge tables with label {elabel!r}")
+    if len(parts) == 1:
+        return parts[0]
+    out = parts[0].select("src", "dst")
+    for p in parts[1:]:
+        out = out.unionByName(p.select("src", "dst"))
+    return out
+
+
 def _all_vertices(graph) -> DataFrame:
     if isinstance(graph, Graph):
         return graph.vertices.select(F.col("id").alias("_cur"))
@@ -235,6 +262,8 @@ def gremlin(graph: Graph | PropertyGraph, query: str) -> DataFrame:
     n_ord = 0
     # vertex-history tracking is paid only when a path() terminal asks
     track_path = any(name == "path" for name, _a in steps)
+    cur_kind = "v"  # 'v' = vertex traversers (_cur), 'e' = edge traversers
+    edge_cols: list[str] = []  # edge property columns while cur_kind == 'e'
 
     def finish_group(by_tag: str | None) -> DataFrame:
         key = F.col(by_tag) if by_tag else F.col("_cur").alias("v")
@@ -313,6 +342,13 @@ def gremlin(graph: Graph | PropertyGraph, query: str) -> DataFrame:
             pending_order.append((col, direction))
             continue
 
+        if cur_kind == "e" and name not in (
+            "has", "values", "count", "limit", "sample", "coin", "inV", "outV",
+        ):
+            raise ValueError(
+                f"step {name}() is not supported on edge traversers — "
+                "return to vertices with inV()/outV() first"
+            )
         if name == "V":
             df = _all_vertices(graph)
             if args:
@@ -333,6 +369,41 @@ def gremlin(graph: Graph | PropertyGraph, query: str) -> DataFrame:
                 df = df.withColumn(
                     "_path", F.concat(F.col("_path"), F.array(F.col("_cur")))
                 )
+        elif name in ("outE", "inE"):
+            # edge-element step: the traverser becomes the EDGE, its
+            # property columns exposed for has()/values()
+            if track_path:
+                raise ValueError(
+                    "path() together with edge steps is not supported "
+                    "(the path array is vertex-only)"
+                )
+            elabel = args[0][1] if args else None
+            e = _edges_full(graph, elabel)
+            eprops = [c for c in e.columns if c not in ("src", "dst")]
+            for c in eprops:
+                if c in df.columns:
+                    raise ValueError(
+                        f"edge property {c!r} collides with a bound tag"
+                    )
+            key, other = ("src", "dst") if name == "outE" else ("dst", "src")
+            df = (
+                df.join(e.withColumnRenamed(key, "_cur"), "_cur")
+                .withColumnRenamed(
+                    "_cur", "_esrc" if name == "outE" else "_edst"
+                )
+                .withColumnRenamed(
+                    other, "_edst" if name == "outE" else "_esrc"
+                )
+            )
+            edge_cols = eprops
+            cur_kind = "e"
+        elif name in ("inV", "outV"):
+            if cur_kind != "e":
+                raise ValueError(f"{name}() needs edge traversers (outE/inE)")
+            df = df.withColumn(
+                "_cur", F.col("_edst" if name == "inV" else "_esrc")
+            ).drop("_esrc", "_edst", *edge_cols)
+            cur_kind, edge_cols = "v", []
         elif name == "repeat":
             # repeat(out()).times(n): unroll the inner step n times —
             # GIE's PathExpand iteration scope with a fixed hop count
@@ -366,7 +437,14 @@ def gremlin(graph: Graph | PropertyGraph, query: str) -> DataFrame:
             if len(args) != 2 or args[0][0] != "str":
                 raise ValueError("has() takes (prop, literal | P-predicate)")
             prop = args[0][1]
-            if prop == "id":
+            if cur_kind == "e":
+                if prop not in edge_cols:
+                    raise ValueError(
+                        f"edge has() needs an edge property "
+                        f"(available: {edge_cols})"
+                    )
+                df = df.filter(_pred_col(F.col(prop), args[1]))
+            elif prop == "id":
                 df = df.filter(_pred_col(F.col("_cur"), args[1]))
             else:
                 # _prop_table raises for a simple Graph (ids only) — never
@@ -452,7 +530,14 @@ def gremlin(graph: Graph | PropertyGraph, query: str) -> DataFrame:
             return df.select(*cols)
         elif name == "values":
             prop = args[0][1]
-            if prop == "id":
+            if cur_kind == "e":
+                if prop not in edge_cols:
+                    raise ValueError(
+                        f"edge values() needs an edge property "
+                        f"(available: {edge_cols})"
+                    )
+                vdf = df.select(F.col(prop).alias(prop))
+            elif prop == "id":
                 vdf = df.select(F.col("_cur").alias(prop))
             else:
                 vdf = df.join(_prop_table(graph, prop), "_cur").select(
@@ -480,5 +565,10 @@ def gremlin(graph: Graph | PropertyGraph, query: str) -> DataFrame:
             pending_order = [("_cur", "asc")]
         df = apply_order()
     # non-terminated chain: the current elements, GIE Sink-style
+    if cur_kind == "e":
+        return df.select(
+            F.col("_esrc").alias("src"), F.col("_edst").alias("dst"),
+            *edge_cols,
+        )
     return df.select(F.col("_cur").alias("id"))
     return df.select(*tags, F.col("_cur").alias("v"))

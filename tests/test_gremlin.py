@@ -274,3 +274,42 @@ def test_gremlin_sample_coin(spark):
     n_half = gremlin(g, "g.V().coin(0.5).count()").collect()[0]["count"]
     assert 0 < n_half < n_all
     assert gremlin(g, "g.V().coin(1.0).count()").collect()[0]["count"] == n_all
+
+
+def test_gremlin_edge_steps(spark):
+    from graphscope_spark.graph.graph import Graph
+
+    edges = spark.createDataFrame(
+        [(0, 1, 2.0), (0, 2, 5.0), (1, 2, 1.0), (2, 3, 9.0)],
+        "src long, dst long, weight double",
+    )
+    verts = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    g = Graph(edges, vertices=verts)
+    # edge-property filter + values terminal
+    got = sorted(
+        r["weight"]
+        for r in gremlin(g, "g.V().outE().has('weight', gt(1.5)).values('weight')").collect()
+    )
+    assert got == [2.0, 5.0, 9.0]
+    # sum over edge weights reachable from 0
+    s = gremlin(g, "g.V(0).outE().values('weight').sum()").collect()[0]["sum"]
+    assert s == 7.0
+    # inV returns to vertices; chain continues
+    ids = sorted(
+        r["id"]
+        for r in gremlin(g, "g.V(0).outE().has('weight', gt(3)).inV()").collect()
+    )
+    assert ids == [2]
+    # inE: incoming edges of 2 -> weights 5.0, 1.0; outV gives the sources
+    srcs = sorted(
+        r["id"] for r in gremlin(g, "g.V(2).inE().outV()").collect()
+    )
+    assert srcs == [0, 1]
+    # unterminated edge chain sinks (src, dst, weight)
+    rows = gremlin(g, "g.V(0).outE()").collect()
+    assert sorted((r["src"], r["dst"], r["weight"]) for r in rows) == [
+        (0, 1, 2.0), (0, 2, 5.0),
+    ]
+    # vertex steps on edge traversers are rejected with guidance
+    with pytest.raises(ValueError, match="inV"):
+        gremlin(g, "g.V().outE().out()")
