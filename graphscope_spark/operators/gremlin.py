@@ -12,9 +12,10 @@ Supported chain grammar::
 
     g.V([id, ...])
      .out([elabel]) | .in([elabel]) | .both([elabel])
-     .outE([elabel]) | .inE([elabel])  # traverser becomes the EDGE — its
-         property columns drive has()/values(); .inV()/.outV() return to
-         vertices; an unterminated edge chain sinks (src, dst, props)
+     .outE([elabel]) | .inE([elabel]) | .bothE([elabel])  # traverser
+         becomes the EDGE — its property columns drive has()/values();
+         .inV()/.outV()/.otherV() return to vertices; an unterminated
+         edge chain sinks (src, dst, props)
      .has(prop, literal | P)      # P: lt/lte/gt/gte/eq/neq/within(...)
      .hasLabel(label)             # PropertyGraph only
      .as(tag)
@@ -343,7 +344,8 @@ def gremlin(graph: Graph | PropertyGraph, query: str) -> DataFrame:
             continue
 
         if cur_kind == "e" and name not in (
-            "has", "values", "count", "limit", "sample", "coin", "inV", "outV",
+            "has", "values", "count", "limit", "sample", "coin",
+            "inV", "outV", "otherV",
         ):
             raise ValueError(
                 f"step {name}() is not supported on edge traversers — "
@@ -369,9 +371,10 @@ def gremlin(graph: Graph | PropertyGraph, query: str) -> DataFrame:
                 df = df.withColumn(
                     "_path", F.concat(F.col("_path"), F.array(F.col("_cur")))
                 )
-        elif name in ("outE", "inE"):
+        elif name in ("outE", "inE", "bothE"):
             # edge-element step: the traverser becomes the EDGE, its
-            # property columns exposed for has()/values()
+            # property columns exposed for has()/values(); _eanchor keeps
+            # the vertex we arrived from so otherV() can leave the other way
             if track_path:
                 raise ValueError(
                     "path() together with edge steps is not supported "
@@ -385,24 +388,40 @@ def gremlin(graph: Graph | PropertyGraph, query: str) -> DataFrame:
                     raise ValueError(
                         f"edge property {c!r} collides with a bound tag"
                     )
-            key, other = ("src", "dst") if name == "outE" else ("dst", "src")
-            df = (
-                df.join(e.withColumnRenamed(key, "_cur"), "_cur")
-                .withColumnRenamed(
-                    "_cur", "_esrc" if name == "outE" else "_edst"
+
+            def attach(base, key):
+                other = "dst" if key == "src" else "src"
+                return (
+                    base.withColumn("_eanchor", F.col("_cur"))
+                    .join(e.withColumnRenamed(key, "_cur"), "_cur")
+                    .withColumnRenamed(
+                        "_cur", "_esrc" if key == "src" else "_edst"
+                    )
+                    .withColumnRenamed(
+                        other, "_edst" if key == "src" else "_esrc"
+                    )
                 )
-                .withColumnRenamed(
-                    other, "_edst" if name == "outE" else "_esrc"
-                )
-            )
+
+            if name == "outE":
+                df = attach(df, "src")
+            elif name == "inE":
+                df = attach(df, "dst")
+            else:  # bothE: incident edges in either orientation
+                df = attach(df, "src").unionByName(attach(df, "dst"))
             edge_cols = eprops
             cur_kind = "e"
-        elif name in ("inV", "outV"):
+        elif name in ("inV", "outV", "otherV"):
             if cur_kind != "e":
                 raise ValueError(f"{name}() needs edge traversers (outE/inE)")
-            df = df.withColumn(
-                "_cur", F.col("_edst" if name == "inV" else "_esrc")
-            ).drop("_esrc", "_edst", *edge_cols)
+            if name == "otherV":
+                nxt = F.when(
+                    F.col("_eanchor") == F.col("_esrc"), F.col("_edst")
+                ).otherwise(F.col("_esrc"))
+            else:
+                nxt = F.col("_edst" if name == "inV" else "_esrc")
+            df = df.withColumn("_cur", nxt).drop(
+                "_esrc", "_edst", "_eanchor", *edge_cols
+            )
             cur_kind, edge_cols = "v", []
         elif name == "repeat":
             # repeat(out()).times(n): unroll the inner step n times —

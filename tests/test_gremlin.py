@@ -313,3 +313,26 @@ def test_gremlin_edge_steps(spark):
     # vertex steps on edge traversers are rejected with guidance
     with pytest.raises(ValueError, match="inV"):
         gremlin(g, "g.V().outE().out()")
+
+
+def test_gremlin_both_e_other_v(spark):
+    from graphscope_spark.graph.graph import Graph
+
+    edges = spark.createDataFrame(
+        [(0, 1, 2.0), (2, 0, 5.0)], "src long, dst long, weight double"
+    )
+    verts = spark.createDataFrame([(i,) for i in range(3)], "id long")
+    g = Graph(edges, vertices=verts)
+    # bothE from 0 sees both incident edges; otherV leaves the far side
+    got = sorted(
+        r["id"] for r in gremlin(g, "g.V(0).bothE().otherV()").collect()
+    )
+    assert got == [1, 2]
+    # weight filter applies to incident edges regardless of direction
+    got = sorted(
+        r["id"]
+        for r in gremlin(
+            g, "g.V(0).bothE().has('weight', gt(3)).otherV()"
+        ).collect()
+    )
+    assert got == [2]
