@@ -2421,6 +2421,22 @@ def _q_gremlin_sum(spark, sf_dir):
     ).selectExpr("CAST(sum AS BIGINT) AS sum")
 
 
+def _q_gremlin_edge(spark, sf_dir):
+    """Edge-element traverser surface (outE/has-on-edge-prop/inV) driven
+    end-to-end from a Gremlin string: per-vertex count of incoming heavy
+    (weight > 3) edges over the weighted link graph. Reference step set:
+    IrStandardOpProcessor's ExpandOp with EXPAND_EDGE opt + GetVOp END
+    (interactive_engine/executor/ir/core/src/plan/logical.rs edge-expand
+    lowering)."""
+    from graphscope_spark.operators.gremlin import gremlin
+
+    g = _customer_graph(spark, sf_dir, weighted=True)
+    res = gremlin(g, "g.V().outE().has('weight', gt(3.0)).inV().groupCount()")
+    return res.selectExpr(
+        "CAST(v AS BIGINT) AS id", "CAST(count AS BIGINT) AS n_heavy"
+    ).orderBy("id")
+
+
 def _q_cypher_cross_label(spark, sf_dir):
     """cross_label_2hop reproduced from a LABELED Cypher string through
     cypher_property (r3 VERDICT item 2): vertex labels select the per-label
@@ -2936,6 +2952,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gremlin_triangle": _q_gremlin_triangle,
     "gremlin_order": _q_gremlin_order,
     "gremlin_sum": _q_gremlin_sum,
+    "gremlin_edge": _q_gremlin_edge,
     "cypher_with_agg": _q_cypher_with_agg,
     "wcc_delta": _q_wcc_delta,
     "sssp_delta_step": _q_sssp_delta_step,
@@ -3061,6 +3078,10 @@ WITH buys AS (
   FROM orders)
 SELECT SUM(s_nationkey)::BIGINT AS sum
 FROM buys b JOIN supplier s ON b.dst = 1000000 + s_suppkey""",
+    "gremlin_edge": _with("dummy AS (SELECT 1 AS one)")
+    + """
+SELECT dst AS id, count(*)::BIGINT AS n_heavy
+FROM wedges WHERE w > 3.0 GROUP BY dst ORDER BY id""",
     "cypher_with_agg": """
 WITH knows AS (
   SELECT DISTINCT o_custkey AS src,
