@@ -258,6 +258,70 @@ def update_best_headline(scaling: dict) -> dict | None:
     return best
 
 
+BUILDER_POINTS_FILE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH", "builder_points.json"
+)
+
+
+def load_builder_points() -> dict:
+    """Builder-measured quiet-phase extension rows (800M/1.8B points,
+    strong-scaling pairs) persisted so driver reruns of bench.py cannot
+    clobber them out of BASELINE.md — the r3/r4 lesson generalized from
+    best_headline.json to every manually-curated measurement."""
+    if os.path.exists(BUILDER_POINTS_FILE):
+        try:
+            with open(BUILDER_POINTS_FILE) as fh:
+                return json.load(fh)
+        except Exception:
+            pass
+    return {"rows": [], "notes_md": []}
+
+
+def record_builder_point(name: str, run: dict, date: str | None = None) -> None:
+    """Append/replace a named quiet-phase row in builder_points.json."""
+    pts = load_builder_points()
+    run = dict(run)
+    run["name"] = name
+    run["date"] = date or time.strftime("%Y-%m-%d")
+    pts["rows"] = [r for r in pts["rows"] if r.get("name") != name] + [run]
+    with open(BUILDER_POINTS_FILE, "w") as fh:
+        json.dump(pts, fh, indent=1)
+
+
+def _builder_points_lines() -> list[str]:
+    pts = load_builder_points()
+    if not pts.get("rows") and not pts.get("notes_md"):
+        return []
+    lines = [
+        "",
+        "## Builder-measured extension points (quiet-phase, preserved "
+        "across reruns)",
+        "",
+        "Single fresh-JVM runs taken in verified quiet host phases "
+        "(back-to-back pairs for scaling ratios); persisted in "
+        "`BENCH/builder_points.json` so bench.py reruns re-render rather "
+        "than discard them.",
+        "",
+        "| run | date | cores | edges | rounds | total s | s/iter (median) "
+        "| MTEPS | steady MTEPS |",
+        "|---|---|---|---|---|---|---|---|---|",
+    ]
+    def _c(v):
+        return "" if v is None else v
+
+    for r in pts.get("rows", []):
+        lines.append(
+            f"| {r.get('name')} | {r.get('date', '')} | {_c(r.get('cores'))} "
+            f"| {_c(r.get('edges'))} | {_c(r.get('rounds'))} "
+            f"| {_c(r.get('total_sec'))} | {_c(r.get('sec_per_iter_median'))} "
+            f"| {_c(r.get('mteps'))} | {_c(r.get('steady_mteps'))} |"
+        )
+    if pts.get("notes_md"):
+        lines.append("")
+        lines.extend(pts["notes_md"])
+    return lines
+
+
 def write_report(payload: dict, best: dict | None = None) -> None:
     os.makedirs("BENCH", exist_ok=True)
     s = payload.get("scaling", {})
@@ -292,7 +356,9 @@ def write_report(payload: dict, best: dict | None = None) -> None:
                 f"**{best['strong_efficiency_headline']}**"
             )
         lines.append("")
+    lines += _builder_points_lines()
     lines += [
+        "",
         "## Latest run — PageRank data-scaling series (10 rounds, "
         f"local[{CPUS}], 16g heap)",
         "",
