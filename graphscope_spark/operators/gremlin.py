@@ -17,17 +17,22 @@ Supported chain grammar::
          .inV()/.outV()/.otherV() return to vertices; an unterminated
          edge chain sinks (src, dst, props)
      .has(prop, literal | P)      # P: lt/lte/gt/gte/eq/neq/within(...)
+     .hasId(id, ...)              # keep the listed vertex ids
      .hasLabel(label)             # PropertyGraph only
      .as(tag)
      .where(eq(tag) | neq(tag))   # cycle close against a tagged vertex
      .dedup([tag, ...])
      .order().by(prop|select(tag) [, asc|desc]).by(...)  # multi-key sort
-     .limit(n) | .sample(n) | .coin(p)   # deterministic seeded sampling
+     .limit(n) | .range(lo, hi) | .sample(n) | .coin(p)  # range keeps
+         [lo, hi) in stream order (deterministic after order());
+         sample/coin are deterministic seeded
     terminal:
      .count()                     → 1 row, column `count`
      .groupCount([.by(select(tag) | prop)])  → (tag|v|prop, count)
      .select(tag, ...)            → tag columns
      .values(prop)                → property of the current element
+     .valueMap(prop, ...)         → (id, prop, ...) columns; edge
+         traversers sink (src, dst, prop, ...)
      .values(prop).sum()|min()|max()|mean()  → 1-row aggregate
      .path()                      → visited-vertex history (array column)
     (a chain without a terminal sinks the current elements as `id`)
@@ -344,8 +349,8 @@ def gremlin(graph: Graph | PropertyGraph, query: str) -> DataFrame:
             continue
 
         if cur_kind == "e" and name not in (
-            "has", "values", "count", "limit", "sample", "coin",
-            "inV", "outV", "otherV",
+            "has", "values", "valueMap", "count", "limit", "range",
+            "sample", "coin", "inV", "outV", "otherV",
         ):
             raise ValueError(
                 f"step {name}() is not supported on edge traversers — "
@@ -504,8 +509,24 @@ def gremlin(graph: Graph | PropertyGraph, query: str) -> DataFrame:
                 if c != "_cur" and c not in tags:
                     raise ValueError(f"unbound tag {c!r} in dedup()")
             df = df.dropDuplicates(cols)
+        elif name == "hasId":
+            if cur_kind != "v":
+                raise ValueError("hasId() applies to vertex traversers")
+            ids = [v for _k, v in args]
+            if not ids:
+                raise ValueError("hasId() needs at least one id")
+            df = df.filter(F.col("_cur").isin(ids))
         elif name == "limit":
             df = df.limit(int(args[0][1]))
+        elif name == "range":
+            # range(lo, hi) keeps traversers [lo, hi) in stream order —
+            # deterministic only after order(), same caveat as Gremlin
+            if len(args) != 2:
+                raise ValueError("range() takes (low, high)")
+            lo, hi = int(args[0][1]), int(args[1][1])
+            if not (0 <= lo <= hi):
+                raise ValueError("range() needs 0 <= low <= high")
+            df = df.offset(lo).limit(hi - lo)
         elif name == "sample":
             # deterministic seeded-hash sample of n traversers (GIE Sample;
             # stable across partitionings unlike df.sample)
@@ -547,6 +568,40 @@ def gremlin(graph: Graph | PropertyGraph, query: str) -> DataFrame:
                 if c not in tags:
                     raise ValueError(f"unbound tag {c!r} in select()")
             return df.select(*cols)
+        elif name == "valueMap":
+            if i != len(steps) - 1:
+                raise ValueError("valueMap() must be terminal in this subset")
+            props = [v for _k, v in args]
+            if cur_kind == "e":
+                props = props or edge_cols
+                bad = [p for p in props if p not in edge_cols]
+                if bad:
+                    raise ValueError(
+                        f"edge valueMap() needs edge properties "
+                        f"(available: {edge_cols}, got {bad})"
+                    )
+                return df.select(
+                    F.col("_esrc").alias("src"),
+                    F.col("_edst").alias("dst"),
+                    *props,
+                )
+            if not props:
+                raise ValueError(
+                    "vertex valueMap() needs explicit property names in "
+                    "this subset (per-label schemas differ)"
+                )
+            # DataFrame rendering of the property map: one column per
+            # requested key; elements missing a property carry null
+            # (Gremlin drops the key — a null column is the flat-schema
+            # equivalent)
+            out = df.select("_cur")
+            for p in props:
+                out = out.join(
+                    _prop_table(graph, p).withColumnRenamed("_p", p),
+                    "_cur",
+                    "left",
+                )
+            return out.select(F.col("_cur").alias("id"), *props)
         elif name == "values":
             prop = args[0][1]
             if cur_kind == "e":
@@ -590,4 +645,3 @@ def gremlin(graph: Graph | PropertyGraph, query: str) -> DataFrame:
             *edge_cols,
         )
     return df.select(F.col("_cur").alias("id"))
-    return df.select(*tags, F.col("_cur").alias("v"))

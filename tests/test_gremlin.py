@@ -336,3 +336,67 @@ def test_gremlin_both_e_other_v(spark):
         ).collect()
     )
     assert got == [2]
+
+
+def test_gremlin_has_id_step(spark):
+    g = _rand_graph(spark)
+    # hasId mid-chain == seeding V() with the same ids
+    a = sorted(
+        r["id"] for r in gremlin(g, "g.V().hasId(0, 1, 2).out()").collect()
+    )
+    b = sorted(r["id"] for r in gremlin(g, "g.V(0, 1, 2).out()").collect())
+    assert a == b
+    with pytest.raises(ValueError, match="at least one id"):
+        gremlin(g, "g.V().hasId()")
+
+
+def test_gremlin_range_after_order(spark):
+    pg = _pg_people(spark)
+    # range(1, 3) after order() == rows [1, 3) of the sorted stream
+    full = [
+        r["id"]
+        for r in gremlin(
+            pg, "g.V().hasLabel('person').order().by('age').by('id').values('id')"
+        ).collect()
+    ]
+    got = [
+        r["id"]
+        for r in gremlin(
+            pg,
+            "g.V().hasLabel('person').order().by('age').by('id')"
+            ".range(1, 3).values('id')",
+        ).collect()
+    ]
+    assert got == full[1:3]
+    with pytest.raises(ValueError, match="low <= high"):
+        gremlin(pg, "g.V().range(3, 1)")
+
+
+def test_gremlin_value_map(spark):
+    pg = _pg_people(spark)
+    rows = gremlin(
+        pg, "g.V().hasLabel('person').valueMap('age', 'name')"
+    ).collect()
+    got = {(r["id"], r["age"], r["name"]) for r in rows}
+    assert got == {
+        (0, 35, "x"), (1, 31, "y"), (2, 31, "z"), (3, 40, "w"), (4, 28, "v"),
+    }
+    # companies lack 'name': null column, not an error
+    rows = gremlin(pg, "g.V().hasLabel('company').valueMap('size', 'name')").collect()
+    assert {(r["id"], r["size"], r["name"]) for r in rows} == {
+        (100, 10, None), (101, 2000, None),
+    }
+    # edge traverser valueMap sinks (src, dst, props)
+    from graphscope_spark.graph.graph import Graph
+
+    edges = spark.createDataFrame(
+        [(0, 1, 2.0), (0, 2, 5.0)], "src long, dst long, weight double"
+    )
+    verts = spark.createDataFrame([(i,) for i in range(3)], "id long")
+    g = Graph(edges, vertices=verts)
+    rows = gremlin(g, "g.V(0).outE().valueMap('weight')").collect()
+    assert sorted((r["src"], r["dst"], r["weight"]) for r in rows) == [
+        (0, 1, 2.0), (0, 2, 5.0),
+    ]
+    with pytest.raises(ValueError, match="must be terminal"):
+        gremlin(g, "g.V().valueMap('weight').count()")
