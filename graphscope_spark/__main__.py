@@ -26,8 +26,9 @@ def main(argv: list[str] | None = None) -> int:
         "sssp", "bfs", "kcore", "hits", "degree_centrality", "louvain",
         "closeness", "betweenness", "apsp",
         "bcc", "bridges", "articulation", "diameter", "kclique", "dfs",
+        "corpus",
     ])
-    p.add_argument("--edges", required=True)
+    p.add_argument("--edges")
     p.add_argument("--vertices")
     p.add_argument("--output")
     p.add_argument("--source", type=int, default=0)
@@ -41,7 +42,19 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--num-partitions", type=int)
     p.add_argument("--sources", help="comma-separated source ids for "
                    "closeness/betweenness/apsp (default: 0-4)")
+    p.add_argument("--corpus", help="corpus parquet "
+                   "(repo, path, commit, lang, content) for algo=corpus; "
+                   "omitted: synthesize --n-files/--n-repos deterministically")
+    p.add_argument("--n-files", type=int, default=100_000)
+    p.add_argument("--n-repos", type=int, default=2_000)
+    p.add_argument("--corpus-algo", default="pagerank",
+                   choices=["pagerank", "wcc", "cdlp", "triangles"])
     args = p.parse_args(argv)
+
+    if args.algo == "corpus":
+        return _corpus_pipeline(args)
+    if not args.edges:
+        p.error("--edges is required (except for algo=corpus)")
 
     from pyspark.sql import SparkSession
 
@@ -137,6 +150,87 @@ def main(argv: list[str] | None = None) -> int:
         "vertices": g.num_vertices,
         "sec": round(wall, 3),
         "teps": round(g.num_edges * max(args.rounds, 1) / wall, 1),
+    }))
+    return 0
+
+
+def _corpus_pipeline(args) -> int:
+    """The north-star pipeline end-to-end in one job: corpus table
+    (repo, path, commit, lang, content) → per-row sha256 (verified against
+    a driver-side hashlib sample) → vectorized import extraction →
+    repo-link edge table → iterative link-graph algorithm → one JSON
+    metrics line. ``--corpus`` reads an existing parquet of exactly the
+    BASELINE input_hint shape; without it a deterministic synthetic corpus
+    of --n-files/--n-repos stands in (TESTDATA rule: no external data)."""
+    import hashlib
+
+    from pyspark.sql import SparkSession
+
+    import graphscope_spark.algorithms as A
+    from graphscope_spark.corpus.extractor import (
+        extract_file_deps,
+        repo_link_edges,
+        repo_vertices,
+        with_sha256,
+    )
+    from graphscope_spark.corpus.generator import synth_corpus
+    from graphscope_spark.graph.graph import Graph
+
+    spark = SparkSession.builder.appName("graphscope_spark_corpus").getOrCreate()
+    if args.corpus:
+        files = spark.read.parquet(args.corpus)
+    else:
+        files = synth_corpus(spark, args.n_files, args.n_repos)
+    files = with_sha256(files).persist()
+    n_files = files.count()
+
+    # row-for-row invariant spot check (north rule): the engine-computed
+    # sha256 must equal a reference hashlib digest of the same content
+    sample = files.select("content", "sha256").limit(100).collect()
+    for row in sample:
+        want = hashlib.sha256(row["content"].encode("utf-8")).hexdigest()
+        if want != row["sha256"]:
+            raise SystemExit(f"sha256 mismatch vs hashlib for a sampled row")
+
+    t0 = time.time()
+    deps = extract_file_deps(files)
+    links = repo_link_edges(files, deps).persist()
+    n_links = links.count()
+    extract_sec = time.time() - t0
+
+    g = Graph(
+        links.selectExpr("src", "dst"),
+        vertices=repo_vertices(files).select("id"),
+        num_partitions=args.num_partitions,
+    )
+    t0 = time.time()
+    if args.corpus_algo == "pagerank":
+        out = A.pagerank(g, alpha=args.alpha, max_iter=args.max_iter,
+                         tol=args.tol, checkpoint_dir=args.checkpoint_dir)
+    elif args.corpus_algo == "wcc":
+        out = A.wcc(g, checkpoint_dir=args.checkpoint_dir)
+    elif args.corpus_algo == "cdlp":
+        out = A.cdlp(g, max_iter=args.rounds,
+                     checkpoint_dir=args.checkpoint_dir)
+    else:
+        out = A.triangles(g)
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+    else:
+        n = out.count()
+        out.show(10, truncate=False)
+    algo_sec = time.time() - t0
+    files.unpersist()
+    print(json.dumps({
+        "algo": f"corpus+{args.corpus_algo}",
+        "files": n_files,
+        "link_edges": n_links,
+        "extract_sec": round(extract_sec, 3),
+        "files_per_sec": round(n_files / extract_sec, 1),
+        "rows": n,
+        "sec": round(algo_sec, 3),
+        "sha256_sample_verified": True,
     }))
     return 0
 

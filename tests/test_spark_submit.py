@@ -67,3 +67,29 @@ def test_spark_submit_pagerank(spark, tmp_path):
         if line.startswith("{"):
             metrics = json.loads(line)
     assert metrics and metrics["rows"] == 4 and metrics["algo"] == "pagerank"
+
+
+@pytest.mark.slow
+def test_cli_corpus_pipeline(tmp_path):
+    """algo=corpus runs the whole north-star pipeline in one job: synth
+    corpus -> sha256 (hashlib-verified sample) -> import extraction ->
+    repo-link graph -> wcc -> parquet + one JSON metrics line."""
+    env = dict(os.environ)
+    env["PYSPARK_PYTHON"] = sys.executable
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "graphscope_spark", "corpus",
+            "--n-files", "3000", "--n-repos", "100",
+            "--corpus-algo", "wcc",
+            "--output", str(tmp_path / "out"),
+        ],
+        cwd=REPO, capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    m = json.loads(line)
+    assert m["algo"] == "corpus+wcc"
+    assert m["files"] == 3000
+    assert m["link_edges"] > 0
+    assert m["rows"] == 100  # one component row per repo vertex
+    assert m["sha256_sample_verified"] is True
