@@ -47,7 +47,12 @@ Grammar (subset)::
               | min(...) | max(...) | avg(...) | collect(...)  # sorted list
               | tag | tag.prop            — each with optional [AS a];
               non-aggregate items are the implicit grouping keys
-    pred   := operand (= | <> | != | < | <= | > | >=) operand
+    pred   := bool expression over comparisons: cmp (AND|OR cmp)*,
+              NOT cmp, parenthesized groups — standard precedence
+              (NOT > AND > OR); a top-level conjunct touching a single
+              tag's properties pushes down to that vertex table even
+              when it is an OR/NOT group
+    cmp    := operand (= | <> | != | < | <= | > | >=) operand
     operand:= tag.prop | tag | int | float | 'string'
 """
 
@@ -86,12 +91,110 @@ _OPERAND = re.compile(
 )
 _PRED = re.compile(r"^(.+?)\s*(<=|>=|<>|!=|=|<|>)\s*(.+)$")
 
+# WHERE tokens: quoted strings survive intact so AND/OR inside a literal
+# never splits a predicate
+_WHERE_TOKEN = re.compile(r"'[^']*'|\(|\)|[^()\s]+")
+
+
+def _parse_where(text: str, parse_operand) -> list:
+    """Parse a WHERE expression into top-level conjunct trees.
+
+    Grammar: expr := term (OR term)* ; term := factor (AND factor)* ;
+    factor := NOT factor | '(' expr ')' | operand cmp operand.
+    Nodes: ("cmp", lhs, op, rhs) | ("and"|"or", [nodes]) | ("not", node).
+    Returns the AND-flattened top level as a list — the unit the planner's
+    single-tag pushdown reasons over."""
+    toks = _WHERE_TOKEN.findall(text.strip())
+    pos = 0
+
+    def peek() -> str | None:
+        return toks[pos] if pos < len(toks) else None
+
+    def is_kw(t, kw: str) -> bool:
+        return t is not None and t.upper() == kw
+
+    def expr():
+        nonlocal pos
+        parts = [term()]
+        while is_kw(peek(), "OR"):
+            pos += 1
+            parts.append(term())
+        return parts[0] if len(parts) == 1 else ("or", parts)
+
+    def term():
+        nonlocal pos
+        parts = [factor()]
+        while is_kw(peek(), "AND"):
+            pos += 1
+            parts.append(factor())
+        return parts[0] if len(parts) == 1 else ("and", parts)
+
+    def factor():
+        nonlocal pos
+        t = peek()
+        if is_kw(t, "NOT"):
+            pos += 1
+            return ("not", factor())
+        if t == "(":
+            pos += 1
+            node = expr()
+            if peek() != ")":
+                raise ValueError(f"unbalanced parentheses in WHERE: {text!r}")
+            pos += 1
+            return node
+        atom = []
+        while (
+            peek() is not None
+            and peek() not in ("(", ")")
+            and peek().upper() not in ("AND", "OR", "NOT")
+        ):
+            atom.append(toks[pos])
+            pos += 1
+        raw = " ".join(atom)
+        pm = _PRED.match(raw)
+        if not pm:
+            raise ValueError(f"unsupported predicate: {raw!r}")
+        op = "<>" if pm.group(2) == "!=" else pm.group(2)
+        return ("cmp", parse_operand(pm.group(1)), op, parse_operand(pm.group(3)))
+
+    node = expr()
+    if pos != len(toks):
+        raise ValueError(f"trailing tokens in WHERE: {' '.join(toks[pos:])!r}")
+    return list(node[1]) if node[0] == "and" else [node]
+
+
+def _cmp_operands(node):
+    """Yield every comparison operand in a predicate tree."""
+    kind = node[0]
+    if kind == "cmp":
+        yield node[1]
+        yield node[3]
+    elif kind == "not":
+        yield from _cmp_operands(node[1])
+    else:  # and / or
+        for child in node[1]:
+            yield from _cmp_operands(child)
+
+
+def _pred_to_col(node, opcol) -> "Column":
+    """Compile a predicate tree to a Column; ``opcol(operand) -> Column``."""
+    kind = node[0]
+    if kind == "cmp":
+        return _OPS[node[2]](opcol(node[1]), opcol(node[3]))
+    if kind == "not":
+        return ~_pred_to_col(node[1], opcol)
+    cols = [_pred_to_col(c, opcol) for c in node[1]]
+    out = cols[0]
+    for c in cols[1:]:
+        out = (out & c) if kind == "and" else (out | c)
+    return out
+
 
 def parse_cypher(query: str) -> dict:
     """Parse the MATCH/WHERE/RETURN subset into a plain-dict AST:
 
     ``{"sentences": [(src_tag, dir, dst_tag, edge_label|None)],
-    "labels": {tag: label|None}, "where": [(lhs, op, rhs)],
+    "labels": {tag: label|None}, "where": [conjunct trees],
     "return": {"distinct": bool, "items": [(kind, tag, prop, alias)]}}``
 
     where operands are ``("prop", tag, name)`` / ``("tag", tag)`` /
@@ -229,14 +332,7 @@ def parse_cypher(query: str) -> dict:
             return ("lit", int(intg))
         return ("lit", s)
 
-    preds = []
-    if where_part:
-        for raw in re.split(r"(?i)\s+AND\s+", where_part.strip()):
-            pm = _PRED.match(raw.strip())
-            if not pm:
-                raise ValueError(f"unsupported predicate: {raw!r}")
-            op = "<>" if pm.group(2) == "!=" else pm.group(2)
-            preds.append((parse_operand(pm.group(1)), op, parse_operand(pm.group(3))))
+    preds = _parse_where(where_part, parse_operand) if where_part else []
 
     def parse_items(text: str, names: set, allow_props: bool, what: str):
         distinct = False
@@ -314,18 +410,11 @@ def parse_cypher(query: str) -> dict:
         waliases = {it[3] for it in witems}
         wpreds = []
         for wtext in stage["where"]:
-            for raw in re.split(r"(?i)\s+AND\s+", wtext.strip()):
-                pm = _PRED.match(raw.strip())
-                if not pm:
-                    raise ValueError(f"unsupported predicate: {raw!r}")
-                op = "<>" if pm.group(2) == "!=" else pm.group(2)
-                wpreds.append(
-                    (
-                        parse_alias_operand(pm.group(1), waliases),
-                        op,
-                        parse_alias_operand(pm.group(3), waliases),
-                    )
+            wpreds.extend(
+                _parse_where(
+                    wtext, lambda raw: parse_alias_operand(raw, waliases)
                 )
+            )
         with_specs.append(
             {"distinct": wdistinct, "items": witems, "where": wpreds}
         )
@@ -518,13 +607,15 @@ def cypher_property(
         return lab
 
     # --- split WHERE: pushdown (one tag's props vs literals) vs post --------
+    # unit = top-level conjunct tree (OR/NOT groups travel whole: an OR
+    # over one tag's properties still pushes down as a vertex filter)
     def pred_tags(pred) -> set[str]:
         return {
-            o[1] for o in (pred[0], pred[2]) if o[0] in ("prop", "tag")
+            o[1] for o in _cmp_operands(pred) if o[0] in ("prop", "tag")
         }
 
     def has_prop(pred) -> bool:
-        return any(o[0] == "prop" for o in (pred[0], pred[2]))
+        return any(o[0] == "prop" for o in _cmp_operands(pred))
 
     pushdown: dict[str, list] = {}
     post: list = []
@@ -536,19 +627,18 @@ def cypher_property(
             post.append(pred)
 
     # allowed-id sets from pushed single-tag predicates
+    def _vertex_local_col(o):
+        if o[0] == "lit":
+            return F.lit(o[1])
+        if o[0] == "tag":
+            return F.col("id")
+        return F.col(o[2])
+
     allowed: dict[str, DataFrame] = {}
     for tag, plist in pushdown.items():
         v = pg.vertices[tag_label(tag)]
-        for lhs, op, rhs in plist:
-
-            def col_of(o):
-                if o[0] == "lit":
-                    return F.lit(o[1])
-                if o[0] == "tag":
-                    return F.col("id")
-                return F.col(o[2])
-
-            v = v.filter(_OPS[op](col_of(lhs), col_of(rhs)))
+        for pred in plist:
+            v = v.filter(_pred_to_col(pred, _vertex_local_col))
         allowed[tag] = v.select("id")
 
     # --- build oriented per-sentence edge DataFrames, semi-joined with the
@@ -698,7 +788,7 @@ def cypher_property(
     need_props = {
         (o[1], o[2])
         for pred in post
-        for o in (pred[0], pred[2])
+        for o in _cmp_operands(pred)
         if o[0] == "prop"
     } | {
         (tag, prop)
@@ -719,9 +809,9 @@ def cypher_property(
     def propcol(tag: str, prop: str) -> Column:
         return F.col(f"{tag}__{prop}")
 
-    for lhs, op, rhs in post:
+    for pred in post:
         out = out.filter(
-            _OPS[op](_operand_col(lhs, propcol), _operand_col(rhs, propcol))
+            _pred_to_col(pred, lambda o: _operand_col(o, propcol))
         )
 
     # --- WITH / RETURN: projection / implicit grouping ----------------------
@@ -769,10 +859,10 @@ def cypher_property(
             out = apply_items(
                 out, w["items"], w["distinct"], propcol if k == 0 else None
             )
-            for lhs, op, rhs in w["where"]:
+            for pred in w["where"]:
                 # WITH-scope predicates see only bare aliases and literals
                 out = out.filter(
-                    _OPS[op](_operand_col(lhs, None), _operand_col(rhs, None))
+                    _pred_to_col(pred, lambda o: _operand_col(o, None))
                 )
         out = apply_items(out, items, ast["return"]["distinct"], None)
     else:

@@ -129,9 +129,9 @@ def test_parse_cypher_full_ast():
     ]
     assert ast["labels"] == {"a": "person", "b": None, "c": "company"}
     assert ast["where"] == [
-        (("prop", "a", "age"), "<", ("lit", 33)),
-        (("prop", "c", "size"), ">=", ("lit", 100)),
-        (("tag", "a"), "<>", ("tag", "b")),
+        ("cmp", ("prop", "a", "age"), "<", ("lit", 33)),
+        ("cmp", ("prop", "c", "size"), ">=", ("lit", 100)),
+        ("cmp", ("tag", "a"), "<>", ("tag", "b")),
     ]
     assert ast["return"]["items"] == [
         ("prop", "c", "id", "cid"),
@@ -540,3 +540,73 @@ def test_cypher_multi_stage_with(spark):
             "WITH deg, count(*) AS n WHERE a > 1 "
             "RETURN n",
         )
+
+
+def test_cypher_where_or_not_pushdown(spark):
+    """OR groups over one tag's properties push down as a vertex filter;
+    OR across tags post-filters; NOT and parens follow standard
+    precedence."""
+    from graphscope_spark.operators.cypher import cypher_property
+
+    pg = _pgraph(spark)
+    # single-tag OR: a.age = 30 OR a.age = 32 -> persons 0, 2
+    rows = cypher_property(
+        pg,
+        "MATCH (a:person)-[:knows]->(b:person) "
+        "WHERE a.age = 30 OR a.age = 32 RETURN a.id AS aid, b.id AS bid",
+    ).collect()
+    assert sorted((r["aid"], r["bid"]) for r in rows) == [
+        (0, 1), (0, 2), (2, 3),
+    ]
+    # NOT over a single-tag prop
+    rows = cypher_property(
+        pg,
+        "MATCH (a:person)-[:knows]->(b:person) "
+        "WHERE NOT a.age >= 32 RETURN a.id AS aid, b.id AS bid",
+    ).collect()
+    assert sorted((r["aid"], r["bid"]) for r in rows) == [
+        (0, 1), (0, 2), (1, 2),
+    ]
+    # cross-tag OR cannot push down: post-filter after property joins
+    rows = cypher_property(
+        pg,
+        "MATCH (a:person)-[:works_at]->(c:company) "
+        "WHERE a.age <= 30 OR c.size > 100 RETURN a.id AS aid, c.id AS cid",
+    ).collect()
+    assert sorted((r["aid"], r["cid"]) for r in rows) == [
+        (0, 100), (2, 101), (3, 101), (4, 101),
+    ]
+    # parens override precedence: (30 OR 31) AND works_at big company
+    rows = cypher_property(
+        pg,
+        "MATCH (a:person)-[:works_at]->(c:company) "
+        "WHERE (a.age = 30 OR a.age = 31) AND c.size > 100 "
+        "RETURN a.id AS aid",
+    ).collect()
+    assert rows == []
+    # same without parens: OR binds looser than AND -> age=30 rows survive
+    rows = cypher_property(
+        pg,
+        "MATCH (a:person)-[:works_at]->(c:company) "
+        "WHERE a.age = 30 OR a.age = 31 AND c.size > 100 "
+        "RETURN a.id AS aid",
+    ).collect()
+    assert sorted(r["aid"] for r in rows) == [0]
+
+
+def test_cypher_where_or_parse_errors():
+    from graphscope_spark.operators.cypher import parse_cypher
+
+    with pytest.raises(ValueError, match="unbalanced"):
+        parse_cypher(
+            "MATCH (a:person)-[:knows]->(b) WHERE (a.age = 1 RETURN a"
+        )
+    with pytest.raises(ValueError, match="unsupported predicate"):
+        parse_cypher("MATCH (a:person)-[:knows]->(b) WHERE a.age RETURN a")
+    # AND inside a string literal does not split the predicate
+    ast = parse_cypher(
+        "MATCH (a:person)-[:knows]->(b) WHERE a.name = 'x AND y' RETURN a"
+    )
+    assert ast["where"] == [
+        ("cmp", ("prop", "a", "name"), "=", ("lit", "x AND y"))
+    ]
