@@ -53,6 +53,8 @@ Grammar (subset)::
               tag's properties pushes down to that vertex table even
               when it is an OR/NOT group
     cmp    := operand (= | <> | != | < | <= | > | >=) operand
+              | operand (STARTS WITH | ENDS WITH | CONTAINS) operand
+              | operand =~ 'regex'      # rlike; literal pattern only
     operand:= tag.prop | tag | int | float | 'string'
 """
 
@@ -90,6 +92,11 @@ _OPERAND = re.compile(
     r"|(-?\d+\.\d+)|(-?\d+)|'([^']*)')$"
 )
 _PRED = re.compile(r"^(.+?)\s*(<=|>=|<>|!=|=|<|>)\s*(.+)$")
+# Cypher string predicates; tried before _PRED so '=~' never half-matches '='
+_STR_PRED = re.compile(
+    r"(?i)^(.+?)\s+(STARTS\s+WITH|ENDS\s+WITH|CONTAINS)\s+(.+)$"
+)
+_RE_PRED = re.compile(r"^(.+?)\s*=~\s*(.+)$")
 
 # WHERE tokens: quoted strings survive intact so AND/OR inside a literal
 # never splits a predicate
@@ -151,6 +158,23 @@ def _parse_where(text: str, parse_operand) -> list:
             atom.append(toks[pos])
             pos += 1
         raw = " ".join(atom)
+        sm = _STR_PRED.match(raw)
+        if sm:
+            op = {
+                "STARTS": "startswith",
+                "ENDS": "endswith",
+                "CONTAINS": "contains",
+            }[sm.group(2).upper().split()[0]]
+            return (
+                "cmp", parse_operand(sm.group(1)), op,
+                parse_operand(sm.group(3)),
+            )
+        rm = _RE_PRED.match(raw)
+        if rm:
+            return (
+                "cmp", parse_operand(rm.group(1)), "=~",
+                parse_operand(rm.group(2)),
+            )
         pm = _PRED.match(raw)
         if not pm:
             raise ValueError(f"unsupported predicate: {raw!r}")
@@ -180,6 +204,11 @@ def _pred_to_col(node, opcol) -> "Column":
     """Compile a predicate tree to a Column; ``opcol(operand) -> Column``."""
     kind = node[0]
     if kind == "cmp":
+        if node[2] == "=~":
+            rhs = node[3]
+            if rhs[0] != "lit" or not isinstance(rhs[1], str):
+                raise ValueError("=~ needs a string-literal regex")
+            return opcol(node[1]).rlike(rhs[1])
         return _OPS[node[2]](opcol(node[1]), opcol(node[3]))
     if kind == "not":
         return ~_pred_to_col(node[1], opcol)
@@ -201,8 +230,12 @@ def parse_cypher(query: str) -> dict:
     ``("lit", value)`` and item kind ∈ {"tag", "prop", "count"}.
     """
     q = query.strip().rstrip(";")
+    # WITH is a clause keyword only when it does not complete a string
+    # predicate — `STARTS WITH` / `ENDS WITH` stay inside their WHERE text
     toks = re.split(
-        r"(?is)\b(OPTIONAL\s+MATCH|MATCH|WHERE|WITH|RETURN)\b", q
+        r"(?is)\b(OPTIONAL\s+MATCH|MATCH|WHERE|"
+        r"(?<!STARTS\s)(?<!ENDS\s)WITH|RETURN)\b",
+        q,
     )
     if toks[0].strip() or len(toks) < 3:
         raise ValueError(
@@ -571,6 +604,9 @@ _OPS = {
     "<=": Column.__le__,
     ">": Column.__gt__,
     ">=": Column.__ge__,
+    "startswith": Column.startswith,
+    "endswith": Column.endswith,
+    "contains": Column.contains,
 }
 
 

@@ -610,3 +610,60 @@ def test_cypher_where_or_parse_errors():
     assert ast["where"] == [
         ("cmp", ("prop", "a", "name"), "=", ("lit", "x AND y"))
     ]
+
+
+def test_cypher_string_predicates(spark):
+    """STARTS WITH / ENDS WITH / CONTAINS / =~ over a path-shaped column —
+    the filters a code-corpus link graph actually runs."""
+    from graphscope_spark.graph.property_graph import PropertyGraph
+    from graphscope_spark.operators.cypher import cypher_property, parse_cypher
+
+    files = spark.createDataFrame(
+        [
+            (0, "src/app/main.py"),
+            (1, "src/app/util.py"),
+            (2, "docs/readme.md"),
+            (3, "src/lib/core.rs"),
+        ],
+        "id long, path string",
+    )
+    imports = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (2, 3)], "src long, dst long"
+    )
+    pg = (
+        PropertyGraph()
+        .add_vertices("file", files)
+        .add_edges("imports", "file", "file", imports)
+    )
+
+    ast = parse_cypher(
+        "MATCH (a:file)-[:imports]->(b:file) "
+        "WHERE a.path ENDS WITH '.py' RETURN a.id AS aid"
+    )
+    assert ast["where"] == [
+        ("cmp", ("prop", "a", "path"), "endswith", ("lit", ".py"))
+    ]
+
+    def ids(q, col="aid"):
+        return sorted(r[col] for r in cypher_property(pg, q).collect())
+
+    base = "MATCH (a:file)-[:imports]->(b:file) WHERE {} RETURN a.id AS aid"
+    assert ids(base.format("a.path ENDS WITH '.py'")) == [0, 0, 1]
+    assert ids(base.format("a.path STARTS WITH 'src/'")) == [0, 0, 1]
+    assert ids(base.format("a.path CONTAINS 'app'")) == [0, 0, 1]
+    assert ids(base.format("a.path =~ '.*\\.(py|md)'")) == [0, 0, 1, 2]
+    # string predicate on the DESTINATION tag + boolean composition
+    assert ids(
+        base.format("b.path ENDS WITH '.rs' AND a.path CONTAINS 'docs'")
+    ) == [2]
+    assert ids(
+        base.format("a.path ENDS WITH '.md' OR b.path ENDS WITH '.md'")
+    ) == [0, 2]
+    # NOT over a string predicate
+    assert ids(base.format("NOT a.path CONTAINS 'src'")) == [2]
+
+    # =~ requires a string-literal pattern
+    with pytest.raises(ValueError, match="string-literal regex"):
+        cypher_property(
+            pg, base.format("a.path =~ b.path")
+        )
