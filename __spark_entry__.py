@@ -262,7 +262,8 @@ def _scc_sql() -> str:
     GROUP BY f1.a ORDER BY id"""
 
 
-def _kcore_sql(k: int = 3, rounds: int = 15) -> str:
+def _peel_ctes(k: int, rounds: int) -> list[str]:
+    """Unrolled single-k peel: e{r} = edges among vertices with deg >= k."""
     ctes = ["e0 AS MATERIALIZED (SELECT src, dst FROM und)"]
     for r in range(1, rounds + 1):
         p = r - 1
@@ -274,10 +275,28 @@ def _kcore_sql(k: int = 3, rounds: int = 15) -> str:
             f"""e{r} AS MATERIALIZED (SELECT e.src, e.dst FROM e{p} e
                         JOIN s{r} a ON e.src = a.id JOIN s{r} b ON e.dst = b.id)"""
         )
+    return ctes
+
+
+def _kcore_sql(k: int = 3, rounds: int = 15) -> str:
+    ctes = _peel_ctes(k, rounds)
     return _with(",".join(ctes)) + f"""
     SELECT v.id, (m.id IS NOT NULL) AS in_core
     FROM verts v LEFT JOIN (SELECT DISTINCT src AS id FROM e{rounds}) m ON v.id = m.id
     ORDER BY v.id"""
+
+
+def _kcore_search_sql(k: int = 3, rounds: int = 15) -> str:
+    """k-core members with residual (in-core) degree, mirroring
+    algorithms/kcore.k_core_search (flash/core/k-core-search.h); poison row
+    (-9, -9) if the unrolled peel is not at fixpoint after `rounds`."""
+    ctes = _peel_ctes(k, rounds)
+    return _with(",".join(ctes)) + f"""
+    SELECT src AS id, count(*)::INT AS d FROM e{rounds} GROUP BY src
+    UNION ALL SELECT DISTINCT -9 AS id, -9 AS d
+    FROM (SELECT src FROM e{rounds} GROUP BY src
+          HAVING count(*) < {k}) trunc
+    ORDER BY id"""
 
 
 def _katz_sql(rounds: int = 5, alpha: float = 0.1, beta: float = 1.0) -> str:
@@ -1173,6 +1192,12 @@ def _q_kcore(spark, sf_dir):
     from graphscope_spark.algorithms.kcore import k_core
 
     return k_core(_customer_graph(spark, sf_dir), k=3).orderBy("id")
+
+
+def _q_kcore_search(spark, sf_dir):
+    from graphscope_spark.algorithms.kcore import k_core_search
+
+    return k_core_search(_customer_graph(spark, sf_dir), k=3).orderBy("id")
 
 
 def _q_katz(spark, sf_dir):
@@ -2980,6 +3005,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bfs": _q_bfs,
     "sssp": _q_sssp,
     "kcore": _q_kcore,
+    "kcore_search": _q_kcore_search,
     "scc": _q_scc,
     "harmonic": _q_harmonic,
     "betweenness": _q_betweenness,
@@ -2995,11 +3021,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "densest_sub": _q_densest_sub,
     "k_center": _q_k_center,
     "degeneracy": _q_degeneracy,
-    "onion_layers": _q_onion_layers,
-    "two_hop": _q_two_hop,
     # ---- position > 50: checked by tests/test_entry_oracle.py every run --
     # (subgraph_stats/topk_revenue/group_agg_events/exists_subquery/
-    # expr_surface demoted r4 — r2+r3 driver-green)
+    # expr_surface demoted r4 — r2+r3 driver-green; onion_layers/two_hop
+    # demoted late-r4 to fit kcore_search — both r3 driver-green)
+    "onion_layers": _q_onion_layers,
+    "two_hop": _q_two_hop,
     "subgraph_stats": _q_subgraph_stats,
     "topk_revenue": _q_topk_revenue,
     "group_agg_events": _q_group_agg_events,
@@ -3144,6 +3171,7 @@ GROUP BY b.dst ORDER BY supplier_id
     "bfs": _bfs_sql(0),
     "sssp": _sssp_sql(0),
     "kcore": _kcore_sql(3),
+    "kcore_search": _kcore_search_sql(3),
     "scc": _scc_sql(),
     "hits": _hits_sql(5),
     "katz": _katz_sql(5),

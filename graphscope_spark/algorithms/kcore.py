@@ -15,7 +15,7 @@ from pyspark.storagelevel import StorageLevel
 
 from graphscope_spark.graph.graph import Graph
 
-__all__ = ["k_core", "k_shell", "core_numbers"]
+__all__ = ["k_core", "k_core_search", "k_shell", "core_numbers"]
 
 
 def core_numbers(graph: Graph, max_iter: int = 10_000) -> DataFrame:
@@ -115,6 +115,30 @@ def k_core(graph: Graph, k: int, max_iter: int = 10_000) -> DataFrame:
     out = graph.vertices.select("id").join(
         members.withColumn("in_core", F.lit(True)), "id", "left"
     ).select("id", F.coalesce("in_core", F.lit(False)).alias("in_core"))
+    und.unpersist()
+    return out
+
+
+def k_core_search(graph: Graph, k: int, max_iter: int = 10_000) -> DataFrame:
+    """(id, d) — members of the undirected k-core with their RESIDUAL
+    degree d (the degree within the core's induced subgraph), d >= k.
+
+    Reference: ``apps/flash/core/k-core-search.h:42-63`` — init v.d =
+    Deg(id); each round peels {v : d < k} and ``EdgeMapDense`` decrements
+    the surviving neighbors' d; the answer is {v : d >= k} (``GlobalRes``
+    is its size = this result's row count). A survivor's residual d equals
+    its degree on the peel-fixpoint edge set, so one groupBy over
+    :func:`_peel`'s output reproduces the flash per-vertex value without
+    per-round decrement bookkeeping — same number of distributed rounds,
+    one aggregation at the end instead of a decrement message per peel.
+    """
+    if k < 1:
+        raise ValueError("k_core_search requires k >= 1 (k=0 is all vertices)")
+    und = graph.to_undirected(dedup=True)
+    surviving = _peel(und.edges.select("src", "dst"), k, max_iter)
+    out = surviving.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("int").alias("d")
+    )
     und.unpersist()
     return out
 

@@ -61,6 +61,28 @@ def test_kcore(spark, k):
     g.unpersist()
 
 
+@pytest.mark.parametrize("k", [2, 4])
+def test_kcore_search(spark, k):
+    """flash/core/k-core-search.h: members + residual (in-core) degree."""
+    from graphscope_spark.algorithms.kcore import k_core_search
+
+    vertices, edges = p2p_mid(n=120, m=500)
+    g = make_graph(spark, edges, vertices)
+    got = {r["id"]: r["d"] for r in k_core_search(g, k).collect()}
+    alive = _kcore_oracle(vertices, edges, k)
+    adj = {v: set() for v in vertices}
+    for s, d in edges:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    want = {v: len(adj[v] & alive) for v in alive}
+    assert got == want
+    assert all(d >= k for d in got.values())
+    with pytest.raises(ValueError, match="k >= 1"):
+        k_core_search(g, 0)
+    g.unpersist()
+
+
 def test_kshell(spark):
     from graphscope_spark.algorithms.kcore import k_shell
 
