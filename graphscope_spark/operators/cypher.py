@@ -97,6 +97,11 @@ _STR_PRED = re.compile(
     r"(?i)^(.+?)\s+(STARTS\s+WITH|ENDS\s+WITH|CONTAINS)\s+(.+)$"
 )
 _RE_PRED = re.compile(r"^(.+?)\s*=~\s*(.+)$")
+# p = shortestPath((a)-[*..6]->(b)) — GIE's Cypher shortest-path surface
+_SHORTEST = re.compile(
+    r"(?is)^(?:([A-Za-z_][A-Za-z_0-9]*)\s*=\s*)?"
+    r"shortestPath\s*\((.*)\)\s*$"
+)
 
 # WHERE tokens: quoted strings survive intact so AND/OR inside a literal
 # never splits a predicate
@@ -285,6 +290,10 @@ def parse_cypher(query: str) -> dict:
     labels: dict[str, str | None] = {}
     # sentence index → (min_hops, max_hops) for -[*a..b]-> patterns
     var_hops: dict[int, tuple[int, int]] = {}
+    # sentence index → {"var": path var|None, "max": depth bound|None} for
+    # p = shortestPath((a)-[*..k]->(b)) patterns
+    shortest: dict[int, dict] = {}
+    path_vars: dict[str, int] = {}
 
     def note_label(tag: str, label: str | None) -> None:
         prev = labels.get(tag)
@@ -292,8 +301,49 @@ def parse_cypher(query: str) -> dict:
             raise ValueError(f"tag {tag!r} bound to two labels: {prev}, {label}")
         labels[tag] = label if label is not None else prev
 
+    def parse_shortest(path: str, sp_var: str | None, inner: str) -> None:
+        """p = shortestPath((a)-[:lab?][*lo..hi?]->(b)) — ONE edge pattern;
+        an unbounded [*] is allowed here (BFS terminates regardless)."""
+        pos = 0
+        node = _NODE.match(inner, pos)
+        if not node:
+            raise ValueError(f"expected a node pattern at: {inner[pos:]!r}")
+        a = node.group(1)
+        note_label(a, node.group(2))
+        pos = node.end()
+        em = _EDGE.match(inner, pos)
+        if not em:
+            raise ValueError(f"expected an edge pattern at: {inner[pos:]!r}")
+        left, _var, elabel, _star, _hmin, _dots, hmax, right = em.groups()
+        pos = em.end()
+        node = _NODE.match(inner, pos)
+        if not node or node.end() != len(inner):
+            raise ValueError(
+                f"shortestPath takes exactly one edge pattern: {path!r}"
+            )
+        b = node.group(1)
+        note_label(b, node.group(2))
+        if left == "-" and right == "->":
+            sentences.append((a, "out", b, elabel))
+        elif left == "<-" and right == "-":
+            sentences.append((b, "out", a, elabel))
+        elif left == "-" and right == "-":
+            sentences.append((a, "both", b, elabel))
+        else:
+            raise ValueError(f"unsupported edge direction {left}…{right}")
+        idx = len(sentences) - 1
+        shortest[idx] = {"var": sp_var, "max": int(hmax) if hmax else None}
+        if sp_var is not None:
+            if sp_var in path_vars or sp_var in labels:
+                raise ValueError(f"path variable {sp_var!r} already bound")
+            path_vars[sp_var] = idx
+
     def parse_part(part_text: str) -> None:
         for path in (p.strip() for p in part_text.split(",") if p.strip()):
+            sp = _SHORTEST.match(path)
+            if sp:
+                parse_shortest(path, sp.group(1), sp.group(2).strip())
+                continue
             pos = 0
             node = _NODE.match(path, pos)
             if not node:
@@ -376,6 +426,20 @@ def parse_cypher(query: str) -> dict:
             text = dm.group(1)
         items = []
         for raw in (x.strip() for x in text.split(",")):
+            lm = re.match(
+                r"(?i)^length\s*\(\s*([A-Za-z_][A-Za-z_0-9]*)\s*\)"
+                r"(?:\s+AS\s+([A-Za-z_][A-Za-z_0-9]*))?$",
+                raw,
+            )
+            if lm:
+                pv = lm.group(1)
+                if pv not in path_vars or not allow_props:
+                    raise ValueError(
+                        f"length() takes a bound shortestPath variable, "
+                        f"got {pv!r}"
+                    )
+                items.append(("pathlen", pv, None, lm.group(2) or f"length_{pv}"))
+                continue
             im = _RETURN_ITEM.match(raw)
             if not im:
                 raise ValueError(f"unsupported {what} item: {raw!r}")
@@ -408,6 +472,10 @@ def parse_cypher(query: str) -> dict:
                     raise ValueError(f"{what} references unbound tag {tag!r}")
                 items.append(("prop", tag, prop, alias or f"{tag}_{prop}"))
             else:
+                if tag in path_vars and allow_props:
+                    # a bare path variable projects the vertex array
+                    items.append(("pathvar", tag, None, alias or tag))
+                    continue
                 if tag not in names:
                     raise ValueError(f"{what} references unbound tag {tag!r}")
                 items.append(("tag", tag, None, alias or tag))
@@ -481,6 +549,7 @@ def parse_cypher(query: str) -> dict:
         "n_mandatory": n_mandatory,
         "labels": labels,
         "var_hops": var_hops,
+        "shortest": shortest,
         "where": preds,
         "with": with_specs,
         "return": {
@@ -514,6 +583,8 @@ def parse_match(query: str) -> tuple[list[tuple[str, str, str]], dict]:
         raise ValueError(
             "variable-length patterns require cypher_property (PathExpand)"
         )
+    if ast["shortest"]:
+        raise ValueError("shortestPath() requires cypher_property")
     if ast["n_mandatory"] != len(ast["sentences"]):
         raise ValueError("OPTIONAL MATCH requires cypher_property")
     if ast["with"]:
@@ -683,8 +754,57 @@ def cypher_property(
         lab = labels.get(tag)
         return pg.vertices[lab].select("id") if lab else None
 
+    def _tag_ids(tag: str) -> DataFrame:
+        """Label-filtered + pushdown-filtered id set for a tag (all labels'
+        vertices when the tag is unlabeled)."""
+        if tag in allowed:
+            # built from the tag's label table — label constraint included
+            return allowed[tag]
+        if labels.get(tag) is not None:
+            return pg.vertices[labels[tag]].select("id")
+        parts = [v.select("id") for v in pg.vertices.values()]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df.distinct()
+
     sentence_dfs: list[tuple[str, str, DataFrame]] = []
     for i, (a, direction, b, elabel) in enumerate(ast["sentences"]):
+        if i in ast["shortest"]:
+            # p = shortestPath((a)-[:lab*..k]->(b)): BFS over the matching
+            # edge tables from the (label+predicate-)filtered a-set to the
+            # filtered b-set — GIE's shortest-path PathExpand
+            # (algebra.proto path_opt=SHORTEST). Intermediate vertices are
+            # unconstrained, so endpoint labels do NOT filter the edge
+            # union, only the source/target sets. Unreachable pairs drop
+            # (no binding), matching GIE.
+            from graphscope_spark.graph.graph import Graph as _SimpleGraph
+            from graphscope_spark.operators.relational import (
+                shortest_path_expand,
+            )
+
+            spec = ast["shortest"][i]
+            e = _sentence_edges(pg, None, None, elabel, direction)
+            g = _SimpleGraph(e.select("src", "dst"))
+            pairs = (
+                _tag_ids(a).select(F.col("id").alias("a"))
+                .crossJoin(_tag_ids(b).select(F.col("id").alias("b")))
+            )
+            sp = shortest_path_expand(
+                g, pairs, max_depth=spec["max"] or 10_000
+            )
+            key = spec["var"]
+            cols = [
+                F.col("a").alias("src"),
+                F.col("b").alias("dst"),
+            ]
+            if key is not None:
+                cols += [
+                    F.col("hops").alias(f"{key}__hops"),
+                    F.col("path").alias(f"{key}__path"),
+                ]
+            sentence_dfs.append((a, b, sp.select(*cols)))
+            continue
         if i in ast["var_hops"]:
             # -[*lo..hi]-> : PathExpand with TRAIL semantics (Cypher's
             # no-repeated-relationship rule), one row per path — bag
@@ -759,7 +879,11 @@ def cypher_property(
                     out = out.crossJoin(loops)
                     bound.add(a)
                 continue
-            e = e.select(F.col("src").alias(a), F.col("dst").alias(b))
+            # shortest-path sentences carry {p}__hops/{p}__path side columns
+            extras = [c for c in e.columns if c not in ("src", "dst")]
+            e = e.select(
+                F.col("src").alias(a), F.col("dst").alias(b), *extras
+            )
             if out is None:
                 out = e
                 bound.update((a, b))
@@ -856,6 +980,13 @@ def cypher_property(
     def apply_items(df, items, distinct, pcol):
         keys, aggs = [], []
         for kind, tag, prop, alias in items:
+            if kind == "pathlen":
+                # Cypher length(p) = relationship count = BFS hop count
+                keys.append(F.col(f"{tag}__hops").cast("bigint").alias(alias))
+                continue
+            if kind == "pathvar":
+                keys.append(F.col(f"{tag}__path").alias(alias))
+                continue
             col = None
             if tag != "*":
                 col = F.col(tag) if prop is None else pcol(tag, prop)

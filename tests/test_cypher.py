@@ -667,3 +667,89 @@ def test_cypher_string_predicates(spark):
         cypher_property(
             pg, base.format("a.path =~ b.path")
         )
+
+
+def test_cypher_shortest_path(spark):
+    """p = shortestPath((a)-[*..k]->(b)): BFS length + vertex path, with
+    endpoint predicates pushed into the source/target sets (GIE's
+    path_opt=SHORTEST PathExpand — interactive_engine algebra.proto)."""
+    from graphscope_spark.operators.cypher import cypher_property, parse_cypher
+
+    pg = _pgraph(spark)
+
+    ast = parse_cypher(
+        "MATCH p = shortestPath((a:person)-[:knows*..6]->(b:person)) "
+        "WHERE a.id = 0 AND b.id = 4 "
+        "RETURN a.id AS aid, b.id AS bid, length(p) AS len, p"
+    )
+    assert ast["shortest"] == {0: {"var": "p", "max": 6}}
+    assert ("pathlen", "p", None, "len") in ast["return"]["items"]
+    assert ("pathvar", "p", None, "p") in ast["return"]["items"]
+
+    rows = cypher_property(
+        pg,
+        "MATCH p = shortestPath((a:person)-[:knows*..6]->(b:person)) "
+        "WHERE a.id = 0 AND b.id = 4 "
+        "RETURN a.id AS aid, b.id AS bid, length(p) AS len, p",
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # 0->2->3->4 (min-predecessor tie-break picks parent 0 for vertex 2)
+    assert (r["aid"], r["bid"], r["len"]) == (0, 4, 3)
+    assert list(r["p"]) == [0, 2, 3, 4]
+
+    # unreachable pairs drop: vertex 4 has no outgoing knows edges
+    assert (
+        cypher_property(
+            pg,
+            "MATCH shortestPath((a:person)-[:knows*]->(b:person)) "
+            "WHERE a.id = 4 AND b.id < 4 RETURN count(*) AS n",
+        ).collect()[0]["n"]
+        == 0
+    )
+
+    # depth bound prunes: 0->4 needs 3 hops, *..2 finds nothing
+    assert (
+        cypher_property(
+            pg,
+            "MATCH shortestPath((a:person)-[:knows*..2]->(b:person)) "
+            "WHERE a.id = 0 AND b.id = 4 RETURN count(*) AS n",
+        ).collect()[0]["n"]
+        == 0
+    )
+
+    # grouping over path length: all-pairs from 0 (1:1hop, 2:1hop via 0->2,
+    # 3:2hops, 4:3hops)
+    got = {
+        (r["len"], r["n"])
+        for r in cypher_property(
+            pg,
+            "MATCH p = shortestPath((a:person)-[:knows*..6]->(b:person)) "
+            "WHERE a.id = 0 AND a.id <> b.id "
+            "RETURN length(p) AS len, count(*) AS n",
+        ).collect()
+    }
+    assert got == {(1, 2), (2, 1), (3, 1)}
+
+
+def test_cypher_shortest_path_errors(spark):
+    from graphscope_spark.operators.cypher import cypher, parse_cypher
+
+    g = _rand_graph(spark)
+    # shortestPath over a plain Graph (no labels) requires cypher_property
+    with pytest.raises(ValueError, match="cypher_property"):
+        cypher(g, "MATCH shortestPath((a)-[*]->(b)) RETURN count(*) AS n")
+    # two edge patterns inside shortestPath
+    with pytest.raises(ValueError, match="exactly one edge"):
+        parse_cypher(
+            "MATCH p = shortestPath((a)-[*]->(b)-[*]->(c)) RETURN count(*) AS n"
+        )
+    # length() of a non-path variable
+    with pytest.raises(ValueError, match="length"):
+        parse_cypher("MATCH (a)-[]->(b) RETURN length(a) AS n")
+    # rebinding the path variable
+    with pytest.raises(ValueError, match="already bound"):
+        parse_cypher(
+            "MATCH p = shortestPath((a)-[*]->(b)), "
+            "p = shortestPath((b)-[*]->(c)) RETURN count(*) AS n"
+        )
