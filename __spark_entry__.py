@@ -2071,6 +2071,9 @@ def _property_graph(spark, sf_dir):
         orders.selectExpr("o_custkey AS src", f"(o_orderkey * 97) % {c} AS dst")
         .where("src <> dst")
         .distinct()
+        # deterministic edge property (the wedges oracle-CTE formula) —
+        # bound by Cypher relationship variables (r.w)
+        .selectExpr("src", "dst", "1 + (src * 7 + dst * 13) % 5 AS w")
     )
     ns = supplier.count()
     buys = orders.selectExpr(
@@ -2505,6 +2508,34 @@ def _q_cypher_shortest(spark, sf_dir):
         "WHERE a.id <= 2 AND b.id >= 140 AND b.id <= 155 "
         "RETURN a.id AS aid, b.id AS bid, length(p) AS len",
     ).orderBy("aid", "bid")
+
+
+def _q_cypher_edge_prop(spark, sf_dir):
+    """Relationship variables with edge-property access (GIE property
+    fetch on edge bindings): r.w filters the edge scan (the edge half of
+    FilterIntoJoinRule), b.id pushes to the vertex table, and r.w feeds
+    the implicit-grouping aggregate."""
+    from graphscope_spark.operators.cypher import cypher_property
+
+    return cypher_property(
+        _property_graph(spark, sf_dir),
+        "MATCH (a:customer)-[r:knows]->(b:customer) "
+        "WHERE r.w >= 4 AND b.id < 400 "
+        "RETURN b.id AS bid, sum(r.w) AS tot_w, count(*) AS n_in",
+    ).orderBy("bid")
+
+
+_CYPHER_EDGE_PROP_SQL = """
+WITH knows AS (
+  SELECT DISTINCT o_custkey AS src,
+         (o_orderkey * 97) % (SELECT count(*) FROM customer) AS dst
+  FROM orders
+  WHERE o_custkey <> (o_orderkey * 97) % (SELECT count(*) FROM customer)),
+wk AS (SELECT src, dst, 1 + (src * 7 + dst * 13) % 5 AS w FROM knows)
+SELECT dst AS bid, sum(w)::BIGINT AS tot_w, count(*)::BIGINT AS n_in
+FROM wk WHERE w >= 4 AND dst < 400
+GROUP BY dst ORDER BY bid
+"""
 
 
 _CYPHER_SHORTEST_SQL = """
@@ -3008,6 +3039,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cypher_cross_label": _q_cypher_cross_label,
     "cypher_filtered": _q_cypher_filtered,
     "cypher_shortest": _q_cypher_shortest,
+    "cypher_edge_prop": _q_cypher_edge_prop,
     "gremlin_two_hop": _q_gremlin_two_hop,
     "gremlin_triangle": _q_gremlin_triangle,
     "gremlin_order": _q_gremlin_order,
@@ -3030,7 +3062,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "min_edge_cover": _q_min_edge_cover,
     "pagerank": _q_pagerank,
     "pagerank_converged": _q_pagerank_converged,
-    "pagerank_push": _q_pagerank_push,
     "ppr": _q_ppr,
     "articlerank": _q_articlerank,
     "wcc": _q_wcc,
@@ -3059,8 +3090,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (subgraph_stats/topk_revenue/group_agg_events/exists_subquery/
     # expr_surface demoted r4 — r2+r3 driver-green; onion_layers/two_hop
     # demoted late-r4 to fit kcore_search — both r3 driver-green;
-    # lcc demoted late-r4 to fit cypher_shortest — r2+r3 driver-green)
+    # lcc demoted late-r4 to fit cypher_shortest, pagerank_push demoted
+    # late-r4 to fit cypher_edge_prop — both r2+r3 driver-green)
     "lcc": _q_lcc,
+    "pagerank_push": _q_pagerank_push,
     "onion_layers": _q_onion_layers,
     "two_hop": _q_two_hop,
     "subgraph_stats": _q_subgraph_stats,
@@ -3132,6 +3165,7 @@ ORACLES: dict[str, str] = {
     "cross_label_2hop": _CROSS_LABEL_SQL,
     "cypher_cross_label": _CROSS_LABEL_SQL,
     "cypher_shortest": _CYPHER_SHORTEST_SQL,
+    "cypher_edge_prop": _CYPHER_EDGE_PROP_SQL,
     "gremlin_order": """
 SELECT 1000000 + s_suppkey AS id FROM supplier
 ORDER BY s_nationkey DESC, id LIMIT 10""",

@@ -42,7 +42,10 @@ Grammar (subset)::
     edge   := -[var?][:elabel?][*lo..hi]-> | <-[...]- | -[...]- | --> | <-- | --
               (variable-length patterns need a finite upper bound and lower
               to PathExpand with TRAIL semantics; labels/predicates bind the
-              endpoints only, as in Cypher)
+              endpoints only, as in Cypher; a relationship variable on a
+              single-hop pattern binds the edge's property columns for
+              var.prop access in WHERE/RETURN — single-variable relationship
+              predicates filter the edge scan itself)
     item   := count(*) | count([DISTINCT] tag[.prop]) | sum(tag[.prop])
               | min(...) | max(...) | avg(...) | collect(...)  # sorted list
               | tag | tag.prop            — each with optional [AS a];
@@ -294,6 +297,9 @@ def parse_cypher(query: str) -> dict:
     # p = shortestPath((a)-[*..k]->(b)) patterns
     shortest: dict[int, dict] = {}
     path_vars: dict[str, int] = {}
+    # relationship variable → sentence index, for -[r:label]-> edge-property
+    # access (r.prop in WHERE/RETURN)
+    edge_vars: dict[str, int] = {}
 
     def note_label(tag: str, label: str | None) -> None:
         prev = labels.get(tag)
@@ -314,7 +320,12 @@ def parse_cypher(query: str) -> dict:
         em = _EDGE.match(inner, pos)
         if not em:
             raise ValueError(f"expected an edge pattern at: {inner[pos:]!r}")
-        left, _var, elabel, _star, _hmin, _dots, hmax, right = em.groups()
+        left, evar, elabel, _star, _hmin, _dots, hmax, right = em.groups()
+        if evar is not None:
+            raise ValueError(
+                "relationship variables inside shortestPath() are not "
+                "supported (bind the path: p = shortestPath(...))"
+            )
         pos = em.end()
         node = _NODE.match(inner, pos)
         if not node or node.end() != len(inner):
@@ -355,7 +366,18 @@ def parse_cypher(query: str) -> dict:
                 em = _EDGE.match(path, pos)
                 if not em:
                     raise ValueError(f"expected an edge pattern at: {path[pos:]!r}")
-                left, _var, elabel, star, hmin, dots, hmax, right = em.groups()
+                left, evar, elabel, star, hmin, dots, hmax, right = em.groups()
+                if evar is not None:
+                    if star:
+                        raise ValueError(
+                            "relationship variables on variable-length "
+                            "patterns are not supported"
+                        )
+                    if evar in edge_vars or evar in path_vars:
+                        raise ValueError(
+                            f"relationship variable {evar!r} already bound"
+                        )
+                    edge_vars[evar] = len(sentences)  # index after append
                 hops = None
                 if star:
                     lo = int(hmin) if hmin else 1
@@ -398,6 +420,12 @@ def parse_cypher(query: str) -> dict:
         parse_part(optional_part)
     if not sentences:
         raise ValueError("empty MATCH pattern")
+    clash = set(edge_vars) & set(labels)
+    if clash:
+        raise ValueError(
+            f"name(s) {sorted(clash)} bound as both a node tag and a "
+            f"relationship variable"
+        )
     tags = set(labels)
 
     def parse_operand(raw: str):
@@ -406,6 +434,13 @@ def parse_cypher(query: str) -> dict:
             raise ValueError(f"unsupported operand: {raw!r}")
         tag, prop, flt, intg, s = om.groups()
         if tag is not None:
+            if tag in edge_vars:
+                if not prop:
+                    raise ValueError(
+                        f"bare relationship variable {tag!r} in WHERE — "
+                        f"compare a property ({tag}.prop)"
+                    )
+                return ("prop", tag, prop)
             if tag not in tags:
                 raise ValueError(f"WHERE references unbound tag {tag!r}")
             return ("prop", tag, prop) if prop else ("tag", tag)
@@ -448,7 +483,13 @@ def parse_cypher(query: str) -> dict:
                 items.append(("count", "*", None, alias or "count"))
             elif fn:
                 fn = fn.lower()
-                if atag not in names:
+                if atag in edge_vars and allow_props:
+                    if not aprop:
+                        raise ValueError(
+                            f"{fn}() over a bare relationship variable — "
+                            f"aggregate a property ({atag}.prop)"
+                        )
+                elif atag not in names:
                     raise ValueError(f"{fn}() references unbound name {atag!r}")
                 if aprop and not allow_props:
                     raise ValueError(
@@ -468,7 +509,7 @@ def parse_cypher(query: str) -> dict:
                         "property access after WITH is not supported — "
                         "project the property in the WITH items"
                     )
-                if tag not in names:
+                if tag not in names and tag not in edge_vars:
                     raise ValueError(f"{what} references unbound tag {tag!r}")
                 items.append(("prop", tag, prop, alias or f"{tag}_{prop}"))
             else:
@@ -476,6 +517,11 @@ def parse_cypher(query: str) -> dict:
                     # a bare path variable projects the vertex array
                     items.append(("pathvar", tag, None, alias or tag))
                     continue
+                if tag in edge_vars and allow_props:
+                    raise ValueError(
+                        f"bare relationship variable {tag!r} in {what} — "
+                        f"project a property ({tag}.prop)"
+                    )
                 if tag not in names:
                     raise ValueError(f"{what} references unbound tag {tag!r}")
                 items.append(("tag", tag, None, alias or tag))
@@ -550,6 +596,7 @@ def parse_cypher(query: str) -> dict:
         "labels": labels,
         "var_hops": var_hops,
         "shortest": shortest,
+        "edge_vars": edge_vars,
         "where": preds,
         "with": with_specs,
         "return": {
@@ -634,16 +681,29 @@ def cypher(
 
 
 def _sentence_edges(
-    pg: PropertyGraph, a_label, b_label, elabel, direction
+    pg: PropertyGraph, a_label, b_label, elabel, direction, props: tuple = ()
 ) -> DataFrame:
     """Union the per-label edge tables matching one MATCH sentence, oriented
     a→b (parse_cypher normalizes ``<-`` arrows to ``out`` sentences, so
     direction is 'out' or 'both'). Edge-table keys are (edge_label,
     src_label, dst_label); endpoints are guaranteed within their label
-    tables by PropertyGraph.add_edges."""
+    tables by PropertyGraph.add_edges. ``props`` keeps the named edge
+    property columns (a relationship variable binds them); every matched
+    table must carry them."""
+
+    def pick(df, key):
+        missing = [p for p in props if p not in df.columns]
+        if missing:
+            raise ValueError(
+                f"edge table {key!r} has no propert"
+                f"{'ies' if len(missing) > 1 else 'y'} {missing}"
+            )
+        return df
+
     parts = [
-        df.select("src", "dst")
-        for (el, sl, dl), df in pg.edges.items()
+        pick(df, k).select("src", "dst", *props)
+        for k, df in pg.edges.items()
+        for (el, sl, dl) in [k]
         if (elabel is None or el == elabel)
         and (a_label is None or sl == a_label)
         and (b_label is None or dl == b_label)
@@ -652,8 +712,11 @@ def _sentence_edges(
         # each relationship also binds in the reverse orientation (Cypher
         # undirected semantics: one row per direction assignment)
         parts += [
-            df.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-            for (el, sl, dl), df in pg.edges.items()
+            pick(df, k).select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), *props
+            )
+            for k, df in pg.edges.items()
+            for (el, sl, dl) in [k]
             if (elabel is None or el == elabel)
             and (a_label is None or dl == a_label)
             and (b_label is None or sl == b_label)
@@ -702,6 +765,8 @@ def cypher_property(
     """
     ast = parse_cypher(query)
     labels, preds = ast["labels"], ast["where"]
+    evars = ast["edge_vars"]  # relationship variable → sentence index
+    evar_by_idx = {i: v for v, i in evars.items()}
 
     def tag_label(tag: str) -> str:
         lab = labels.get(tag)
@@ -725,13 +790,32 @@ def cypher_property(
         return any(o[0] == "prop" for o in _cmp_operands(pred))
 
     pushdown: dict[str, list] = {}
+    edge_push: dict[str, list] = {}  # single-edge-var predicates → edge scan
     post: list = []
     for pred in preds:
         ts = pred_tags(pred)
         if has_prop(pred) and len(ts) == 1:
-            pushdown.setdefault(next(iter(ts)), []).append(pred)
+            t = next(iter(ts))
+            (edge_push if t in evars else pushdown).setdefault(t, []).append(
+                pred
+            )
         else:
             post.append(pred)
+
+    # edge properties each relationship variable must CARRY through the join
+    # DAG (post-WHERE + first projection stage); filter-only props stay
+    # inside the edge scan
+    stage1_items = (
+        ast["with"][0]["items"] if ast["with"] else ast["return"]["items"]
+    )
+    eprops_keep: dict[str, set] = {}
+    for pred in post:
+        for o in _cmp_operands(pred):
+            if o[0] == "prop" and o[1] in evars:
+                eprops_keep.setdefault(o[1], set()).add(o[2])
+    for kind, tag, prop, _al in stage1_items:
+        if tag in evars and prop is not None:
+            eprops_keep.setdefault(tag, set()).add(prop)
 
     # allowed-id sets from pushed single-tag predicates
     def _vertex_local_col(o):
@@ -843,7 +927,31 @@ def cypher_property(
                     )
             sentence_dfs.append((a, b, e))
             continue
-        e = _sentence_edges(pg, labels.get(a), labels.get(b), elabel, direction)
+        ev = evar_by_idx.get(i)
+        keep = sorted(eprops_keep.get(ev, ())) if ev else []
+        scan_props = set(keep)
+        for pred in edge_push.get(ev, []) if ev else []:
+            scan_props.update(
+                o[2] for o in _cmp_operands(pred) if o[0] == "prop"
+            )
+        e = _sentence_edges(
+            pg, labels.get(a), labels.get(b), elabel, direction,
+            props=tuple(sorted(scan_props)),
+        )
+        if ev:
+            # single-variable relationship predicates filter the edge scan
+            # itself (the edge half of FilterIntoJoinRule)
+            for pred in edge_push.get(ev, []):
+                e = e.filter(
+                    _pred_to_col(
+                        pred,
+                        lambda o: F.lit(o[1]) if o[0] == "lit" else F.col(o[2]),
+                    )
+                )
+            e = e.select(
+                "src", "dst",
+                *[F.col(p).alias(f"{ev}__{p}") for p in keep],
+            )
         if a in allowed:
             e = e.join(allowed[a].withColumnRenamed("id", "src"), "src", "left_semi")
         if b in allowed:
@@ -868,7 +976,8 @@ def cypher_property(
                 # join — aliasing src and dst to the same name would create
                 # duplicate columns
                 loops = e.filter(F.col("src") == F.col("dst")).select(
-                    F.col("src").alias(a)
+                    F.col("src").alias(a),
+                    *[c for c in e.columns if c not in ("src", "dst")],
                 )
                 if out is None:
                     out = loops
@@ -939,21 +1048,20 @@ def cypher_property(
                 out = out.filter(neq)
 
     # --- join vertex properties needed by post-WHERE / RETURN ---------------
-    # props consumed by the first projection stage: the WITH items when a
-    # WITH pipeline is present (RETURN then sees only WITH aliases), else
-    # the RETURN items directly
-    stage1_items = (
-        ast["with"][0]["items"] if ast["with"] else ast["return"]["items"]
-    )
+    # props consumed by the first projection stage (stage1_items computed
+    # above); edge-variable props already ride the sentence DataFrames as
+    # {var}__{prop} columns, so only vertex tags join here
     need_props = {
         (o[1], o[2])
         for pred in post
         for o in _cmp_operands(pred)
-        if o[0] == "prop"
+        if o[0] == "prop" and o[1] not in evars
     } | {
         (tag, prop)
         for kind, tag, prop, _al in stage1_items
-        if prop is not None and (kind == "prop" or kind.startswith("agg:"))
+        if prop is not None
+        and tag not in evars
+        and (kind == "prop" or kind.startswith("agg:"))
     }
     for tag, prop in sorted(need_props):
         v = pg.vertices[tag_label(tag)]

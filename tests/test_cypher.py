@@ -753,3 +753,100 @@ def test_cypher_shortest_path_errors(spark):
             "MATCH p = shortestPath((a)-[*]->(b)), "
             "p = shortestPath((b)-[*]->(c)) RETURN count(*) AS n"
         )
+
+
+def _wgraph(spark):
+    """_pgraph plus a weight property on knows edges (w = src*10 + dst)."""
+    from graphscope_spark.graph.property_graph import PropertyGraph
+
+    person = spark.createDataFrame(
+        [(i, 30 + i) for i in range(5)], "id long, age long"
+    )
+    knows = spark.createDataFrame(
+        [(0, 1, 1), (1, 2, 12), (2, 3, 23), (3, 4, 34), (0, 2, 2)],
+        "src long, dst long, w long",
+    )
+    return (
+        PropertyGraph()
+        .add_vertices("person", person)
+        .add_edges("knows", "person", "person", knows)
+    )
+
+
+def test_cypher_edge_properties(spark):
+    """-[r:knows]-> binds the edge's property columns: r.prop in WHERE
+    (single-variable predicates filter the edge scan — the edge half of
+    FilterIntoJoinRule) and RETURN/aggregates (GIE property access on
+    relationship variables, compiler/.../planner property fetch)."""
+    from graphscope_spark.operators.cypher import cypher_property, parse_cypher
+
+    pg = _wgraph(spark)
+
+    ast = parse_cypher(
+        "MATCH (a:person)-[r:knows]->(b:person) WHERE r.w >= 12 "
+        "RETURN a.id AS aid, r.w AS w"
+    )
+    assert ast["edge_vars"] == {"r": 0}
+
+    rows = sorted(
+        (r["aid"], r["w"])
+        for r in cypher_property(
+            pg,
+            "MATCH (a:person)-[r:knows]->(b:person) WHERE r.w >= 12 "
+            "RETURN a.id AS aid, r.w AS w",
+        ).collect()
+    )
+    assert rows == [(1, 12), (2, 23), (3, 34)]
+
+    # edge prop × vertex prop post-predicate + aggregate over r.w
+    got = cypher_property(
+        pg,
+        "MATCH (a:person)-[r:knows]->(b:person) WHERE r.w > a.id "
+        "RETURN sum(r.w) AS tot, count(*) AS n",
+    ).collect()[0]
+    # edges with w > a.id: (1,2,12),(2,3,23),(3,4,34),(0,2,2),(0,1,1)
+    assert (got["tot"], got["n"]) == (72, 5)
+
+    # grouping key from an edge property; undirected orientation binds both
+    # ways so each edge contributes twice
+    got = {
+        (r["w"], r["n"])
+        for r in cypher_property(
+            pg,
+            "MATCH (a:person)-[r:knows]-(b:person) WHERE r.w <= 2 "
+            "RETURN r.w AS w, count(*) AS n",
+        ).collect()
+    }
+    assert got == {(1, 2), (2, 2)}
+
+    # two relationship variables on one path
+    rows = sorted(
+        (r["w1"], r["w2"])
+        for r in cypher_property(
+            pg,
+            "MATCH (a:person)-[r1:knows]->(b:person)-[r2:knows]->(c:person) "
+            "WHERE r1.w < r2.w RETURN r1.w AS w1, r2.w AS w2",
+        ).collect()
+    )
+    assert rows == [(1, 12), (2, 23), (12, 23), (23, 34)]
+
+
+def test_cypher_edge_properties_errors(spark):
+    from graphscope_spark.operators.cypher import cypher_property, parse_cypher
+
+    pg = _wgraph(spark)
+    with pytest.raises(ValueError, match="no propert"):
+        cypher_property(
+            pg,
+            "MATCH (a:person)-[r:knows]->(b:person) RETURN r.missing AS m",
+        )
+    with pytest.raises(ValueError, match="bare relationship"):
+        parse_cypher("MATCH (a)-[r]->(b) RETURN r")
+    with pytest.raises(ValueError, match="bare relationship"):
+        parse_cypher("MATCH (a)-[r]->(b) WHERE r > 3 RETURN count(*) AS n")
+    with pytest.raises(ValueError, match="already bound"):
+        parse_cypher("MATCH (a)-[r]->(b)-[r]->(c) RETURN count(*) AS n")
+    with pytest.raises(ValueError, match="node tag and a"):
+        parse_cypher("MATCH (a)-[b]->(b) RETURN count(*) AS n")
+    with pytest.raises(ValueError, match="variable-length"):
+        parse_cypher("MATCH (a)-[r*1..3]->(b) RETURN count(*) AS n")
