@@ -58,7 +58,12 @@ Grammar (subset)::
     cmp    := operand (= | <> | != | < | <= | > | >=) operand
               | operand (STARTS WITH | ENDS WITH | CONTAINS) operand
               | operand =~ 'regex'      # rlike; literal pattern only
-    operand:= tag.prop | tag | int | float | 'string'
+    operand:= arith over primaries: + - * / % with standard precedence and
+              unary minus (no parens — those belong to the boolean grammar;
+              '/' is always double division, Spark semantics)
+    primary:= tag.prop | tag | int | float | 'string'
+    RETURN/WITH also accept `arith AS alias` projection items (alias
+    mandatory); aggregates take a bare primary only
 """
 
 from __future__ import annotations
@@ -195,17 +200,90 @@ def _parse_where(text: str, parse_operand) -> list:
     return list(node[1]) if node[0] == "and" else [node]
 
 
+def _operand_leaves(operand):
+    """Yield the primary leaves (prop/tag/lit) under an operand, descending
+    through arithmetic nodes."""
+    kind = operand[0]
+    if kind == "arith":
+        yield from _operand_leaves(operand[2])
+        yield from _operand_leaves(operand[3])
+    elif kind == "neg":
+        yield from _operand_leaves(operand[1])
+    else:
+        yield operand
+
+
 def _cmp_operands(node):
-    """Yield every comparison operand in a predicate tree."""
+    """Yield every comparison operand LEAF in a predicate tree (arithmetic
+    expressions contribute their primaries)."""
     kind = node[0]
     if kind == "cmp":
-        yield node[1]
-        yield node[3]
+        yield from _operand_leaves(node[1])
+        yield from _operand_leaves(node[3])
     elif kind == "not":
         yield from _cmp_operands(node[1])
     else:  # and / or
         for child in node[1]:
             yield from _cmp_operands(child)
+
+
+def _item_prop_refs(items):
+    """(tag, prop) pairs a projection-item list reads, including the
+    primaries inside arithmetic expr items."""
+    for kind, tag, prop, _al in items:
+        if kind == "expr":
+            for o in _operand_leaves(tag):
+                if o[0] == "prop":
+                    yield o[1], o[2]
+        elif prop is not None and (kind == "prop" or kind.startswith("agg:")):
+            yield tag, prop
+
+
+def _parse_arith(raw: str, leaf):
+    """Parse ``raw`` as an arithmetic expression over primaries: + - * / %
+    with standard precedence and unary minus (no parentheses — those belong
+    to the boolean grammar in WHERE). ``leaf(token) -> operand`` builds and
+    validates each primary. Nodes: ("arith", op, l, r) | ("neg", x)."""
+    toks = [
+        t for t in re.split(r"\s*([+\-*/%])\s*", raw.strip()) if t != ""
+    ]
+    pos = 0
+
+    def prim():
+        nonlocal pos
+        if pos < len(toks) and toks[pos] == "-":
+            pos += 1
+            return ("neg", prim())
+        if pos >= len(toks) or toks[pos] in "+-*/%":
+            raise ValueError(f"unsupported operand: {raw!r}")
+        node = leaf(toks[pos])
+        pos += 1
+        return node
+
+    def term():
+        nonlocal pos
+        node = prim()
+        while pos < len(toks) and toks[pos] in ("*", "/", "%"):
+            op = toks[pos]
+            pos += 1
+            node = ("arith", op, node, prim())
+        return node
+
+    def expr():
+        nonlocal pos
+        node = term()
+        while pos < len(toks) and toks[pos] in ("+", "-"):
+            op = toks[pos]
+            pos += 1
+            node = ("arith", op, node, term())
+        return node
+
+    node = expr()
+    if pos != len(toks):
+        raise ValueError(f"unsupported operand: {raw!r}")
+    if node[0] not in ("arith", "neg"):
+        raise ValueError(f"unsupported operand: {raw!r}")
+    return node
 
 
 def _pred_to_col(node, opcol) -> "Column":
@@ -428,7 +506,7 @@ def parse_cypher(query: str) -> dict:
         )
     tags = set(labels)
 
-    def parse_operand(raw: str):
+    def parse_primary(raw: str):
         om = _OPERAND.match(raw.strip())
         if not om:
             raise ValueError(f"unsupported operand: {raw!r}")
@@ -449,6 +527,13 @@ def parse_cypher(query: str) -> dict:
         if intg is not None:
             return ("lit", int(intg))
         return ("lit", s)
+
+    def parse_operand(raw: str):
+        raw = raw.strip()
+        if _OPERAND.match(raw):
+            return parse_primary(raw)
+        # not a plain primary: arithmetic expression over primaries
+        return _parse_arith(raw, parse_primary)
 
     preds = _parse_where(where_part, parse_operand) if where_part else []
 
@@ -477,6 +562,16 @@ def parse_cypher(query: str) -> dict:
                 continue
             im = _RETURN_ITEM.match(raw)
             if not im:
+                # arithmetic projection: expr AS alias (alias mandatory —
+                # there is no canonical name for an expression)
+                am = re.match(
+                    r"(?i)^(.+?)\s+AS\s+([A-Za-z_][A-Za-z_0-9]*)$", raw
+                )
+                if am and allow_props:
+                    node = parse_operand(am.group(1))
+                    if node[0] in ("arith", "neg"):
+                        items.append(("expr", node, None, am.group(2)))
+                        continue
                 raise ValueError(f"unsupported {what} item: {raw!r}")
             cnt, fn, dkw, atag, aprop, tag, prop, alias = im.groups()
             if cnt:
@@ -744,12 +839,28 @@ _OPS = {
 }
 
 
-def _operand_col(operand, propcol) -> Column:
+_ARITH_OPS = {
+    "+": Column.__add__,
+    "-": Column.__sub__,
+    "*": Column.__mul__,
+    "/": Column.__truediv__,  # Cypher-on-Spark: always double division
+    "%": Column.__mod__,
+}
+
+
+def _operand_col(operand, propcol, tagcol=None) -> Column:
     kind = operand[0]
     if kind == "lit":
         return F.lit(operand[1])
     if kind == "tag":
-        return F.col(operand[1])
+        return tagcol(operand[1]) if tagcol else F.col(operand[1])
+    if kind == "neg":
+        return -_operand_col(operand[1], propcol, tagcol)
+    if kind == "arith":
+        return _ARITH_OPS[operand[1]](
+            _operand_col(operand[2], propcol, tagcol),
+            _operand_col(operand[3], propcol, tagcol),
+        )
     return propcol(operand[1], operand[2])
 
 
@@ -813,17 +924,16 @@ def cypher_property(
         for o in _cmp_operands(pred):
             if o[0] == "prop" and o[1] in evars:
                 eprops_keep.setdefault(o[1], set()).add(o[2])
-    for kind, tag, prop, _al in stage1_items:
-        if tag in evars and prop is not None:
-            eprops_keep.setdefault(tag, set()).add(prop)
+    for t, p in _item_prop_refs(stage1_items):
+        if t in evars:
+            eprops_keep.setdefault(t, set()).add(p)
 
     # allowed-id sets from pushed single-tag predicates
     def _vertex_local_col(o):
-        if o[0] == "lit":
-            return F.lit(o[1])
-        if o[0] == "tag":
-            return F.col("id")
-        return F.col(o[2])
+        # evaluated against the vertex table itself: tag → id, prop → column
+        return _operand_col(
+            o, lambda _t, p: F.col(p), lambda _t: F.col("id")
+        )
 
     allowed: dict[str, DataFrame] = {}
     for tag, plist in pushdown.items():
@@ -944,8 +1054,7 @@ def cypher_property(
             for pred in edge_push.get(ev, []):
                 e = e.filter(
                     _pred_to_col(
-                        pred,
-                        lambda o: F.lit(o[1]) if o[0] == "lit" else F.col(o[2]),
+                        pred, lambda o: _operand_col(o, lambda _t, p: F.col(p))
                     )
                 )
             e = e.select(
@@ -1057,11 +1166,7 @@ def cypher_property(
         for o in _cmp_operands(pred)
         if o[0] == "prop" and o[1] not in evars
     } | {
-        (tag, prop)
-        for kind, tag, prop, _al in stage1_items
-        if prop is not None
-        and tag not in evars
-        and (kind == "prop" or kind.startswith("agg:"))
+        (t, p) for t, p in _item_prop_refs(stage1_items) if t not in evars
     }
     for tag, prop in sorted(need_props):
         v = pg.vertices[tag_label(tag)]
@@ -1094,6 +1199,10 @@ def cypher_property(
                 continue
             if kind == "pathvar":
                 keys.append(F.col(f"{tag}__path").alias(alias))
+                continue
+            if kind == "expr":
+                # arithmetic over bound tags / joined property columns
+                keys.append(_operand_col(tag, pcol).alias(alias))
                 continue
             col = None
             if tag != "*":

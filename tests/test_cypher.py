@@ -850,3 +850,78 @@ def test_cypher_edge_properties_errors(spark):
         parse_cypher("MATCH (a)-[b]->(b) RETURN count(*) AS n")
     with pytest.raises(ValueError, match="variable-length"):
         parse_cypher("MATCH (a)-[r*1..3]->(b) RETURN count(*) AS n")
+
+
+def test_cypher_arithmetic(spark):
+    """Arithmetic operands in WHERE and `expr AS alias` RETURN items
+    (GIE's expression language, common/expr.proto arithmetic)."""
+    from graphscope_spark.operators.cypher import cypher_property, parse_cypher
+
+    pg = _wgraph(spark)
+
+    # WHERE arithmetic both sides, precedence, pushdown (single-tag conjunct
+    # with arithmetic still pushes to the vertex/edge table)
+    rows = sorted(
+        r["aid"]
+        for r in cypher_property(
+            pg,
+            "MATCH (a:person)-[r:knows]->(b:person) "
+            "WHERE a.age * 2 - 60 >= 4 RETURN a.id AS aid",
+        ).collect()
+    )
+    # age*2-60 = 2*id >= 4 → id >= 2 → sources 2, 3
+    assert rows == [2, 3]
+
+    # edge-scan pushdown with arithmetic: w % 10 = 2 → w ∈ {12, 2}
+    rows = sorted(
+        r["w"]
+        for r in cypher_property(
+            pg,
+            "MATCH (a:person)-[r:knows]->(b:person) "
+            "WHERE r.w % 10 = 2 RETURN r.w AS w",
+        ).collect()
+    )
+    assert rows == [2, 12]
+
+    # RETURN expression items: vertex prop, edge prop, mixed, unary minus
+    got = {
+        (r["aid"], r["dw"], r["neg"])
+        for r in cypher_property(
+            pg,
+            "MATCH (a:person)-[r:knows]->(b:person) WHERE a.id = 0 "
+            "RETURN a.id AS aid, r.w * 10 + a.age AS dw, -a.id AS neg",
+        ).collect()
+    }
+    assert got == {(0, 40, 0), (0, 50, 0)}
+
+    # implicit grouping over an expression key
+    got = {
+        (r["bucket"], r["n"])
+        for r in cypher_property(
+            pg,
+            "MATCH (a:person)-[r:knows]->(b:person) "
+            "RETURN r.w % 10 AS bucket, count(*) AS n",
+        ).collect()
+    }
+    assert got == {(1, 1), (2, 2), (3, 1), (4, 1)}
+
+    # parse shapes
+    ast = parse_cypher(
+        "MATCH (a)-->(b) WHERE a.id + 1 < b.id * 2 RETURN count(*) AS n"
+    )
+    assert ast["where"] == [
+        (
+            "cmp",
+            ("arith", "+", ("prop", "a", "id"), ("lit", 1)),
+            "<",
+            ("arith", "*", ("prop", "b", "id"), ("lit", 2)),
+        )
+    ]
+
+    # errors: expression items need an alias; unbound tags inside arithmetic
+    with pytest.raises(ValueError, match="unsupported"):
+        parse_cypher("MATCH (a)-->(b) RETURN a.id + 1")
+    with pytest.raises(ValueError, match="unbound tag"):
+        parse_cypher("MATCH (a)-->(b) WHERE a.id + q.x > 1 RETURN a")
+    with pytest.raises(ValueError, match="unsupported"):
+        parse_cypher("MATCH (a)-->(b) WHERE a.id ++ 1 > 1 RETURN a")
