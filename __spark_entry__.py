@@ -2465,6 +2465,27 @@ def _q_gremlin_edge(spark, sf_dir):
     ).orderBy("id")
 
 
+def _q_gremlin_until(spark, sf_dir):
+    """repeat(out()).until(has(...)).times(cap).groupCount() — the Gremlin
+    do-while loop (TinkerPop RepeatStep / GIE PathExpand with an until
+    condition: IrStandardOpProcessor's RepeatOp lowering). Traversers from
+    the 5 seed customers walk the link graph and exit at the first vertex
+    with id >= 750; the times(3) cap bounds the loop, with the remaining
+    traversers exiting at the cap (Gremlin until-OR-times semantics). The
+    oracle unrolls the 3 rounds as multiplicity-counted frontier CTEs."""
+    from graphscope_spark.operators.gremlin import gremlin
+
+    g = _customer_graph(spark, sf_dir)
+    res = gremlin(
+        g,
+        "g.V().has('id', lt(5)).repeat(out())"
+        ".until(has('id', gte(750))).times(3).groupCount()",
+    )
+    return res.selectExpr(
+        "CAST(v AS BIGINT) AS id", "CAST(count AS BIGINT) AS n_exit"
+    ).orderBy("id")
+
+
 def _q_cypher_cross_label(spark, sf_dir):
     """cross_label_2hop reproduced from a LABELED Cypher string through
     cypher_property (r3 VERDICT item 2): vertex labels select the per-label
@@ -3045,6 +3066,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gremlin_order": _q_gremlin_order,
     "gremlin_sum": _q_gremlin_sum,
     "gremlin_edge": _q_gremlin_edge,
+    "gremlin_until": _q_gremlin_until,
     "cypher_with_agg": _q_cypher_with_agg,
     "wcc_delta": _q_wcc_delta,
     "sssp_delta_step": _q_sssp_delta_step,
@@ -3180,6 +3202,32 @@ FROM buys b JOIN supplier s ON b.dst = 1000000 + s_suppkey""",
     + """
 SELECT dst AS id, count(*)::BIGINT AS n_heavy
 FROM wedges WHERE w > 3.0 GROUP BY dst ORDER BY id""",
+    # gremlin_until: 3 unrolled do-while rounds over multiplicity-counted
+    # frontiers; per round the expanded frontier splits into exited
+    # (cur >= 750) and continuing (cur < 750) traversers, the times-cap
+    # leftover exits at the end
+    "gremlin_until": _with(
+        """
+gu0 AS MATERIALIZED (
+  SELECT c_custkey AS cur, 1::BIGINT AS cnt FROM customer WHERE c_custkey < 5),
+gx1 AS MATERIALIZED (
+  SELECT e.dst AS cur, SUM(f.cnt)::BIGINT AS cnt
+  FROM gu0 f JOIN edges e ON e.src = f.cur GROUP BY e.dst),
+gu1 AS MATERIALIZED (SELECT cur, cnt FROM gx1 WHERE cur < 750),
+gx2 AS MATERIALIZED (
+  SELECT e.dst AS cur, SUM(f.cnt)::BIGINT AS cnt
+  FROM gu1 f JOIN edges e ON e.src = f.cur GROUP BY e.dst),
+gu2 AS MATERIALIZED (SELECT cur, cnt FROM gx2 WHERE cur < 750),
+gx3 AS MATERIALIZED (
+  SELECT e.dst AS cur, SUM(f.cnt)::BIGINT AS cnt
+  FROM gu2 f JOIN edges e ON e.src = f.cur GROUP BY e.dst)"""
+    )
+    + """
+SELECT cur AS id, SUM(cnt)::BIGINT AS n_exit FROM (
+  SELECT cur, cnt FROM gx1 WHERE cur >= 750
+  UNION ALL SELECT cur, cnt FROM gx2 WHERE cur >= 750
+  UNION ALL SELECT cur, cnt FROM gx3)
+GROUP BY cur ORDER BY id""",
     "cypher_with_agg": """
 WITH knows AS (
   SELECT DISTINCT o_custkey AS src,

@@ -16,6 +16,14 @@ Supported chain grammar::
          becomes the EDGE — its property columns drive has()/values();
          .inV()/.outV()/.otherV() return to vertices; an unterminated
          edge chain sinks (src, dst, props)
+     .repeat(out([elabel])).times(n) [.emit()]   # fixed-hop unroll; emit
+         streams every intermediate frontier (hops 1..n)
+     .repeat(out([elabel])).until(hasId(..) | has(prop, P)) [.emit()]
+         [.times(cap)]           # do-while loop: traversers exit when the
+         predicate first holds; dead-ends drop out; a times(cap) bounds
+         the loop (remaining traversers exit at the cap, Gremlin OR
+         semantics); without a cap the loop raises loudly after
+         _UNTIL_MAX_ROUNDS non-converged rounds
      .has(prop, literal | P)      # P: lt/lte/gt/gte/eq/neq/within(...)
      .hasId(id, ...)              # keep the listed vertex ids
      .hasLabel(label)             # PropertyGraph only
@@ -64,6 +72,9 @@ from graphscope_spark.operators.relational import edge_expand
 __all__ = ["parse_gremlin", "gremlin"]
 
 _STEP_NAME = re.compile(r"\s*\.\s*([A-Za-z_][A-Za-z_0-9]*)\s*\(")
+# safety cap for repeat().until() loops with no explicit .times(cap): the
+# loop raises loudly (never silently truncates) when it is exhausted
+_UNTIL_MAX_ROUNDS = 64
 _NUM = re.compile(r"^-?\d+(\.\d+)?$")
 _PREDS = {"lt", "lte", "gt", "gte", "eq", "neq", "within"}
 
@@ -126,13 +137,13 @@ def _parse_arg(raw: str):
         d = raw.split(".")[-1]
         return ("ord", {"incr": "asc", "decr": "desc"}.get(d, d))
     m = re.match(r"^(?:__\s*\.\s*)?([A-Za-z_]\w*)\s*\(", raw)
-    if m and m.group(1) in ("out", "in", "both"):
-        # anonymous traversal argument (repeat(out('label')) — single-step
-        # subset)
+    if m and m.group(1) in ("out", "in", "both", "hasId", "has"):
+        # anonymous traversal argument: repeat(out('label')) /
+        # until(hasId(3)) / until(has('age', gt(30))) — single-step subset
         inner, end = _scan_args(raw, m.end() - 1)
         if raw[end:].strip():
             raise ValueError(
-                "anonymous traversals support a single out/in/both step"
+                "anonymous traversals support a single step"
             )
         vals = [_parse_arg(a) for a in _split_top(inner)] if inner.strip() else []
         return ("step", (m.group(1), vals))
@@ -282,7 +293,10 @@ def gremlin(graph: Graph | PropertyGraph, query: str) -> DataFrame:
         ]
         return df.orderBy(*exprs)
 
+    consumed: set[int] = set()  # modulator steps folded into repeat()
     for i, (name, args) in enumerate(steps):
+        if i in consumed:
+            continue
         if pending_order is not None and name != "by":
             # first non-by step closes the order scope; the _ord columns
             # stay in the frame so Catalyst can plan orderBy+limit+project
@@ -429,34 +443,138 @@ def gremlin(graph: Graph | PropertyGraph, query: str) -> DataFrame:
             )
             cur_kind, edge_cols = "v", []
         elif name == "repeat":
-            # repeat(out()).times(n): unroll the inner step n times —
-            # GIE's PathExpand iteration scope with a fixed hop count
-            if len(args) != 1 or args[0][0] != "step":
+            # repeat(step) + modulators: GIE's PathExpand iteration scope.
+            # .times(n) unrolls a fixed hop count; .until(pred) runs a
+            # do-while loop where traversers exit as soon as the predicate
+            # holds; .emit() streams every intermediate frontier.
+            if (
+                len(args) != 1
+                or args[0][0] != "step"
+                or args[0][1][0] not in ("out", "in", "both")
+            ):
                 raise ValueError("repeat() takes one anonymous out/in/both step")
-            if i + 1 >= len(steps) or steps[i + 1][0] != "times":
-                raise ValueError("repeat(...) must be followed by .times(n)")
             inner_name, inner_args = args[0][1]
-            targs = steps[i + 1][1]
-            if len(targs) != 1 or targs[0][0] != "num":
-                raise ValueError(".times(n) takes one integer argument")
-            n_times = int(targs[0][1])
+            n_times: int | None = None
+            until_step = None
+            do_emit = False
+            j = i + 1
+            while j < len(steps) and steps[j][0] in ("times", "until", "emit"):
+                mname, margs = steps[j]
+                if mname == "times":
+                    if len(margs) != 1 or margs[0][0] != "num":
+                        raise ValueError(".times(n) takes one integer argument")
+                    n_times = int(margs[0][1])
+                elif mname == "until":
+                    if (
+                        len(margs) != 1
+                        or margs[0][0] != "step"
+                        or margs[0][1][0] not in ("hasId", "has")
+                    ):
+                        raise ValueError(
+                            ".until() takes one anonymous hasId(...)/has(...) step"
+                        )
+                    until_step = margs[0][1]
+                elif mname == "emit":
+                    if margs:
+                        raise ValueError(".emit() takes no arguments")
+                    do_emit = True
+                consumed.add(j)
+                j += 1
+            if n_times is None and until_step is None:
+                raise ValueError(
+                    "repeat(...) needs a .times(n) and/or .until(...) modulator"
+                )
             elabel = inner_args[0][1] if inner_args else None
             e = _edges_for(graph, inner_name, elabel)
-            for _ in range(n_times):
-                df = (
-                    edge_expand(df, e, inner_name, "_cur", "_nxt")
+
+            def expand_once(fr: DataFrame) -> DataFrame:
+                fr = (
+                    edge_expand(fr, e, inner_name, "_cur", "_nxt")
                     .drop("_cur")
                     .withColumnRenamed("_nxt", "_cur")
                 )
                 if track_path:
-                    df = df.withColumn(
+                    fr = fr.withColumn(
                         "_path",
                         F.concat(F.col("_path"), F.array(F.col("_cur"))),
                     )
-        elif name == "times":
-            if i == 0 or steps[i - 1][0] != "repeat":
-                raise ValueError(".times(n) must follow repeat(...)")
-            # handled by the preceding repeat step
+                return fr
+
+            if until_step is None and not do_emit:
+                # pure fixed-hop unroll: stays lazy, one linear plan
+                for _ in range(n_times):
+                    df = expand_once(df)
+            elif until_step is None:
+                # times + emit: every hop's frontier is both the next hop's
+                # input and an output branch — checkpoint per hop so the
+                # emitted union doesn't recompute the expansion prefix
+                outs = []
+                for _ in range(n_times):
+                    df = expand_once(df).localCheckpoint(eager=True)
+                    outs.append(df)
+                df = outs[0]
+                for part in outs[1:]:
+                    df = df.unionByName(part)
+            else:
+                cname, cvals = until_step
+
+                def split_until(fr: DataFrame):
+                    """(satisfying, continuing) split of a frontier."""
+                    if cname == "hasId":
+                        if not cvals:
+                            raise ValueError("until(hasId(...)) needs ids")
+                        cond = F.col("_cur").isin([v for _k, v in cvals])
+                        return fr.filter(cond), fr.filter(~cond)
+                    if len(cvals) != 2 or cvals[0][0] != "str":
+                        raise ValueError(
+                            "until(has(...)) takes (prop, literal | P)"
+                        )
+                    prop = cvals[0][1]
+                    if prop == "id":
+                        cond = _pred_col(F.col("_cur"), cvals[1])
+                        return fr.filter(cond), fr.filter(~cond)
+                    ids = (
+                        _prop_table(graph, prop)
+                        .filter(_pred_col(F.col("_p"), cvals[1]))
+                        .select("_cur")
+                    )
+                    return (
+                        fr.join(ids, "_cur", "left_semi"),
+                        fr.join(ids, "_cur", "left_anti"),
+                    )
+
+                cap = n_times if n_times is not None else _UNTIL_MAX_ROUNDS
+                frontier: DataFrame | None = df
+                outs = []
+                for _r in range(cap):
+                    frontier = expand_once(frontier).localCheckpoint(
+                        eager=True
+                    )
+                    sat, unsat = split_until(frontier)
+                    # emit streams the whole post-step frontier (the
+                    # satisfying subset is part of it — not double-counted)
+                    outs.append(frontier if do_emit else sat)
+                    frontier = unsat
+                    if frontier.isEmpty():
+                        frontier = None
+                        break
+                if frontier is not None:
+                    if n_times is not None:
+                        # Gremlin until-OR-times: the cap breaks the loop
+                        # and the remaining traversers exit with the rest
+                        if not do_emit:
+                            outs.append(frontier)
+                    else:
+                        raise RuntimeError(
+                            f"repeat().until() did not converge within "
+                            f"{cap} rounds ({frontier.count()} traversers "
+                            "still looping) — add .times(cap) to bound it"
+                        )
+                df = outs[0]
+                for part in outs[1:]:
+                    df = df.unionByName(part)
+        elif name in ("times", "until", "emit"):
+            raise ValueError(f".{name}(...) must follow repeat(...)")
         elif name == "has":
             if len(args) != 2 or args[0][0] != "str":
                 raise ValueError("has() takes (prop, literal | P-predicate)")

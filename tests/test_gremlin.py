@@ -139,10 +139,14 @@ def test_gremlin_repeat_times(spark):
         g, "g.V().has('id', lt(5)).repeat(out()).times(2).count()"
     ).collect()[0]["count"]
     assert got == want
-    with pytest.raises(ValueError, match="followed by .times"):
+    with pytest.raises(ValueError, match=r"times\(n\) and/or"):
         gremlin(g, "g.V().repeat(out()).count()")
     with pytest.raises(ValueError, match="must follow repeat"):
         gremlin(g, "g.V().times(2).count()")
+    with pytest.raises(ValueError, match="must follow repeat"):
+        gremlin(g, "g.V().until(hasId(3)).count()")
+    with pytest.raises(ValueError, match="must follow repeat"):
+        gremlin(g, "g.V().emit().count()")
 
 
 def test_gremlin_simple_graph_property_has_raises(spark):
@@ -400,3 +404,98 @@ def test_gremlin_value_map(spark):
     ]
     with pytest.raises(ValueError, match="must be terminal"):
         gremlin(g, "g.V().valueMap('weight').count()")
+
+
+# ---------------------------------------------------------------------------
+# repeat() with until()/emit() modulators
+# ---------------------------------------------------------------------------
+
+
+def _chain_graph(spark):
+    # 0 -> 1 -> 2 -> 3 -> 4 plus a side branch 1 -> 10 (dead end)
+    return make_graph(
+        spark,
+        [(0, 1), (1, 2), (2, 3), (3, 4), (1, 10)],
+        vertices=[0, 1, 2, 3, 4, 10],
+    )
+
+
+def test_gremlin_until_hasid_chain(spark):
+    g = _chain_graph(spark)
+    # traversers from 0 walk until they hit vertex 3; the 1->10 branch
+    # dead-ends and drops out
+    rows = gremlin(g, "g.V(0).repeat(out()).until(hasId(3))").collect()
+    assert sorted(r["id"] for r in rows) == [3]
+    n = gremlin(
+        g, "g.V(0).repeat(out()).until(hasId(3)).count()"
+    ).collect()[0]["count"]
+    assert n == 1
+
+
+def test_gremlin_until_has_id_predicate(spark):
+    g = _chain_graph(spark)
+    # until(has('id', gte(3))): exits at the first vertex >= 3 (that is 3
+    # on the main chain, 10 on the branch)
+    rows = gremlin(
+        g, "g.V(0).repeat(out()).until(has('id', gte(3)))"
+    ).collect()
+    assert sorted(r["id"] for r in rows) == [3, 10]
+
+
+def test_gremlin_until_or_times_cap(spark):
+    g = _chain_graph(spark)
+    # cap of 2 rounds: nobody satisfies hasId(4) within 2 hops, so the
+    # remaining traversers exit at the cap (Gremlin until-OR-times)
+    rows = gremlin(
+        g, "g.V(0).repeat(out()).until(hasId(4)).times(2)"
+    ).collect()
+    assert sorted(r["id"] for r in rows) == [2, 10]
+
+
+def test_gremlin_until_nonconvergence_raises(spark, monkeypatch):
+    import graphscope_spark.operators.gremlin as gm
+
+    # a 2-cycle that never reaches the predicate: the unbounded loop must
+    # raise loudly, never silently truncate
+    g = make_graph(spark, [(0, 1), (1, 0)], vertices=[0, 1])
+    monkeypatch.setattr(gm, "_UNTIL_MAX_ROUNDS", 3)
+    with pytest.raises(RuntimeError, match="did not converge within 3"):
+        gremlin(g, "g.V(0).repeat(out()).until(hasId(9)).count()")
+
+
+def test_gremlin_emit_times(spark):
+    g = _rand_graph(spark)
+    # emit() streams every intermediate frontier: hops 1 and 2
+    one = gremlin(g, "g.V().out().count()").collect()[0]["count"]
+    two = gremlin(g, "g.V().out().out().count()").collect()[0]["count"]
+    got = gremlin(
+        g, "g.V().repeat(out()).times(2).emit().count()"
+    ).collect()[0]["count"]
+    assert got == one + two
+
+
+def test_gremlin_emit_until(spark):
+    g = _chain_graph(spark)
+    # emit + until: every visited vertex is streamed; the walk stops at 3
+    rows = gremlin(
+        g, "g.V(0).repeat(out()).until(hasId(3)).emit()"
+    ).collect()
+    assert sorted(r["id"] for r in rows) == [1, 2, 3, 10]
+
+
+def test_gremlin_until_path_tracking(spark):
+    g = _chain_graph(spark)
+    rows = gremlin(
+        g, "g.V(0).repeat(out()).until(hasId(3)).path()"
+    ).collect()
+    assert [list(r["path"]) for r in rows] == [[0, 1, 2, 3]]
+
+
+def test_gremlin_until_parser_errors(spark):
+    g = _chain_graph(spark)
+    with pytest.raises(ValueError, match="anonymous hasId"):
+        gremlin(g, "g.V().repeat(out()).until(out()).count()")
+    with pytest.raises(ValueError, match="takes no arguments"):
+        gremlin(g, "g.V().repeat(out()).times(2).emit(3).count()")
+    with pytest.raises(ValueError, match="needs ids"):
+        gremlin(g, "g.V().repeat(out()).until(hasId()).count()")
