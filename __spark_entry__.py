@@ -2486,6 +2486,62 @@ def _q_gremlin_until(spark, sf_dir):
     ).orderBy("id")
 
 
+def _q_gremlin_group(spark, sf_dir):
+    """group().by(key).by(value) — the GIE GroupStep with explicit key and
+    value modulators (supported_gremlin_steps.md §Aggregate group()):
+    buys_from traversers grouped by the target supplier's nationkey,
+    valued by traverser count. Also exercises hasLabel() label routing."""
+    from graphscope_spark.operators.gremlin import gremlin
+
+    pg = _property_graph(spark, sf_dir)
+    res = gremlin(
+        pg,
+        "g.V().hasLabel('customer').out('buys_from')"
+        ".group().by('nationkey').by(count())",
+    )
+    return res.selectExpr(
+        "CAST(nationkey AS BIGINT) AS nationkey",
+        "CAST(count AS BIGINT) AS n_buy",
+    ).orderBy("nationkey")
+
+
+def _q_gremlin_exists(spark, sf_dir):
+    """where(traversal)/not(traversal) existence filters (GIE WhereStep/
+    NotStep → semi/anti joins, supported_gremlin_steps.md §Filter) over
+    the heavy-edge (weight > 3) subgraph, where they discriminate — the
+    full link graph is dense enough that every vertex has both
+    directions: vertices with a heavy out-edge but no heavy in-edge."""
+    from graphscope_spark.graph.graph import Graph
+    from graphscope_spark.operators.gremlin import gremlin
+
+    g = _customer_graph(spark, sf_dir, weighted=True)
+    heavy = Graph(
+        g.edges.filter("weight > 3").select("src", "dst"),
+        vertices=g.vertices,
+        num_partitions=NUM_PARTITIONS,
+    )
+    return (
+        gremlin(heavy, "g.V().where(out()).not(__.in())")
+        .selectExpr("CAST(id AS BIGINT) AS id")
+        .orderBy("id")
+    )
+
+
+def _q_gremlin_union(spark, sf_dir):
+    """union(out(), in()) branch merge (GIE UnionStep): both neighbor
+    streams of the low-id seeds merged with multiplicity, counted per
+    reached vertex."""
+    from graphscope_spark.operators.gremlin import gremlin
+
+    g = _customer_graph(spark, sf_dir)
+    res = gremlin(
+        g, "g.V().has('id', lt(50)).union(out(), __.in()).groupCount()"
+    )
+    return res.selectExpr(
+        "CAST(v AS BIGINT) AS id", "CAST(count AS BIGINT) AS n"
+    ).orderBy("id")
+
+
 def _q_cypher_cross_label(spark, sf_dir):
     """cross_label_2hop reproduced from a LABELED Cypher string through
     cypher_property (r3 VERDICT item 2): vertex labels select the per-label
@@ -3067,6 +3123,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gremlin_sum": _q_gremlin_sum,
     "gremlin_edge": _q_gremlin_edge,
     "gremlin_until": _q_gremlin_until,
+    "gremlin_group": _q_gremlin_group,
+    "gremlin_exists": _q_gremlin_exists,
+    "gremlin_union": _q_gremlin_union,
     "cypher_with_agg": _q_cypher_with_agg,
     "wcc_delta": _q_wcc_delta,
     "sssp_delta_step": _q_sssp_delta_step,
@@ -3227,6 +3286,31 @@ SELECT cur AS id, SUM(cnt)::BIGINT AS n_exit FROM (
   SELECT cur, cnt FROM gx1 WHERE cur >= 750
   UNION ALL SELECT cur, cnt FROM gx2 WHERE cur >= 750
   UNION ALL SELECT cur, cnt FROM gx3)
+GROUP BY cur ORDER BY id""",
+    # gremlin_group: buys_from multiplicity per supplier nationkey
+    "gremlin_group": """
+WITH buys AS (
+  SELECT DISTINCT o_custkey AS src,
+         1000000 + (o_orderkey % (SELECT count(*) FROM supplier)) AS dst
+  FROM orders)
+SELECT s_nationkey::BIGINT AS nationkey, count(*)::BIGINT AS n_buy
+FROM buys b JOIN supplier s ON b.dst = 1000000 + s_suppkey
+GROUP BY 1 ORDER BY 1""",
+    # gremlin_exists: vertices with a heavy (w>3) out-edge and no heavy
+    # in-edge
+    "gremlin_exists": _with("heavy AS (SELECT src, dst FROM wedges WHERE w > 3)")
+    + """
+SELECT id FROM verts
+WHERE id IN (SELECT src FROM heavy)
+  AND id NOT IN (SELECT dst FROM heavy)
+ORDER BY id""",
+    # gremlin_union: out- and in-neighbor streams of the seeds, merged
+    # with multiplicity
+    "gremlin_union": _with("dummy AS (SELECT 1 AS one)")
+    + """
+SELECT cur AS id, count(*)::BIGINT AS n FROM (
+  SELECT e.dst AS cur FROM edges e WHERE e.src < 50
+  UNION ALL SELECT e.src AS cur FROM edges e WHERE e.dst < 50) t
 GROUP BY cur ORDER BY id""",
     "cypher_with_agg": """
 WITH knows AS (

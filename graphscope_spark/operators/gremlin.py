@@ -10,12 +10,13 @@ GroupBy from :mod:`graphscope_spark.operators.relational`.
 
 Supported chain grammar::
 
-    g.V([id, ...])
+    g.V([id, ...]) | g.E([elabel])   # E(): the traverser starts as the
+         EDGE (src/dst + property columns); otherV() is undefined there
      .out([elabel]) | .in([elabel]) | .both([elabel])
      .outE([elabel]) | .inE([elabel]) | .bothE([elabel])  # traverser
          becomes the EDGE — its property columns drive has()/values();
-         .inV()/.outV()/.otherV() return to vertices; an unterminated
-         edge chain sinks (src, dst, props)
+         .inV()/.outV()/.otherV()/.bothV() return to vertices; an
+         unterminated edge chain sinks (src, dst, props)
      .repeat(out([elabel])).times(n) [.emit()]   # fixed-hop unroll; emit
          streams every intermediate frontier (hops 1..n)
      .repeat(out([elabel])).until(hasId(..) | has(prop, P)) [.emit()]
@@ -25,23 +26,40 @@ Supported chain grammar::
          semantics); without a cap the loop raises loudly after
          _UNTIL_MAX_ROUNDS non-converged rounds
      .has(prop, literal | P)      # P: lt/lte/gt/gte/eq/neq/within(...)
+     .hasNot(prop)                # keep elements WITHOUT the property
      .hasId(id, ...)              # keep the listed vertex ids
      .hasLabel(label)             # PropertyGraph only
      .as(tag)
      .where(eq(tag) | neq(tag))   # cycle close against a tagged vertex
+     .where(out(..) | in(..) | both(..) | outE(..) | inE(..))
+                                  # existence filter (GIE where-traversal
+                                  # → semi-join); .not(...) is the anti
+     .union(out(..), in(..), ...) # branch merge of single-step traversals
+     .identity()                  # no-op (GIE IdentityStep)
      .dedup([tag, ...])
      .order().by(prop|select(tag) [, asc|desc]).by(...)  # multi-key sort
      .limit(n) | .range(lo, hi) | .sample(n) | .coin(p)  # range keeps
          [lo, hi) in stream order (deterministic after order());
          sample/coin are deterministic seeded
+     .values(prop)                # traverser becomes the property VALUE;
+         value traversers support is(P)/dedup()/limit()/sample()/coin()
+         and the aggregate/fold terminals below
+     .is(literal | P)             # filter value traversers
     terminal:
      .count()                     → 1 row, column `count`
+     .sum()|min()|max()|mean()    → 1-row aggregate over value traversers
+     .fold()                      → 1 row, sorted array of the stream
      .groupCount([.by(select(tag) | prop)])  → (tag|v|prop, count)
+     .group().by(key).by(val)     → key: prop | select(tag) | id default;
+         val: count() | fold() | sum(prop)|min(prop)|max(prop)|mean(prop)
+         (fold default) — columns (key, count|value)
      .select(tag, ...)            → tag columns
-     .values(prop)                → property of the current element
      .valueMap(prop, ...)         → (id, prop, ...) columns; edge
          traversers sink (src, dst, prop, ...)
-     .values(prop).sum()|min()|max()|mean()  → 1-row aggregate
+     .elementMap(prop, ...)       → (id, label, prop, ...); PropertyGraph
+     .id()                        → vertex ids, column `id`
+     .label()                     → vertex label, columns (id, label)
+     .constant(x)                 → x per traverser, column `constant`
      .path()                      → visited-vertex history (array column)
     (a chain without a terminal sinks the current elements as `id`)
 
@@ -137,9 +155,13 @@ def _parse_arg(raw: str):
         d = raw.split(".")[-1]
         return ("ord", {"incr": "asc", "decr": "desc"}.get(d, d))
     m = re.match(r"^(?:__\s*\.\s*)?([A-Za-z_]\w*)\s*\(", raw)
-    if m and m.group(1) in ("out", "in", "both", "hasId", "has"):
+    if m and m.group(1) in (
+        "out", "in", "both", "outE", "inE", "bothE", "hasId", "has",
+        "count", "fold", "sum", "min", "max", "mean",
+    ):
         # anonymous traversal argument: repeat(out('label')) /
-        # until(hasId(3)) / until(has('age', gt(30))) — single-step subset
+        # until(hasId(3)) / where(out('x')) / group().by(..).by(count())
+        # — single-step subset
         inner, end = _scan_args(raw, m.end() - 1)
         if raw[end:].strip():
             raise ValueError(
@@ -160,11 +182,11 @@ def _parse_arg(raw: str):
 def parse_gremlin(query: str) -> list[tuple[str, list]]:
     """Parse a ``g.V()...`` chain into [(step_name, args), ...]."""
     q = query.strip().rstrip(";")
-    m = re.match(r"^g\s*\.\s*V\s*\(", q)
+    m = re.match(r"^g\s*\.\s*([VE])\s*\(", q)
     if not m:
-        raise ValueError("traversal must start with g.V(...)")
+        raise ValueError("traversal must start with g.V(...) or g.E(...)")
     args, pos = _scan_args(q, m.end() - 1)
-    steps = [("V", [_parse_arg(a) for a in _split_top(args)])]
+    steps = [(m.group(1), [_parse_arg(a) for a in _split_top(args)])]
     while pos < len(q):
         sm = _STEP_NAME.match(q, pos)
         if not sm:
@@ -275,16 +297,67 @@ def gremlin(graph: Graph | PropertyGraph, query: str) -> DataFrame:
     df: DataFrame | None = None
     tags: list[str] = []
     pending_group: str | None = None  # waiting for an optional .by(...)
+    pending_grp: dict | None = None  # group(): {'key': spec, 'val': spec}
     pending_order: list | None = None  # [(sort_col, 'asc'|'desc'), ...]
     n_ord = 0
     # vertex-history tracking is paid only when a path() terminal asks
     track_path = any(name == "path" for name, _a in steps)
-    cur_kind = "v"  # 'v' = vertex traversers (_cur), 'e' = edge traversers
+    # 'v' = vertex traversers (_cur), 'e' = edge traversers,
+    # 'val' = value traversers (after values())
+    cur_kind = "v"
     edge_cols: list[str] = []  # edge property columns while cur_kind == 'e'
+    val_col: str | None = None  # value column name while cur_kind == 'val'
+    has_anchor = False  # edge traversers carry _eanchor (outE/inE/bothE)
 
     def finish_group(by_tag: str | None) -> DataFrame:
         key = F.col(by_tag) if by_tag else F.col("_cur").alias("v")
         return df.groupBy(key).agg(F.count(F.lit(1)).cast("bigint").alias("count"))
+
+    def finish_grp(keyspec, valspec) -> DataFrame:
+        """group().by(key).by(val) → one row per key (GIE GroupStep).
+
+        key: None (vertex id) | select('tag') | 'prop'; val: None (fold —
+        Gremlin's default group value) | count() | fold() |
+        sum/min/max/mean('prop'). fold sorts the collected list so the
+        result is deterministic across partitionings."""
+        keyed = df
+        if keyspec is None:
+            key = F.col("_cur").alias("v")
+        elif keyspec[0] == "select":
+            tag = keyspec[1][0][1]
+            if tag not in tags:
+                raise ValueError(f"unbound tag {tag!r} in group().by(select())")
+            key = F.col(tag)
+        elif keyspec[0] == "str":
+            prop = keyspec[1]
+            if prop == "id":
+                key = F.col("_cur").alias("id")
+            else:
+                keyed = keyed.join(
+                    _prop_table(graph, prop).withColumnRenamed("_p", "_gkey"),
+                    "_cur",
+                )
+                key = F.col("_gkey").alias(prop)
+        else:
+            raise ValueError(f"unsupported group().by() key: {keyspec!r}")
+        if valspec is None or valspec[1][0] == "fold":
+            agg = F.sort_array(F.collect_list(F.col("_cur"))).alias("value")
+        else:
+            vname, vargs = valspec[1]
+            if vname == "count":
+                agg = F.count(F.lit(1)).cast("bigint").alias("count")
+            else:  # sum/min/max/mean over a property of the grouped elements
+                if len(vargs) != 1 or vargs[0][0] != "str":
+                    raise ValueError(f"group().by({vname}(...)) needs a property")
+                keyed = keyed.join(
+                    _prop_table(graph, vargs[0][1]).withColumnRenamed(
+                        "_p", "_gval"
+                    ),
+                    "_cur",
+                )
+                fn = {"sum": F.sum, "min": F.min, "max": F.max, "mean": F.avg}
+                agg = fn[vname](F.col("_gval")).alias(vname)
+        return keyed.groupBy(key).agg(agg)
 
     def apply_order() -> DataFrame:
         exprs = [
@@ -336,6 +409,28 @@ def gremlin(graph: Graph | PropertyGraph, query: str) -> DataFrame:
                     ".by() after groupCount takes select('tag') or 'prop'"
                 )
             raise ValueError("groupCount() may only be followed by .by(...)")
+        if pending_grp is not None:
+            if name == "by":
+                if len(args) != 1:
+                    raise ValueError("group().by() takes one argument")
+                if pending_grp["n_by"] == 0:
+                    pending_grp["key"] = args[0]
+                elif pending_grp["n_by"] == 1:
+                    if args[0][0] != "step" or args[0][1][0] not in (
+                        "count", "fold", "sum", "min", "max", "mean",
+                    ):
+                        raise ValueError(
+                            "group() value by() takes count()/fold()/"
+                            "sum('p')/min('p')/max('p')/mean('p')"
+                        )
+                    pending_grp["val"] = args[0]
+                else:
+                    raise ValueError("group() takes at most two .by(...)")
+                pending_grp["n_by"] += 1
+                if i == len(steps) - 1:
+                    return finish_grp(pending_grp["key"], pending_grp["val"])
+                continue
+            raise ValueError("group() may only be followed by .by(...)")
         if pending_order is not None and name == "by":
             # by('prop' [, desc]) | by(select('tag') [, desc]) | by(desc)
             direction = "asc"
@@ -363,12 +458,21 @@ def gremlin(graph: Graph | PropertyGraph, query: str) -> DataFrame:
             continue
 
         if cur_kind == "e" and name not in (
-            "has", "values", "valueMap", "count", "limit", "range",
-            "sample", "coin", "inV", "outV", "otherV",
+            "has", "hasNot", "values", "valueMap", "count", "limit",
+            "range", "sample", "coin", "inV", "outV", "otherV", "bothV",
+            "dedup", "fold",
         ):
             raise ValueError(
                 f"step {name}() is not supported on edge traversers — "
                 "return to vertices with inV()/outV() first"
+            )
+        if cur_kind == "val" and name not in (
+            "is", "count", "sum", "min", "max", "mean", "fold", "dedup",
+            "limit", "range", "sample", "coin",
+        ):
+            raise ValueError(
+                f"step {name}() is not supported on value traversers "
+                "(after values())"
             )
         if name == "V":
             df = _all_vertices(graph)
@@ -378,8 +482,26 @@ def gremlin(graph: Graph | PropertyGraph, query: str) -> DataFrame:
                 )
             if track_path:
                 df = df.withColumn("_path", F.array(F.col("_cur")))
+        elif name == "E":
+            # edge source: the traverser starts as the edge element (GIE
+            # E-step, supported_gremlin_steps.md §Source). No anchor vertex
+            # exists, so otherV() is undefined here.
+            if df is not None:
+                raise ValueError("E() must be the source step")
+            if track_path:
+                raise ValueError(
+                    "path() together with edge steps is not supported "
+                    "(the path array is vertex-only)"
+                )
+            elabel = args[0][1] if args else None
+            e = _edges_full(graph, elabel)
+            df = e.withColumnRenamed("src", "_esrc").withColumnRenamed(
+                "dst", "_edst"
+            )
+            edge_cols = [c for c in e.columns if c not in ("src", "dst")]
+            cur_kind, has_anchor = "e", False
         elif df is None:
-            raise ValueError("traversal must start with g.V(...)")
+            raise ValueError("traversal must start with g.V(...) or g.E(...)")
         elif name in ("out", "in", "both"):
             elabel = args[0][1] if args else None
             e = _edges_for(graph, name, elabel)
@@ -428,19 +550,32 @@ def gremlin(graph: Graph | PropertyGraph, query: str) -> DataFrame:
             else:  # bothE: incident edges in either orientation
                 df = attach(df, "src").unionByName(attach(df, "dst"))
             edge_cols = eprops
-            cur_kind = "e"
-        elif name in ("inV", "outV", "otherV"):
+            cur_kind, has_anchor = "e", True
+        elif name in ("inV", "outV", "otherV", "bothV"):
             if cur_kind != "e":
-                raise ValueError(f"{name}() needs edge traversers (outE/inE)")
-            if name == "otherV":
-                nxt = F.when(
-                    F.col("_eanchor") == F.col("_esrc"), F.col("_edst")
-                ).otherwise(F.col("_esrc"))
+                raise ValueError(f"{name}() needs edge traversers (outE/inE/E)")
+            anchor = ["_eanchor"] if has_anchor else []
+            if name == "bothV":
+                # both endpoints: each edge traverser splits into two
+                # vertex traversers (TinkerPop bothV)
+                df = df.withColumn("_cur", F.col("_esrc")).unionByName(
+                    df.withColumn("_cur", F.col("_edst"))
+                ).drop("_esrc", "_edst", *anchor, *edge_cols)
             else:
-                nxt = F.col("_edst" if name == "inV" else "_esrc")
-            df = df.withColumn("_cur", nxt).drop(
-                "_esrc", "_edst", "_eanchor", *edge_cols
-            )
+                if name == "otherV":
+                    if not has_anchor:
+                        raise ValueError(
+                            "otherV() is undefined after E() — no anchor "
+                            "vertex; use bothV()/inV()/outV()"
+                        )
+                    nxt = F.when(
+                        F.col("_eanchor") == F.col("_esrc"), F.col("_edst")
+                    ).otherwise(F.col("_esrc"))
+                else:
+                    nxt = F.col("_edst" if name == "inV" else "_esrc")
+                df = df.withColumn("_cur", nxt).drop(
+                    "_esrc", "_edst", *anchor, *edge_cols
+                )
             cur_kind, edge_cols = "v", []
         elif name == "repeat":
             # repeat(step) + modulators: GIE's PathExpand iteration scope.
@@ -593,6 +728,28 @@ def gremlin(graph: Graph | PropertyGraph, query: str) -> DataFrame:
                 # silently reinterpret a named property as the vertex id
                 pt = _prop_table(graph, prop).filter(_pred_col(F.col("_p"), args[1]))
                 df = df.join(pt.select("_cur"), "_cur", "left_semi")
+        elif name == "hasNot":
+            # keep elements WITHOUT the property (TinkerPop hasNot /
+            # supported_gremlin_steps.md §Filter): null-valued counts as
+            # absent
+            if len(args) != 1 or args[0][0] != "str":
+                raise ValueError("hasNot() takes one property name")
+            prop = args[0][1]
+            if cur_kind == "e":
+                if prop in edge_cols:
+                    df = df.filter(F.col(prop).isNull())
+                # else: no edge carries it — everything passes
+            else:
+                try:
+                    pt = _prop_table(graph, prop)
+                except ValueError:
+                    pt = None  # no label carries it — everything passes
+                if pt is not None:
+                    df = df.join(
+                        pt.filter(F.col("_p").isNotNull()).select("_cur"),
+                        "_cur",
+                        "left_anti",
+                    )
         elif name == "hasLabel":
             if isinstance(graph, Graph):
                 raise ValueError("hasLabel needs a PropertyGraph")
@@ -610,23 +767,101 @@ def gremlin(graph: Graph | PropertyGraph, query: str) -> DataFrame:
             df = df.withColumn(tag, F.col("_cur"))
             if tag not in tags:
                 tags.append(tag)
-        elif name == "where":
-            if len(args) != 1 or args[0][0] not in ("eq", "neq"):
-                raise ValueError("where() supports eq('tag') / neq('tag')")
-            tag = args[0][1][0][1]
-            if tag not in tags:
-                raise ValueError(f"unbound tag {tag!r} in where()")
-            cond = F.col("_cur") == F.col(tag)
-            df = df.filter(cond if args[0][0] == "eq" else ~cond)
+        elif name in ("where", "not"):
+            if len(args) == 1 and args[0][0] == "step":
+                # existence filter: where(out('x')) keeps traversers whose
+                # vertex has a matching incident edge (GIE where-traversal
+                # → semi-join, supported_gremlin_steps.md §Filter);
+                # not(...) is the anti-join complement
+                sname, sargs = args[0][1]
+                if sname not in ("out", "in", "both", "outE", "inE", "bothE"):
+                    raise ValueError(
+                        f"{name}() traversal supports a single "
+                        "out/in/both/outE/inE/bothE step"
+                    )
+                direction = {"outE": "out", "inE": "in", "bothE": "both"}.get(
+                    sname, sname
+                )
+                elabel = sargs[0][1] if sargs else None
+                e = _edges_for(graph, direction, elabel)
+                if direction == "out":
+                    ids = e.select(F.col("src").alias("_cur"))
+                elif direction == "in":
+                    ids = e.select(F.col("dst").alias("_cur"))
+                else:
+                    ids = e.select(F.col("src").alias("_cur")).unionByName(
+                        e.select(F.col("dst").alias("_cur"))
+                    )
+                how = "left_semi" if name == "where" else "left_anti"
+                df = df.join(ids, "_cur", how)
+            elif name == "where" and len(args) == 1 and args[0][0] in (
+                "eq", "neq",
+            ):
+                tag = args[0][1][0][1]
+                if tag not in tags:
+                    raise ValueError(f"unbound tag {tag!r} in where()")
+                cond = F.col("_cur") == F.col(tag)
+                df = df.filter(cond if args[0][0] == "eq" else ~cond)
+            else:
+                raise ValueError(
+                    f"{name}() supports eq('tag') / neq('tag') / an "
+                    "anonymous traversal step"
+                )
+        elif name == "union":
+            # union(out(..), in(..), ...): apply each single-step branch to
+            # the incoming traversers and merge the streams (GIE UnionStep)
+            if not args or any(
+                a[0] != "step" or a[1][0] not in ("out", "in", "both")
+                for a in args
+            ):
+                raise ValueError(
+                    "union() takes one or more anonymous out/in/both steps"
+                )
+            branches = []
+            for _k, (sname, sargs) in args:
+                elabel = sargs[0][1] if sargs else None
+                e = _edges_for(graph, sname, elabel)
+                br = (
+                    edge_expand(df, e, sname, "_cur", "_nxt")
+                    .drop("_cur")
+                    .withColumnRenamed("_nxt", "_cur")
+                )
+                if track_path:
+                    br = br.withColumn(
+                        "_path", F.concat(F.col("_path"), F.array(F.col("_cur")))
+                    )
+                branches.append(br)
+            df = branches[0]
+            for br in branches[1:]:
+                df = df.unionByName(br)
+        elif name == "identity":
+            if args:
+                raise ValueError("identity() takes no arguments")
+        elif name == "is":
+            # filter value traversers (GIE IsStep): values('age').is(gt(30))
+            if cur_kind != "val":
+                raise ValueError("is() applies to value traversers (values())")
+            if len(args) != 1:
+                raise ValueError("is() takes one literal or P-predicate")
+            df = df.filter(_pred_col(F.col(val_col), args[0]))
         elif name == "dedup":
             # Gremlin semantics: dedup by the named tags (or the current
             # element); which traverser survives per group is arbitrary, so
             # later steps should only read the dedup keys
-            cols = [v for _k, v in args] or ["_cur"]
-            for c in cols:
-                if c != "_cur" and c not in tags:
-                    raise ValueError(f"unbound tag {c!r} in dedup()")
-            df = df.dropDuplicates(cols)
+            if cur_kind == "e":
+                if args:
+                    raise ValueError("edge dedup() takes no tags")
+                df = df.dropDuplicates(["_esrc", "_edst"])
+            elif cur_kind == "val":
+                if args:
+                    raise ValueError("value dedup() takes no tags")
+                df = df.dropDuplicates([val_col])
+            else:
+                cols = [v for _k, v in args] or ["_cur"]
+                for c in cols:
+                    if c != "_cur" and c not in tags:
+                        raise ValueError(f"unbound tag {c!r} in dedup()")
+                df = df.dropDuplicates(cols)
         elif name == "hasId":
             if cur_kind != "v":
                 raise ValueError("hasId() applies to vertex traversers")
@@ -721,6 +956,10 @@ def gremlin(graph: Graph | PropertyGraph, query: str) -> DataFrame:
                 )
             return out.select(F.col("_cur").alias("id"), *props)
         elif name == "values":
+            # the traverser becomes the property VALUE (TinkerPop values);
+            # later steps run in value mode (is/dedup/limit/aggregates)
+            if len(args) != 1 or args[0][0] != "str":
+                raise ValueError("values() takes one property name")
             prop = args[0][1]
             if cur_kind == "e":
                 if prop not in edge_cols:
@@ -728,25 +967,102 @@ def gremlin(graph: Graph | PropertyGraph, query: str) -> DataFrame:
                         f"edge values() needs an edge property "
                         f"(available: {edge_cols})"
                     )
-                vdf = df.select(F.col(prop).alias(prop))
+                df = df.select(F.col(prop).alias(prop))
             elif prop == "id":
-                vdf = df.select(F.col("_cur").alias(prop))
+                df = df.select(F.col("_cur").alias(prop))
             else:
-                vdf = df.join(_prop_table(graph, prop), "_cur").select(
+                df = df.join(_prop_table(graph, prop), "_cur").select(
                     F.col("_p").alias(prop)
                 )
+            cur_kind, val_col = "val", prop
+        elif name in ("sum", "min", "max", "mean"):
+            if cur_kind != "val":
+                raise ValueError(
+                    f"{name}() aggregates value traversers — call values() "
+                    "first"
+                )
+            if args:
+                raise ValueError(f"{name}() takes no arguments")
+            if i != len(steps) - 1:
+                raise ValueError(f"{name}() must be terminal")
+            agg = {"sum": F.sum, "min": F.min, "max": F.max, "mean": F.avg}
+            return df.agg(agg[name](val_col).alias(name))
+        elif name == "fold":
+            # fold the whole stream into one list row (TinkerPop fold);
+            # sorted so the result is deterministic across partitionings
+            if args:
+                raise ValueError("fold() takes no arguments")
+            if i != len(steps) - 1:
+                raise ValueError("fold() must be terminal in this subset")
+            if cur_kind == "val":
+                col = F.col(val_col)
+            elif cur_kind == "e":
+                col = F.struct(
+                    F.col("_esrc").alias("src"), F.col("_edst").alias("dst")
+                )
+            else:
+                col = F.col("_cur")
+            return df.agg(F.sort_array(F.collect_list(col)).alias("folded"))
+        elif name == "group":
+            if args:
+                raise ValueError("group() takes no arguments (use .by(...))")
+            pending_grp = {"key": None, "val": None, "n_by": 0}
             if i == len(steps) - 1:
-                return vdf
-            nxt, nargs = steps[i + 1]
-            if nxt in ("sum", "min", "max", "mean") and i + 2 == len(steps):
-                if nargs:
-                    raise ValueError(f"{nxt}() takes no arguments")
-                agg = {"sum": F.sum, "min": F.min, "max": F.max, "mean": F.avg}
-                return vdf.agg(agg[nxt](prop).alias(nxt))
-            raise ValueError(
-                "values() must be terminal or followed by a terminal "
-                "sum()/min()/max()/mean()"
+                return finish_grp(None, None)
+            continue
+        elif name == "id":
+            if args:
+                raise ValueError("id() takes no arguments")
+            if i != len(steps) - 1:
+                raise ValueError("id() must be terminal in this subset")
+            return df.select(F.col("_cur").alias("id"))
+        elif name == "label":
+            # vertex label projection (TinkerPop label); per-label vertex
+            # tables make this a union of (id, lit(label)) lookups
+            if isinstance(graph, Graph):
+                raise ValueError("label() needs a PropertyGraph")
+            if i != len(steps) - 1:
+                raise ValueError("label() must be terminal in this subset")
+            parts = [
+                vdf.select(F.col("id").alias("_cur"), F.lit(lab).alias("label"))
+                for lab, vdf in graph.vertices.items()
+            ]
+            labs = parts[0]
+            for p in parts[1:]:
+                labs = labs.unionByName(p)
+            return df.join(labs, "_cur").select(
+                F.col("_cur").alias("id"), "label"
             )
+        elif name == "constant":
+            if len(args) != 1 or args[0][0] not in ("num", "str"):
+                raise ValueError("constant() takes one literal")
+            if i != len(steps) - 1:
+                raise ValueError("constant() must be terminal in this subset")
+            return df.select(F.lit(args[0][1]).alias("constant"))
+        elif name == "elementMap":
+            # valueMap + id + label (TinkerPop elementMap)
+            if cur_kind != "v":
+                raise ValueError("elementMap() applies to vertex traversers")
+            if isinstance(graph, Graph):
+                raise ValueError("elementMap() needs a PropertyGraph")
+            if i != len(steps) - 1:
+                raise ValueError("elementMap() must be terminal in this subset")
+            props = [v for _k, v in args]
+            parts = [
+                vdf.select(F.col("id").alias("_cur"), F.lit(lab).alias("label"))
+                for lab, vdf in graph.vertices.items()
+            ]
+            labs = parts[0]
+            for p in parts[1:]:
+                labs = labs.unionByName(p)
+            out = df.select("_cur").join(labs, "_cur")
+            for p in props:
+                out = out.join(
+                    _prop_table(graph, p).withColumnRenamed("_p", p),
+                    "_cur",
+                    "left",
+                )
+            return out.select(F.col("_cur").alias("id"), "label", *props)
         else:
             raise ValueError(f"unsupported step: {name}()")
 
@@ -762,4 +1078,6 @@ def gremlin(graph: Graph | PropertyGraph, query: str) -> DataFrame:
             F.col("_esrc").alias("src"), F.col("_edst").alias("dst"),
             *edge_cols,
         )
+    if cur_kind == "val":
+        return df  # already the single value column named after the prop
     return df.select(F.col("_cur").alias("id"))

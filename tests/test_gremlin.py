@@ -33,10 +33,10 @@ def test_parse_shapes():
     assert steps[0][1] == [("num", 1), ("num", 2)]
     assert steps[1][1] == [("str", "knows")]
     assert steps[2][1] == [("str", "id"), ("lt", [("num", 10)])]
+    assert parse_gremlin("g.E().count()")[0] == ("E", [])
     with pytest.raises(ValueError, match="start with g.V"):
-        parse_gremlin("g.E().count()")
-    with pytest.raises(ValueError, match="unsupported argument"):
-        parse_gremlin("g.V().repeat(outE())")
+        parse_gremlin("V().count()")
+    # outE parses as an anonymous step; repeat() rejects it at execution
     assert parse_gremlin("g.V().repeat(out('knows')).times(3)")[1] == (
         "repeat", [("step", ("out", [("str", "knows")]))]
     )
@@ -499,3 +499,170 @@ def test_gremlin_until_parser_errors(spark):
         gremlin(g, "g.V().repeat(out()).times(2).emit(3).count()")
     with pytest.raises(ValueError, match="needs ids"):
         gremlin(g, "g.V().repeat(out()).until(hasId()).count()")
+
+
+# ---------------------------------------------------------------------------
+# r4 session 3: E() source, existence filters, value traversers, group(),
+# projections — the remaining GIE supported_gremlin_steps.md rows
+# ---------------------------------------------------------------------------
+
+
+def _pg(spark):
+    from graphscope_spark.graph.property_graph import PropertyGraph
+
+    person = spark.createDataFrame(
+        [(i, 30 + i) for i in range(5)], "id long, age long"
+    )
+    company = spark.createDataFrame(
+        [(100, 10), (101, 2000)], "id long, size long"
+    )
+    knows = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src long, dst long")
+    works = spark.createDataFrame(
+        [(0, 100), (1, 100), (2, 101)], "src long, dst long"
+    )
+    return (
+        PropertyGraph()
+        .add_vertices("person", person)
+        .add_vertices("company", company)
+        .add_edges("knows", "person", "person", knows)
+        .add_edges("works_at", "person", "company", works)
+    )
+
+
+def test_gremlin_e_source(spark):
+    g = make_graph(
+        spark, [(0, 1, 1.0), (1, 2, 5.0), (2, 3, 2.0)], weights=True
+    )
+    assert gremlin(g, "g.E().count()").collect()[0]["count"] == 3
+    heavy = gremlin(g, "g.E().has('weight', gt(1.5))").collect()
+    assert sorted((r["src"], r["dst"]) for r in heavy) == [(1, 2), (2, 3)]
+    # bothV splits each edge into both endpoints; dedup collapses repeats
+    n = gremlin(
+        g, "g.E().has('weight', gt(1.5)).bothV().dedup().count()"
+    ).collect()[0]["count"]
+    assert n == 3  # {1, 2, 3}
+    with pytest.raises(ValueError, match="undefined after E"):
+        gremlin(g, "g.E().otherV().count()")
+    # E() after V is rejected
+    with pytest.raises(ValueError, match="source step"):
+        gremlin(g, "g.V().E().count()")
+
+
+def test_gremlin_where_not_existence(spark):
+    g = _chain_graph(spark)  # 0->1->2->3->4, 1->10
+    # vertices with an out-edge but no in-edge: only the root 0
+    rows = gremlin(g, "g.V().where(out()).not(__.in())").collect()
+    assert sorted(r["id"] for r in rows) == [0]
+    # sinks: no out-edge
+    rows = gremlin(g, "g.V().not(out())").collect()
+    assert sorted(r["id"] for r in rows) == [4, 10]
+    # where(both()) keeps every non-isolated vertex
+    n = gremlin(g, "g.V().where(both()).count()").collect()[0]["count"]
+    assert n == 6
+    # outE existence == out existence
+    a = gremlin(g, "g.V().where(outE()).count()").collect()[0]["count"]
+    b = gremlin(g, "g.V().where(out()).count()").collect()[0]["count"]
+    assert a == b
+
+
+def test_gremlin_has_not(spark):
+    pg = _pg(spark)
+    # persons lack 'size'; companies lack 'age'
+    rows = gremlin(pg, "g.V().hasNot('size')").collect()
+    assert sorted(r["id"] for r in rows) == [0, 1, 2, 3, 4]
+    rows = gremlin(pg, "g.V().hasNot('age')").collect()
+    assert sorted(r["id"] for r in rows) == [100, 101]
+    # unknown property: everything passes
+    n = gremlin(pg, "g.V().hasNot('salary').count()").collect()[0]["count"]
+    assert n == 7
+
+
+def test_gremlin_values_is_dedup(spark):
+    pg = _pg(spark)
+    rows = gremlin(pg, "g.V().values('age').is(gt(31))").collect()
+    assert sorted(r["age"] for r in rows) == [32, 33, 34]
+    n = gremlin(
+        pg, "g.V().values('age').is(P.gte(32)).count()"
+    ).collect()[0]["count"]
+    assert n == 3
+    # dedup on values
+    rows = gremlin(
+        pg, "g.V().out('works_at').values('size').dedup()"
+    ).collect()
+    assert sorted(r["size"] for r in rows) == [10, 2000]
+    with pytest.raises(ValueError, match="value traversers"):
+        gremlin(pg, "g.V().is(gt(1)).count()")
+
+
+def test_gremlin_fold(spark):
+    g = _chain_graph(spark)
+    got = gremlin(g, "g.V(0).out().out().fold()").collect()[0]["folded"]
+    assert got == [2, 10]
+    pg = _pg(spark)
+    got = gremlin(pg, "g.V().values('age').is(lt(33)).fold()").collect()[0][
+        "folded"
+    ]
+    assert got == [30, 31, 32]
+
+
+def test_gremlin_group(spark):
+    pg = _pg(spark)
+    # key=property, value=count: persons per employer size bucket
+    rows = gremlin(
+        pg, "g.V().out('works_at').group().by('size').by(count())"
+    ).collect()
+    assert sorted((r["size"], r["count"]) for r in rows) == [(10, 2), (2000, 1)]
+    # default value = fold (sorted element list)
+    rows = gremlin(
+        pg, "g.V().out('works_at').group().by('size')"
+    ).collect()
+    assert sorted((r["size"], tuple(r["value"])) for r in rows) == [
+        (10, (100, 100)), (2000, (101,)),
+    ]
+    # key=select(tag), value=sum over a property
+    rows = gremlin(
+        pg,
+        "g.V().hasLabel('person').as('p').out('knows')"
+        ".group().by(select('p')).by(sum('age'))",
+    ).collect()
+    assert sorted((r["p"], r["sum"]) for r in rows) == [
+        (0, 31), (1, 32), (2, 33),
+    ]
+    # group() with no by(): fold by vertex id
+    rows = gremlin(pg, "g.V().out('knows').group()").collect()
+    assert sorted((r["v"], tuple(r["value"])) for r in rows) == [
+        (1, (1,)), (2, (2,)), (3, (3,)),
+    ]
+    with pytest.raises(ValueError, match="at most two"):
+        gremlin(pg, "g.V().group().by('age').by(count()).by(count())")
+
+
+def test_gremlin_union_identity(spark):
+    g = _chain_graph(spark)
+    # union(out, in) == both (with multiplicity)
+    a = gremlin(g, "g.V().union(out(), __.in()).count()").collect()[0]["count"]
+    b = gremlin(g, "g.V().both().count()").collect()[0]["count"]
+    assert a == b == 10
+    rows = gremlin(g, "g.V(1).union(out(), __.in())").collect()
+    assert sorted(r["id"] for r in rows) == [0, 2, 10]
+    # identity is a no-op
+    n = gremlin(g, "g.V().identity().out().identity().count()").collect()[0][
+        "count"
+    ]
+    assert n == 5
+
+
+def test_gremlin_projections(spark):
+    pg = _pg(spark)
+    rows = gremlin(pg, "g.V().hasLabel('company').id()").collect()
+    assert sorted(r["id"] for r in rows) == [100, 101]
+    rows = gremlin(pg, "g.V().out('works_at').label()").collect()
+    assert [r["label"] for r in rows] == ["company"] * 3
+    rows = gremlin(pg, "g.V().hasLabel('person').constant(7)").collect()
+    assert [r["constant"] for r in rows] == [7] * 5
+    rows = gremlin(pg, "g.V().hasLabel('company').elementMap('size')").collect()
+    assert sorted((r["id"], r["label"], r["size"]) for r in rows) == [
+        (100, "company", 10), (101, "company", 2000),
+    ]
+    with pytest.raises(ValueError, match="PropertyGraph"):
+        gremlin(_chain_graph(spark), "g.V().label()")
