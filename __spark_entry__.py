@@ -2424,6 +2424,51 @@ def _q_cypher_with_agg(spark, sf_dir):
     )
 
 
+def _q_cypher_not_exists(spark, sf_dir):
+    """WHERE NOT EXISTS(pattern) → anti join (the reference's documented
+    lowering: docs/interactive_engine/neo4j/supported_cypher.md 'WHERE NOT
+    EXIST (an edge/path) implements as anti join'), both endpoints bound
+    (two-key anti join): per-customer count of NON-reciprocal knows-edges
+    — (a)->(b) with no (b)->(a) back-edge."""
+    from graphscope_spark.operators.cypher import cypher_property
+
+    return cypher_property(
+        _property_graph(spark, sf_dir),
+        "MATCH (a:customer)-[:knows]->(b:customer) "
+        "WHERE NOT EXISTS((b)-[:knows]->(a)) "
+        "RETURN a.id AS src_id, count(*) AS n ORDER BY src_id",
+    )
+
+
+def _q_cypher_isnull(spark, sf_dir):
+    """OPTIONAL MATCH + IS NULL — the Cypher left-join null test. The
+    single-edge-variable predicate r.w >= 4 pushes into the optional
+    pattern's edge scan (Cypher's OPTIONAL MATCH…WHERE shape); the IS NULL
+    conjunct evaluates on the bound frame, never pushed: customers with no
+    heavy outgoing knows-edge."""
+    from graphscope_spark.operators.cypher import cypher_property
+
+    return cypher_property(
+        _property_graph(spark, sf_dir),
+        "MATCH (a:customer) OPTIONAL MATCH (a)-[r:knows]->(b:customer) "
+        "WHERE r.w >= 4 AND b IS NULL RETURN a.id AS cid ORDER BY cid",
+    )
+
+
+def _q_cypher_unwind(spark, sf_dir):
+    """collect() → UNWIND round-trip (GIE's UNFOLD, supported_cypher.md
+    keyword table): the grouped adjacency lists are exploded back to one
+    row per knows-edge of the low-id customers."""
+    from graphscope_spark.operators.cypher import cypher_property
+
+    return cypher_property(
+        _property_graph(spark, sf_dir),
+        "MATCH (a:customer)-[:knows]->(b:customer) WHERE a.id < 50 "
+        "WITH a AS a, collect(b) AS bs UNWIND bs AS x "
+        "RETURN a AS a, x AS x ORDER BY a, x",
+    )
+
+
 def _q_gremlin_order(spark, sf_dir):
     """order().by(prop, desc).by('id').limit(n) — the Gremlin top-k tail
     lowered to Catalyst TakeOrderedAndProject; the integer nationkey ties
@@ -3127,6 +3172,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gremlin_exists": _q_gremlin_exists,
     "gremlin_union": _q_gremlin_union,
     "cypher_with_agg": _q_cypher_with_agg,
+    "cypher_not_exists": _q_cypher_not_exists,
+    "cypher_isnull": _q_cypher_isnull,
+    "cypher_unwind": _q_cypher_unwind,
     "wcc_delta": _q_wcc_delta,
     "sssp_delta_step": _q_sssp_delta_step,
     "fluid_community": _q_fluid,
@@ -3312,6 +3360,25 @@ SELECT cur AS id, count(*)::BIGINT AS n FROM (
   SELECT e.dst AS cur FROM edges e WHERE e.src < 50
   UNION ALL SELECT e.src AS cur FROM edges e WHERE e.dst < 50) t
 GROUP BY cur ORDER BY id""",
+    # cypher_not_exists: non-reciprocal knows-edges (two-key anti join)
+    "cypher_not_exists": _with("dummy AS (SELECT 1 AS one)")
+    + """
+SELECT e.src AS src_id, count(*)::BIGINT AS n
+FROM edges e
+WHERE NOT EXISTS (
+  SELECT 1 FROM edges r WHERE r.src = e.dst AND r.dst = e.src)
+GROUP BY e.src ORDER BY src_id""",
+    # cypher_isnull: customers with no heavy (w>=4) outgoing knows-edge
+    "cypher_isnull": _with("dummy AS (SELECT 1 AS one)")
+    + """
+SELECT id AS cid FROM verts
+WHERE id NOT IN (SELECT src FROM wedges WHERE w >= 4)
+ORDER BY cid""",
+    # cypher_unwind: collect → UNWIND round-trips the knows pairs of the
+    # low-id customers
+    "cypher_unwind": _with("dummy AS (SELECT 1 AS one)")
+    + """
+SELECT src AS a, dst AS x FROM edges WHERE src < 50 ORDER BY a, x""",
     "cypher_with_agg": """
 WITH knows AS (
   SELECT DISTINCT o_custkey AS src,

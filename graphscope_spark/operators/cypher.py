@@ -30,7 +30,8 @@ Grammar (subset)::
 
     query  := MATCH path (, path)* [OPTIONAL MATCH path (, path)*]
               [WHERE pred (AND pred)*]
-              (WITH [DISTINCT] item (, item)* [WHERE pred (AND pred)*])*
+              (WITH [DISTINCT] item (, item)* [WHERE pred (AND pred)*]
+               | UNWIND (alias | path_var | '[' lit, ... ']') AS name)*
               RETURN [DISTINCT] item (, item)*
               [ORDER BY alias [ASC|DESC] (, ...)*] [SKIP n] [LIMIT n]
               (the optional pattern LEFT-joins on its shared tags; unmatched
@@ -39,6 +40,8 @@ Grammar (subset)::
               aggregated frame, Cypher's HAVING shape — and RETURN then
               sees only the WITH aliases)
     node   := '(' tag [':' label] ')'
+              (a node-only path `(a)` is a vertex scan: joins on a shared
+              tag, else a Cypher cartesian product)
     edge   := -[var?][:elabel?][*lo..hi]-> | <-[...]- | -[...]- | --> | <-- | --
               (variable-length patterns need a finite upper bound and lower
               to PathExpand with TRAIL semantics; labels/predicates bind the
@@ -54,7 +57,12 @@ Grammar (subset)::
               NOT cmp, parenthesized groups — standard precedence
               (NOT > AND > OR); a top-level conjunct touching a single
               tag's properties pushes down to that vertex table even
-              when it is an OR/NOT group
+              when it is an OR/NOT group. Also:
+              operand IS [NOT] NULL   — never pushed below an OPTIONAL
+              MATCH (evaluates on the bound frame);
+              [NOT] EXISTS((x)-[:lab]->(y))  — top-level conjunct only;
+              semi/anti join against the pattern's edge table
+              (supported_cypher.md "WHERE NOT EXIST … anti join")
     cmp    := operand (= | <> | != | < | <= | > | >=) operand
               | operand (STARTS WITH | ENDS WITH | CONTAINS) operand
               | operand =~ 'regex'      # rlike; literal pattern only
@@ -115,6 +123,45 @@ _SHORTEST = re.compile(
 # never splits a predicate
 _WHERE_TOKEN = re.compile(r"'[^']*'|\(|\)|[^()\s]+")
 
+_EXISTS_CONJ = re.compile(r"(?is)^(NOT\s+)?EXISTS\s*\((.*)\)$")
+
+
+def _split_top_and(text: str) -> list[str]:
+    """Split a WHERE expression on its top-level ANDs (outside parentheses
+    and string literals) — the unit at which [NOT] EXISTS(...) conjuncts
+    are peeled off before the boolean parser sees the rest."""
+    parts, cur = [], []
+    depth, in_str, i = 0, False, 0
+    while i < len(text):
+        c = text[i]
+        if in_str:
+            cur.append(c)
+            if c == "'":
+                in_str = False
+        elif c == "'":
+            in_str = True
+            cur.append(c)
+        elif c == "(":
+            depth += 1
+            cur.append(c)
+        elif c == ")":
+            depth -= 1
+            cur.append(c)
+        elif (
+            depth == 0
+            and re.match(r"(?i)AND(?![A-Za-z0-9_])", text[i:])
+            and (i == 0 or not (text[i - 1].isalnum() or text[i - 1] == "_"))
+        ):
+            parts.append("".join(cur))
+            cur = []
+            i += 3
+            continue
+        else:
+            cur.append(c)
+        i += 1
+    parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
+
 
 def _parse_where(text: str, parse_operand) -> list:
     """Parse a WHERE expression into top-level conjunct trees.
@@ -166,11 +213,23 @@ def _parse_where(text: str, parse_operand) -> list:
         while (
             peek() is not None
             and peek() not in ("(", ")")
-            and peek().upper() not in ("AND", "OR", "NOT")
+            and (
+                peek().upper() not in ("AND", "OR", "NOT")
+                # `IS NOT NULL`: the NOT belongs to the null test, not the
+                # boolean grammar
+                or (
+                    peek().upper() == "NOT"
+                    and atom
+                    and atom[-1].upper() == "IS"
+                )
+            )
         ):
             atom.append(toks[pos])
             pos += 1
         raw = " ".join(atom)
+        nm = re.match(r"(?i)^(.+?)\s+IS\s+(NOT\s+)?NULL$", raw)
+        if nm:
+            return ("null", parse_operand(nm.group(1)), bool(nm.group(2)))
         sm = _STR_PRED.match(raw)
         if sm:
             op = {
@@ -220,11 +279,29 @@ def _cmp_operands(node):
     if kind == "cmp":
         yield from _operand_leaves(node[1])
         yield from _operand_leaves(node[3])
+    elif kind == "null":
+        yield from _operand_leaves(node[1])
     elif kind == "not":
         yield from _cmp_operands(node[1])
     else:  # and / or
         for child in node[1]:
             yield from _cmp_operands(child)
+
+
+def _has_null_test(node) -> bool:
+    """True when a predicate tree contains an IS [NOT] NULL test — such
+    conjuncts must evaluate on the BOUND frame (post), never push into a
+    vertex scan: pushing `b.p IS NULL` below an OPTIONAL MATCH would turn
+    matched-but-non-null rows into unmatched null rows instead of dropping
+    them."""
+    kind = node[0]
+    if kind == "null":
+        return True
+    if kind == "cmp":
+        return False
+    if kind == "not":
+        return _has_null_test(node[1])
+    return any(_has_null_test(c) for c in node[1])
 
 
 def _item_prop_refs(items):
@@ -296,6 +373,9 @@ def _pred_to_col(node, opcol) -> "Column":
                 raise ValueError("=~ needs a string-literal regex")
             return opcol(node[1]).rlike(rhs[1])
         return _OPS[node[2]](opcol(node[1]), opcol(node[3]))
+    if kind == "null":
+        col = opcol(node[1])
+        return col.isNotNull() if node[2] else col.isNull()
     if kind == "not":
         return ~_pred_to_col(node[1], opcol)
     cols = [_pred_to_col(c, opcol) for c in node[1]]
@@ -320,7 +400,7 @@ def parse_cypher(query: str) -> dict:
     # predicate — `STARTS WITH` / `ENDS WITH` stay inside their WHERE text
     toks = re.split(
         r"(?is)\b(OPTIONAL\s+MATCH|MATCH|WHERE|"
-        r"(?<!STARTS\s)(?<!ENDS\s)WITH|RETURN)\b",
+        r"(?<!STARTS\s)(?<!ENDS\s)WITH|UNWIND|RETURN)\b",
         q,
     )
     if toks[0].strip() or len(toks) < 3:
@@ -360,6 +440,11 @@ def parse_cypher(query: str) -> dict:
         elif kw == "WITH":
             with_stages_raw.append({"text": text, "where": []})
             scope = "with"
+        elif kw == "UNWIND":
+            # UNWIND list AS x — GIE's UNFOLD (supported_cypher.md keyword
+            # table): one output row per list element, other columns kept
+            with_stages_raw.append({"unwind_text": text, "where": []})
+            scope = "with"
         else:  # RETURN
             return_part = text
     if not pattern_parts or return_part is None:
@@ -368,6 +453,7 @@ def parse_cypher(query: str) -> dict:
     where_part = " AND ".join(where_parts) if where_parts else None
 
     sentences: list[tuple[str, str, str, str | None]] = []
+    bare: list[str] = []  # node-only patterns `(a)` — vertex scans
     labels: dict[str, str | None] = {}
     # sentence index → (min_hops, max_hops) for -[*a..b]-> patterns
     var_hops: dict[int, tuple[int, int]] = {}
@@ -440,6 +526,12 @@ def parse_cypher(query: str) -> dict:
             cur = node.group(1)
             note_label(cur, node.group(2))
             pos = node.end()
+            if pos == len(path):
+                # node-only pattern `(a[:label])`: a vertex scan — joins on
+                # the tag when it also appears in an edge pattern, else a
+                # Cypher cartesian product
+                bare.append(cur)
+                continue
             while pos < len(path):
                 em = _EDGE.match(path, pos)
                 if not em:
@@ -494,9 +586,10 @@ def parse_cypher(query: str) -> dict:
 
     parse_part(pattern_part)
     n_mandatory = len(sentences)
+    n_bare_mandatory = len(bare)
     if optional_part:
         parse_part(optional_part)
-    if not sentences:
+    if not sentences and not bare:
         raise ValueError("empty MATCH pattern")
     clash = set(edge_vars) & set(labels)
     if clash:
@@ -534,6 +627,63 @@ def parse_cypher(query: str) -> dict:
             return parse_primary(raw)
         # not a plain primary: arithmetic expression over primaries
         return _parse_arith(raw, parse_primary)
+
+    # --- peel [NOT] EXISTS((x)-[:lab]->(y)) conjuncts off the WHERE text
+    # (reference: supported_cypher.md "WHERE NOT EXIST (an edge/path)
+    # implements as anti join"; FilterIntoJoinRule plans the positive form
+    # as a semi join) -------------------------------------------------------
+    exists_preds: list[dict] = []
+
+    def parse_exists_pattern(inner: str, negated: bool) -> None:
+        s = re.sub(r"\s+", "", inner)
+        node = _NODE.match(s, 0)
+        if not node:
+            raise ValueError(f"expected a node pattern in EXISTS: {inner!r}")
+        a, alabel = node.group(1), node.group(2)
+        em = _EDGE.match(s, node.end())
+        if not em:
+            raise ValueError(f"expected an edge pattern in EXISTS: {inner!r}")
+        left, evar, elabel, star, _hmin, _dots, _hmax, right = em.groups()
+        if evar or star:
+            raise ValueError(
+                "EXISTS supports a single fixed-length unlabeled-variable "
+                "edge pattern"
+            )
+        node2 = _NODE.match(s, em.end())
+        if not node2 or node2.end() != len(s):
+            raise ValueError(
+                f"EXISTS takes exactly one edge pattern: {inner!r}"
+            )
+        b, blabel = node2.group(1), node2.group(2)
+        if left == "-" and right == "->":
+            rec = {"a": a, "b": b, "dir": "out"}
+        elif left == "<-" and right == "-":
+            rec = {"a": b, "b": a, "dir": "out"}
+            alabel, blabel = blabel, alabel
+        elif left == "-" and right == "-":
+            rec = {"a": a, "b": b, "dir": "both"}
+        else:
+            raise ValueError(f"unsupported EXISTS edge direction {left}…{right}")
+        rec.update(
+            {"alabel": alabel, "blabel": blabel, "elabel": elabel,
+             "neg": negated}
+        )
+        exists_preds.append(rec)
+
+    plain_conjuncts: list[str] = []
+    if where_part:
+        for conj in _split_top_and(where_part):
+            xm = _EXISTS_CONJ.match(conj)
+            if xm:
+                parse_exists_pattern(xm.group(2), bool(xm.group(1)))
+            elif re.search(r"(?i)\bEXISTS\s*\(", conj):
+                raise ValueError(
+                    "EXISTS is supported only as a top-level [NOT] "
+                    "EXISTS(...) conjunct"
+                )
+            else:
+                plain_conjuncts.append(conj)
+    where_part = " AND ".join(plain_conjuncts) if plain_conjuncts else None
 
     preds = _parse_where(where_part, parse_operand) if where_part else []
 
@@ -646,6 +796,56 @@ def parse_cypher(query: str) -> dict:
     with_specs: list[dict] = []
     cur_names, cur_props = tags, True
     for stage in with_stages_raw:
+        if "unwind_text" in stage:
+            um = re.match(
+                r"(?is)^(.+?)\s+AS\s+([A-Za-z_][A-Za-z_0-9]*)$",
+                stage["unwind_text"].strip(),
+            )
+            if not um:
+                raise ValueError(
+                    f"UNWIND takes 'list AS alias': {stage['unwind_text']!r}"
+                )
+            src, alias = um.group(1).strip(), um.group(2)
+            if alias in cur_names:
+                raise ValueError(f"UNWIND alias {alias!r} already bound")
+            if re.match(r"^\[.*\]$", src, re.S):
+                elems = []
+                # split elements on commas outside string literals
+                raws = [
+                    r.strip().lstrip(",").strip()
+                    for r in re.findall(r"'[^']*'|[^,]+", src[1:-1])
+                ]
+                for raw in (r for r in raws if r):
+                    om = _OPERAND.match(raw)
+                    if not om or om.group(1) is not None:
+                        raise ValueError(
+                            f"UNWIND list literal takes literals: {raw!r}"
+                        )
+                    _t, _p, flt, intg, s = om.groups()
+                    elems.append(
+                        float(flt) if flt else int(intg) if intg else s
+                    )
+                spec = ("lit", elems, alias)
+            elif src in path_vars and cur_props:
+                spec = ("path", src, alias)
+            elif src in cur_names:
+                spec = ("name", src, alias)
+            else:
+                raise ValueError(
+                    f"UNWIND references unknown name {src!r} (a bound "
+                    "alias, path variable, or [literal, ...] list)"
+                )
+            waliases = set(cur_names) | {alias}
+            wpreds = []
+            for wtext in stage["where"]:
+                wpreds.extend(
+                    _parse_where(
+                        wtext, lambda raw: parse_alias_operand(raw, waliases)
+                    )
+                )
+            with_specs.append({"unwind": spec, "where": wpreds})
+            cur_names = waliases  # cur_props unchanged: no projection ran
+            continue
         wdistinct, witems = parse_items(
             stage["text"], cur_names, cur_props, "WITH"
         )
@@ -688,11 +888,14 @@ def parse_cypher(query: str) -> dict:
     return {
         "sentences": sentences,
         "n_mandatory": n_mandatory,
+        "bare": bare,
+        "n_bare_mandatory": n_bare_mandatory,
         "labels": labels,
         "var_hops": var_hops,
         "shortest": shortest,
         "edge_vars": edge_vars,
         "where": preds,
+        "exists": exists_preds,
         "with": with_specs,
         "return": {
             "distinct": distinct,
@@ -721,6 +924,8 @@ def parse_match(query: str) -> tuple[list[tuple[str, str, str]], dict]:
         )
     if ast["where"]:
         raise ValueError("WHERE is not supported by parse_match")
+    if ast["exists"]:
+        raise ValueError("EXISTS requires cypher_property")
     if ast["var_hops"]:
         raise ValueError(
             "variable-length patterns require cypher_property (PathExpand)"
@@ -729,6 +934,8 @@ def parse_match(query: str) -> tuple[list[tuple[str, str, str]], dict]:
         raise ValueError("shortestPath() requires cypher_property")
     if ast["n_mandatory"] != len(ast["sentences"]):
         raise ValueError("OPTIONAL MATCH requires cypher_property")
+    if ast["bare"]:
+        raise ValueError("node-only patterns require cypher_property")
     if ast["with"]:
         raise ValueError("WITH requires cypher_property")
     if ast["return"]["order"] or ast["return"]["skip"] or (
@@ -905,7 +1112,7 @@ def cypher_property(
     post: list = []
     for pred in preds:
         ts = pred_tags(pred)
-        if has_prop(pred) and len(ts) == 1:
+        if has_prop(pred) and len(ts) == 1 and not _has_null_test(pred):
             t = next(iter(ts))
             (edge_push if t in evars else pushdown).setdefault(t, []).append(
                 pred
@@ -916,8 +1123,11 @@ def cypher_property(
     # edge properties each relationship variable must CARRY through the join
     # DAG (post-WHERE + first projection stage); filter-only props stay
     # inside the edge scan
-    stage1_items = (
-        ast["with"][0]["items"] if ast["with"] else ast["return"]["items"]
+    # the first PROJECTION stage's items (UNWIND stages don't project —
+    # pattern-tag properties stay accessible through them)
+    stage1_items = next(
+        (w["items"] for w in ast["with"] if "items" in w),
+        ast["return"]["items"],
     )
     eprops_keep: dict[str, set] = {}
     for pred in post:
@@ -1069,7 +1279,9 @@ def cypher_property(
 
     # --- greedy closing-first join DAG (the match() plan over per-sentence
     # tables) ----------------------------------------------------------------
-    def run_dag(dfs: list) -> tuple[DataFrame, set[str]]:
+    def run_dag(
+        dfs: list, bare_tags: list | None = None
+    ) -> tuple[DataFrame, set[str]]:
         remaining = list(dfs)
         bound: set[str] = set()
         out: DataFrame | None = None
@@ -1120,12 +1332,26 @@ def cypher_property(
             else:
                 out = out.crossJoin(e)
                 bound.update((a, b))
+        for tag in bare_tags or []:
+            # node-only pattern: label+pushdown-filtered vertex scan —
+            # joins on an already-bound tag (multiplicity 1: vertex tables
+            # are unique by id), else a Cypher cartesian product
+            ids = _tag_ids(tag).select(F.col("id").alias(tag))
+            if out is None:
+                out = ids
+                bound.add(tag)
+            elif tag in bound:
+                out = out.join(ids, tag)
+            else:
+                out = out.crossJoin(ids)
+                bound.add(tag)
         return out, bound
 
     n_mand = ast["n_mandatory"]
-    out, bound = run_dag(sentence_dfs[:n_mand])
+    n_bmand = ast["n_bare_mandatory"]
+    out, bound = run_dag(sentence_dfs[:n_mand], ast["bare"][:n_bmand])
     optional_only: set[str] = set()
-    if sentence_dfs[n_mand:]:
+    if sentence_dfs[n_mand:] or ast["bare"][n_bmand:]:
         # OPTIONAL MATCH: evaluate the optional pattern as its own DAG and
         # LEFT-join it on the shared tags — unmatched bindings keep the
         # mandatory row with nulls for the optional-only tags (Cypher's
@@ -1133,7 +1359,9 @@ def cypher_property(
         # pushed into the pattern above (= Cypher's OPTIONAL MATCH…WHERE);
         # cross-tag post-predicates run after the left join and therefore
         # drop null rows, as a top-level WHERE does in Cypher.
-        opt_out, opt_bound = run_dag(sentence_dfs[n_mand:])
+        opt_out, opt_bound = run_dag(
+            sentence_dfs[n_mand:], ast["bare"][n_bmand:]
+        )
         shared = sorted(bound & opt_bound)
         if not shared:
             raise ValueError(
@@ -1187,6 +1415,54 @@ def cypher_property(
             _pred_to_col(pred, lambda o: _operand_col(o, propcol))
         )
 
+    # --- [NOT] EXISTS(pattern) conjuncts: semi/anti join the bound frame
+    # against the pattern's edge table (supported_cypher.md "WHERE NOT
+    # EXIST … implements as anti join"). Tags the pattern introduces are
+    # purely existential; at least one endpoint must be bound. Null
+    # bindings from OPTIONAL MATCH never match a join key, so EXISTS is
+    # false / NOT EXISTS true for them — Cypher's null semantics. ----------
+    for ex in ast["exists"]:
+        a, b = ex["a"], ex["b"]
+        alab = ex["alabel"] or labels.get(a)
+        blab = ex["blabel"] or labels.get(b)
+        for t, lab_in in ((a, ex["alabel"]), (b, ex["blabel"])):
+            prev = labels.get(t)
+            if lab_in and prev and lab_in != prev:
+                raise ValueError(
+                    f"EXISTS binds tag {t!r} to label {lab_in!r} but MATCH "
+                    f"bound it to {prev!r}"
+                )
+        e = _sentence_edges(pg, alab, blab, ex["elabel"], ex["dir"])
+        a_bound, b_bound = a in bound, b in bound
+        how = "left_anti" if ex["neg"] else "left_semi"
+        if a == b:
+            if not a_bound:
+                raise ValueError(
+                    f"EXISTS pattern references no bound tag ({a!r})"
+                )
+            out = out.join(
+                e.filter(F.col("src") == F.col("dst")).select(
+                    F.col("src").alias(a)
+                ),
+                [a],
+                how,
+            )
+        elif a_bound and b_bound:
+            out = out.join(
+                e.select(F.col("src").alias(a), F.col("dst").alias(b)),
+                [a, b],
+                how,
+            )
+        elif a_bound:
+            out = out.join(e.select(F.col("src").alias(a)), [a], how)
+        elif b_bound:
+            out = out.join(e.select(F.col("dst").alias(b)), [b], how)
+        else:
+            raise ValueError(
+                f"EXISTS pattern must reference at least one bound tag "
+                f"(got {a!r}, {b!r})"
+            )
+
     # --- WITH / RETURN: projection / implicit grouping ----------------------
     # (Cypher's implicit aggregation: non-aggregate items are the grouping
     # keys; aggregates reduce each group)
@@ -1237,18 +1513,28 @@ def cypher_property(
 
     items = ast["return"]["items"]
     if ast["with"]:
-        for k, w in enumerate(ast["with"]):
-            # only the FIRST stage sees pattern-tag properties; later
-            # stages (and RETURN) see the previous stage's bare aliases
-            out = apply_items(
-                out, w["items"], w["distinct"], propcol if k == 0 else None
-            )
+        # pattern-tag properties stay visible until the first PROJECTION
+        # stage runs; UNWIND stages only add a column
+        pcol_active = propcol
+        for w in ast["with"]:
+            if "unwind" in w:
+                kind, src, alias = w["unwind"]
+                if kind == "lit":
+                    col = F.array(*[F.lit(v) for v in src])
+                elif kind == "path":
+                    col = F.col(f"{src}__path")
+                else:
+                    col = F.col(src)
+                out = out.withColumn(alias, F.explode(col))
+            else:
+                out = apply_items(out, w["items"], w["distinct"], pcol_active)
+                pcol_active = None
             for pred in w["where"]:
                 # WITH-scope predicates see only bare aliases and literals
                 out = out.filter(
                     _pred_to_col(pred, lambda o: _operand_col(o, None))
                 )
-        out = apply_items(out, items, ast["return"]["distinct"], None)
+        out = apply_items(out, items, ast["return"]["distinct"], pcol_active)
     else:
         out = apply_items(out, items, ast["return"]["distinct"], propcol)
     # ORDER BY / SKIP / LIMIT → orderBy + offset + limit (TakeOrdered when

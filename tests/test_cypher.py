@@ -925,3 +925,164 @@ def test_cypher_arithmetic(spark):
         parse_cypher("MATCH (a)-->(b) WHERE a.id + q.x > 1 RETURN a")
     with pytest.raises(ValueError, match="unsupported"):
         parse_cypher("MATCH (a)-->(b) WHERE a.id ++ 1 > 1 RETURN a")
+
+
+# ---------------------------------------------------------------------------
+# r4 session 3: IS NULL / EXISTS / UNWIND (supported_cypher.md parity)
+# ---------------------------------------------------------------------------
+
+
+def test_cypher_is_null_with_optional(spark):
+    from graphscope_spark.operators.cypher import cypher_property
+
+    pg = _pgraph(spark)
+    # persons nobody knows: OPTIONAL MATCH then keep the null bindings
+    rows = cypher_property(
+        pg,
+        "MATCH (a:person) OPTIONAL MATCH (b:person)-[:knows]->(a) "
+        "WHERE b IS NULL RETURN a.id AS pid",
+    ).collect()
+    assert sorted(r["pid"] for r in rows) == [0]
+    # IS NOT NULL keeps only matched rows (≡ inner join)
+    rows = cypher_property(
+        pg,
+        "MATCH (a:person) OPTIONAL MATCH (b:person)-[:knows]->(a) "
+        "WHERE b IS NOT NULL RETURN DISTINCT a.id AS pid",
+    ).collect()
+    assert sorted(r["pid"] for r in rows) == [1, 2, 3, 4]
+
+
+def test_cypher_is_null_on_property_not_pushed(spark):
+    from graphscope_spark.operators.cypher import cypher_property
+
+    pg = _pgraph(spark)
+    # b.age IS NULL with OPTIONAL b: keeps exactly the unmatched rows —
+    # would be wrong if pushed into the vertex scan (every person has age)
+    rows = cypher_property(
+        pg,
+        "MATCH (a:person) OPTIONAL MATCH (b:person)-[:knows]->(a) "
+        "WHERE b.age IS NULL RETURN a.id AS pid",
+    ).collect()
+    assert sorted(r["pid"] for r in rows) == [0]
+    rows = cypher_property(
+        pg,
+        "MATCH (a:person)-[:knows]->(c:person) "
+        "WHERE a.age IS NOT NULL RETURN count(*) AS n",
+    ).collect()
+    assert rows[0]["n"] == 5
+
+
+def test_cypher_exists_semi_anti(spark):
+    from graphscope_spark.operators.cypher import cypher_property
+
+    pg = _pgraph(spark)
+    # persons who know someone AND work somewhere
+    rows = cypher_property(
+        pg,
+        "MATCH (a:person) WHERE EXISTS((a)-[:knows]->(x)) "
+        "AND EXISTS((a)-[:works_at]->(y)) RETURN a.id AS pid",
+    ).collect()
+    assert sorted(r["pid"] for r in rows) == [0, 1, 2, 3]
+    # NOT EXISTS: persons nobody knows (anti join)
+    rows = cypher_property(
+        pg,
+        "MATCH (a:person) WHERE NOT EXISTS((x:person)-[:knows]->(a)) "
+        "RETURN a.id AS pid",
+    ).collect()
+    assert sorted(r["pid"] for r in rows) == [0]
+    # both endpoints bound: knows pairs that are NOT coworkers
+    rows = cypher_property(
+        pg,
+        "MATCH (a:person)-[:knows]->(b:person), (a)-[:works_at]->(c), "
+        "(b)-[:works_at]->(d) WHERE NOT EXISTS((b)-[:works_at]->(c)) "
+        "RETURN a.id AS aid, b.id AS bid",
+    ).collect()
+    assert sorted((r["aid"], r["bid"]) for r in rows) == [(0, 2), (1, 2)]
+    # reversed arrow form
+    rows = cypher_property(
+        pg,
+        "MATCH (a:person) WHERE EXISTS((a)<-[:knows]-(x)) "
+        "RETURN count(*) AS n",
+    ).collect()
+    assert rows[0]["n"] == 4
+    # mixes with plain predicates in the same WHERE
+    rows = cypher_property(
+        pg,
+        "MATCH (a:person) WHERE a.age >= 31 AND "
+        "EXISTS((a)-[:knows]->(x)) RETURN a.id AS pid",
+    ).collect()
+    assert sorted(r["pid"] for r in rows) == [1, 2, 3]
+
+
+def test_cypher_exists_null_optional_semantics(spark):
+    from graphscope_spark.operators.cypher import cypher_property
+
+    pg = _pgraph(spark)
+    # unmatched optional tag (null) never satisfies EXISTS; NOT EXISTS
+    # keeps it — Cypher null semantics through semi/anti joins
+    rows = cypher_property(
+        pg,
+        "MATCH (a:person) OPTIONAL MATCH (a)-[:knows]->(b:person) "
+        "WHERE NOT EXISTS((b)-[:works_at]->(y)) RETURN a.id AS pid, b.id AS bid",
+    ).collect()
+    # every matched b (1,2,3,4) works somewhere → dropped; only the
+    # unmatched optional binding (a=4, b=null) survives NOT EXISTS
+    assert [(r["pid"], r["bid"]) for r in rows] == [(4, None)]
+
+
+def test_cypher_exists_errors(spark):
+    import pytest as _pytest
+
+    from graphscope_spark.operators.cypher import cypher_property, parse_cypher
+
+    pg = _pgraph(spark)
+    with _pytest.raises(ValueError, match="top-level"):
+        parse_cypher(
+            "MATCH (a) WHERE a.age > 1 OR EXISTS((a)-->(b)) RETURN a"
+        )
+    with _pytest.raises(ValueError, match="bound tag"):
+        cypher_property(
+            pg, "MATCH (a:person) WHERE EXISTS((x)-[:knows]->(y)) RETURN a"
+        )
+    with _pytest.raises(ValueError, match="single fixed-length"):
+        parse_cypher("MATCH (a) WHERE EXISTS((a)-[*1..2]->(b)) RETURN a")
+    with _pytest.raises(ValueError, match="EXISTS requires cypher_property"):
+        from graphscope_spark.operators.cypher import parse_match
+
+        parse_match("MATCH (a)-->(b) WHERE EXISTS((a)-->(c)) RETURN a")
+
+
+def test_cypher_unwind(spark):
+    from graphscope_spark.operators.cypher import cypher_property
+
+    pg = _pgraph(spark)
+    # collect → UNWIND round-trips the group elements
+    rows = cypher_property(
+        pg,
+        "MATCH (a:person)-[:knows]->(b:person) "
+        "WITH a AS a, collect(b) AS bs UNWIND bs AS x "
+        "RETURN a AS a, x AS x",
+    ).collect()
+    want = cypher_property(
+        pg,
+        "MATCH (a:person)-[:knows]->(b:person) RETURN a AS a, b AS x",
+    ).collect()
+    assert sorted((r["a"], r["x"]) for r in rows) == sorted(
+        (r["a"], r["x"]) for r in want
+    )
+    # literal list UNWIND multiplies the stream
+    rows = cypher_property(
+        pg,
+        "MATCH (a:person) UNWIND [1, 2, 3] AS k "
+        "RETURN a.id AS pid, k AS k",
+    ).collect()
+    assert len(rows) == 15
+    assert sorted({r["k"] for r in rows}) == [1, 2, 3]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown name"):
+        cypher_property(pg, "MATCH (a:person) UNWIND zs AS x RETURN x AS x")
+    with _pytest.raises(ValueError, match="already bound"):
+        cypher_property(
+            pg, "MATCH (a:person) UNWIND [1] AS a RETURN a AS a"
+        )
