@@ -1140,6 +1140,18 @@ def _q_wcc(spark, sf_dir):
     return wcc(_customer_graph(spark, sf_dir)).orderBy("id")
 
 
+def _q_cypher_call(spark, sf_dir):
+    """CALL-dispatched WCC: the Cypher stored-procedure invocation form
+    (supported_cypher.md CALL table; GIE ProcedureCall registry) routed
+    through the procedure registry — must hash-match the direct wcc query
+    (same oracle)."""
+    from graphscope_spark.operators.cypher import cypher_call
+
+    return cypher_call(
+        _customer_graph(spark, sf_dir), "CALL wcc() YIELD id, component"
+    ).orderBy("id")
+
+
 def _q_cdlp(spark, sf_dir):
     from graphscope_spark.algorithms.cdlp import cdlp
 
@@ -3175,6 +3187,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cypher_not_exists": _q_cypher_not_exists,
     "cypher_isnull": _q_cypher_isnull,
     "cypher_unwind": _q_cypher_unwind,
+    "cypher_call": _q_cypher_call,
     "wcc_delta": _q_wcc_delta,
     "sssp_delta_step": _q_sssp_delta_step,
     "fluid_community": _q_fluid,
@@ -3664,6 +3677,7 @@ ORACLES["gremlin_two_hop"] = ORACLES["two_hop"]
 ORACLES["gremlin_triangle"] = ORACLES["match_triangle"]
 # Ingress delta recompute must land on the full-graph fixpoint exactly
 ORACLES["wcc_delta"] = ORACLES["wcc"]
+ORACLES["cypher_call"] = ORACLES["wcc"]
 # Δ-stepping must land on exactly the Bellman-Ford distances
 ORACLES["sssp_delta_step"] = ORACLES["sssp"]
 ORACLES["fluid_community"] = _fluid_sql(16, 7, 5)

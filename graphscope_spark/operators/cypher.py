@@ -85,7 +85,9 @@ from graphscope_spark.graph.graph import Graph
 from graphscope_spark.graph.property_graph import PropertyGraph
 from graphscope_spark.operators.match import match
 
-__all__ = ["parse_cypher", "parse_match", "cypher", "cypher_property"]
+__all__ = [
+    "parse_cypher", "parse_match", "cypher", "cypher_property", "cypher_call",
+]
 
 _NODE = re.compile(
     r"\(\s*([A-Za-z_][A-Za-z_0-9]*)\s*(?::\s*([A-Za-z_][A-Za-z_0-9]*))?\s*\)"
@@ -963,6 +965,8 @@ def cypher(
 ) -> DataFrame:
     """Run a MATCH/RETURN query string over a simple Graph; returns a
     DataFrame with the RETURN columns (tags → bound vertex ids)."""
+    if re.match(r"(?is)^\s*CALL\b", query):
+        return cypher_call(graph, query)
     sentences, ret = parse_match(query)
     bound = match(
         graph, sentences, distinct_vertices=distinct_vertices, wco=wco
@@ -1081,6 +1085,8 @@ def cypher_property(
     the reference's FilterIntoJoinRule plan shape); remaining predicates
     filter bound rows after the needed property joins.
     """
+    if re.match(r"(?is)^\s*CALL\b", query):
+        return cypher_call(pg, query)
     ast = parse_cypher(query)
     labels, preds = ast["labels"], ast["where"]
     evars = ast["edge_vars"]  # relationship variable → sentence index
@@ -1552,3 +1558,45 @@ def cypher_property(
     if ret["limit"] is not None:
         out = out.limit(ret["limit"])
     return out
+
+
+# ---------------------------------------------------------------------------
+# CALL — stored-procedure invocation
+# ---------------------------------------------------------------------------
+
+_CALL = re.compile(
+    r"(?is)^CALL\s+([A-Za-z_][\w.]*)\s*\((.*?)\)\s*(?:YIELD\s+(.+?))?$"
+)
+
+
+def cypher_call(graph, query: str) -> DataFrame:
+    """``CALL [gs.procedure.]name(literal, ...) [YIELD col, ...]`` — the
+    reference's Cypher procedure-invocation form (supported_cypher.md CALL
+    table; GIE ProcedureCall). The graph is passed as the procedure's first
+    argument; remaining arguments are int/float/'string' literals. YIELD
+    projects the named result columns."""
+    from graphscope_spark.operators.procedures import call_procedure
+
+    m = _CALL.match(query.strip().rstrip(";"))
+    if not m:
+        raise ValueError(
+            "expected 'CALL name(arg, ...) [YIELD col, ...]': " f"{query!r}"
+        )
+    name, argtext, yield_part = m.groups()
+    if name.lower().startswith("gs.procedure."):
+        name = name[len("gs.procedure."):]
+    args = []
+    raws = [
+        r.strip().lstrip(",").strip()
+        for r in re.findall(r"'[^']*'|[^,]+", argtext)
+    ]
+    for raw in (r for r in raws if r):
+        om = _OPERAND.match(raw)
+        if not om or om.group(1) is not None:
+            raise ValueError(f"CALL arguments must be literals: {raw!r}")
+        _t, _p, flt, intg, s = om.groups()
+        args.append(float(flt) if flt else int(intg) if intg is not None else s)
+    df = call_procedure(name, graph, *args)
+    if yield_part:
+        df = df.select(*[c.strip() for c in yield_part.split(",")])
+    return df

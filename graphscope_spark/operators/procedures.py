@@ -79,4 +79,95 @@ def _register_builtins() -> None:
         register_procedure(fn.__name__, fn)
 
 
+def meta_schema(graph) -> DataFrame:
+    """FLEX-shaped schema JSON (reference: `CALL gs.procedure.meta.schema()`,
+    docs/interactive_engine/neo4j/supported_cypher.md procedure table): one
+    row, one `schema` string column. PropertyGraph: per-label vertex/edge
+    types with property name+type; simple Graph: a single `_default` type
+    pair."""
+    import json
+
+    from graphscope_spark.graph.property_graph import PropertyGraph
+
+    def props(df, skip=()):
+        return [
+            {"property_name": f.name, "property_type": f.dataType.simpleString()}
+            for f in df.schema.fields
+            if f.name not in skip
+        ]
+
+    if isinstance(graph, PropertyGraph):
+        spark = next(iter(graph.vertices.values())).sparkSession
+        sch = {
+            "vertex_types": [
+                {"type_name": lab, "properties": props(df)}
+                for lab, df in sorted(graph.vertices.items())
+            ],
+            "edge_types": [
+                {
+                    "type_name": el,
+                    "vertex_type_pair_relations": [
+                        {"source_vertex": sl, "destination_vertex": dl}
+                    ],
+                    "properties": props(df, skip=("src", "dst")),
+                }
+                for (el, sl, dl), df in sorted(graph.edges.items())
+            ],
+        }
+    else:
+        spark = graph.edges.sparkSession
+        sch = {
+            "vertex_types": [
+                {"type_name": "_default", "properties": props(graph.vertices)}
+            ],
+            "edge_types": [
+                {
+                    "type_name": "_default",
+                    "vertex_type_pair_relations": [
+                        {
+                            "source_vertex": "_default",
+                            "destination_vertex": "_default",
+                        }
+                    ],
+                    "properties": props(graph.edges, skip=("src", "dst")),
+                }
+            ],
+        }
+    return spark.createDataFrame(
+        [(json.dumps(sch, sort_keys=True),)], "schema string"
+    )
+
+
+def meta_statistics(graph) -> DataFrame:
+    """FLEX-shaped statistics JSON (reference: `CALL
+    gs.procedure.meta.statistics()`): total + per-type vertex/edge counts."""
+    import json
+
+    from graphscope_spark.graph.property_graph import PropertyGraph
+
+    if isinstance(graph, PropertyGraph):
+        spark = next(iter(graph.vertices.values())).sparkSession
+        vt = {lab: df.count() for lab, df in sorted(graph.vertices.items())}
+        et = {
+            f"{el}({sl}->{dl})": df.count()
+            for (el, sl, dl), df in sorted(graph.edges.items())
+        }
+    else:
+        spark = graph.edges.sparkSession
+        vt = {"_default": graph.vertices.count()}
+        et = {"_default": graph.edges.count()}
+    stats = {
+        "total_vertex_count": sum(vt.values()),
+        "total_edge_count": sum(et.values()),
+        "vertex_type_statistics": vt,
+        "edge_type_statistics": et,
+    }
+    return spark.createDataFrame(
+        [(json.dumps(stats, sort_keys=True),)], "statistics string"
+    )
+
+
+register_procedure("meta.schema", meta_schema)
+register_procedure("meta.statistics", meta_statistics)
+
 _register_builtins()

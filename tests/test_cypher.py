@@ -1086,3 +1086,69 @@ def test_cypher_unwind(spark):
         cypher_property(
             pg, "MATCH (a:person) UNWIND [1] AS a RETURN a AS a"
         )
+
+
+def test_cypher_call_procedures(spark):
+    import json
+
+    from graphscope_spark.operators.cypher import cypher, cypher_call
+
+    g = _rand_graph(spark)
+    # CALL dispatches through the ProcedureCall registry; equals the
+    # direct algorithm invocation
+    from graphscope_spark.algorithms.wcc import wcc
+
+    got = {
+        (r[0], r[1]) for r in cypher(g, "CALL wcc()").collect()
+    }
+    want = {(r[0], r[1]) for r in wcc(g).collect()}
+    assert got == want
+    # literal args + YIELD projection
+    df = cypher_call(g, "CALL bfs(0) YIELD id")
+    assert df.columns == ["id"]
+    # meta procedures (FLEX-shaped JSON)
+    sch = json.loads(
+        cypher_call(g, "CALL gs.procedure.meta.schema()").collect()[0][
+            "schema"
+        ]
+    )
+    assert sch["vertex_types"][0]["type_name"] == "_default"
+    st = json.loads(
+        cypher_call(g, "CALL gs.procedure.meta.statistics()").collect()[0][
+            "statistics"
+        ]
+    )
+    assert st["total_vertex_count"] == 30
+    assert st["total_edge_count"] == 90
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError, match="unknown procedure"):
+        cypher_call(g, "CALL nope()")
+    with _pytest.raises(ValueError, match="literals"):
+        cypher_call(g, "CALL wcc(x)")
+
+
+def test_cypher_call_property_graph_meta(spark):
+    import json
+
+    from graphscope_spark.operators.cypher import cypher_property
+
+    pg = _pgraph(spark)
+    sch = json.loads(
+        cypher_property(pg, "CALL gs.procedure.meta.schema()").collect()[0][
+            "schema"
+        ]
+    )
+    assert [t["type_name"] for t in sch["vertex_types"]] == [
+        "company", "person",
+    ]
+    assert sch["edge_types"][0]["vertex_type_pair_relations"] == [
+        {"source_vertex": "person", "destination_vertex": "person"}
+    ]
+    st = json.loads(
+        cypher_property(
+            pg, "CALL gs.procedure.meta.statistics()"
+        ).collect()[0]["statistics"]
+    )
+    assert st["vertex_type_statistics"] == {"company": 2, "person": 5}
+    assert st["total_edge_count"] == 10
