@@ -2599,6 +2599,25 @@ def _q_gremlin_union(spark, sf_dir):
     ).orderBy("id")
 
 
+def _q_gremlin_pathexpand(spark, sf_dir):
+    """GIE PathExpand syntactic sugar (supported_gremlin_steps.md
+    §PathExpand): out('1..3') walks of the low-id seeds — [1,3) hops,
+    ARBITRARY path opt, END_V result — counted per end vertex with walk
+    multiplicity."""
+    from graphscope_spark.operators.gremlin import gremlin
+
+    g = _customer_graph(spark, sf_dir)
+    res = gremlin(
+        g,
+        "g.V().has('id', lt(5)).out('1..3')"
+        ".with('PATH_OPT', 'ARBITRARY').with('RESULT_OPT', 'END_V')"
+        ".groupCount()",
+    )
+    return res.selectExpr(
+        "CAST(v AS BIGINT) AS id", "CAST(count AS BIGINT) AS n_walks"
+    ).orderBy("id")
+
+
 def _q_cypher_cross_label(spark, sf_dir):
     """cross_label_2hop reproduced from a LABELED Cypher string through
     cypher_property (r3 VERDICT item 2): vertex labels select the per-label
@@ -3183,6 +3202,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gremlin_group": _q_gremlin_group,
     "gremlin_exists": _q_gremlin_exists,
     "gremlin_union": _q_gremlin_union,
+    "gremlin_pathexpand": _q_gremlin_pathexpand,
     "cypher_with_agg": _q_cypher_with_agg,
     "cypher_not_exists": _q_cypher_not_exists,
     "cypher_isnull": _q_cypher_isnull,
@@ -3347,6 +3367,23 @@ SELECT cur AS id, SUM(cnt)::BIGINT AS n_exit FROM (
   SELECT cur, cnt FROM gx1 WHERE cur >= 750
   UNION ALL SELECT cur, cnt FROM gx2 WHERE cur >= 750
   UNION ALL SELECT cur, cnt FROM gx3)
+GROUP BY cur ORDER BY id""",
+    # gremlin_pathexpand: walk-multiplicity counts of [1,3)-hop
+    # expansions from the low-id seeds
+    "gremlin_pathexpand": _with(
+        """
+pe0 AS MATERIALIZED (
+  SELECT c_custkey AS cur, 1::BIGINT AS cnt FROM customer WHERE c_custkey < 5),
+pe1 AS MATERIALIZED (
+  SELECT e.dst AS cur, SUM(f.cnt)::BIGINT AS cnt
+  FROM pe0 f JOIN edges e ON e.src = f.cur GROUP BY e.dst),
+pe2 AS MATERIALIZED (
+  SELECT e.dst AS cur, SUM(f.cnt)::BIGINT AS cnt
+  FROM pe1 f JOIN edges e ON e.src = f.cur GROUP BY e.dst)"""
+    )
+    + """
+SELECT cur AS id, SUM(cnt)::BIGINT AS n_walks FROM (
+  SELECT cur, cnt FROM pe1 UNION ALL SELECT cur, cnt FROM pe2) t
 GROUP BY cur ORDER BY id""",
     # gremlin_group: buys_from multiplicity per supplier nationkey
     "gremlin_group": """

@@ -13,6 +13,11 @@ Supported chain grammar::
     g.V([id, ...]) | g.E([elabel])   # E(): the traverser starts as the
          EDGE (src/dst + property columns); otherV() is undefined there
      .out([elabel]) | .in([elabel]) | .both([elabel])
+     .out('lo..hi' [, elabel, ...]) [.with('PATH_OPT', ARBITRARY|SIMPLE
+         |TRAIL)] [.with('RESULT_OPT', END_V|ALL_V)] [.endV()]
+         # GIE PathExpand sugar: [lo, hi) hops; ALL_V (default) carries
+         # the vertex-path collection (sinks as `path`, endV() unfolds
+         # the end vertex); END_V keeps only the end vertex
      .outE([elabel]) | .inE([elabel]) | .bothE([elabel])  # traverser
          becomes the EDGE — its property columns drive has()/values();
          .inV()/.outV()/.otherV()/.bothV() return to vertices; an
@@ -474,6 +479,11 @@ def gremlin(graph: Graph | PropertyGraph, query: str) -> DataFrame:
                 f"step {name}() is not supported on value traversers "
                 "(after values())"
             )
+        if cur_kind == "p" and name not in ("endV", "count", "limit"):
+            raise ValueError(
+                f"step {name}() is not supported on path-collection "
+                "traversers (RESULT_OPT ALL_V) — call endV() first"
+            )
         if name == "V":
             df = _all_vertices(graph)
             if args:
@@ -503,6 +513,95 @@ def gremlin(graph: Graph | PropertyGraph, query: str) -> DataFrame:
         elif df is None:
             raise ValueError("traversal must start with g.V(...) or g.E(...)")
         elif name in ("out", "in", "both"):
+            rng = (
+                args[0][1]
+                if args
+                and args[0][0] == "str"
+                and re.match(r"^\d+\.\.\d+$", args[0][1])
+                else None
+            )
+            if rng is not None:
+                # GIE PathExpand syntactic sugar
+                # (supported_gremlin_steps.md §PathExpand): out("lo..hi",
+                # label...) expands [lo, hi) hops; with('PATH_OPT',
+                # ARBITRARY|SIMPLE|TRAIL) and with('RESULT_OPT',
+                # END_V|ALL_V) configure it; endV() returns to the end
+                # vertex from the ALL_V path collection
+                from graphscope_spark.operators.relational import path_expand
+
+                if track_path:
+                    raise ValueError(
+                        "path() together with PathExpand sugar is not "
+                        "supported (use RESULT_OPT ALL_V)"
+                    )
+                lo, hi = map(int, rng.split(".."))
+                if not (0 <= lo < hi):
+                    raise ValueError(f"bad PathExpand range {rng!r}")
+                elabels = [v for _k, v in args[1:]] or [None]
+                path_opt, result_opt = "ARBITRARY", "ALL_V"
+                j = i + 1
+                while j < len(steps) and steps[j][0] == "with":
+                    margs = steps[j][1]
+                    if (
+                        len(margs) != 2
+                        or margs[0][0] != "str"
+                        or margs[1][0] != "str"
+                    ):
+                        raise ValueError(
+                            ".with() takes ('PATH_OPT'|'RESULT_OPT', value)"
+                        )
+                    key, val = margs[0][1].upper(), margs[1][1].upper()
+                    if key == "PATH_OPT":
+                        path_opt = val
+                    elif key == "RESULT_OPT":
+                        result_opt = val
+                    else:
+                        raise ValueError(f"unknown with() option {key!r}")
+                    consumed.add(j)
+                    j += 1
+                if path_opt not in ("ARBITRARY", "SIMPLE", "TRAIL"):
+                    raise ValueError(f"unsupported PATH_OPT {path_opt!r}")
+                if result_opt not in ("END_V", "ALL_V"):
+                    raise ValueError(
+                        f"unsupported RESULT_OPT {result_opt!r} (ALL_V_E "
+                        "needs edge elements, which this subset does not "
+                        "model in paths)"
+                    )
+                parts = [_edges_for(graph, name, el) for el in elabels]
+                e = parts[0]
+                for p in parts[1:]:
+                    e = e.unionByName(p)
+                if name == "in":
+                    e = e.select(
+                        F.col("dst").alias("src"), F.col("src").alias("dst")
+                    )
+                elif name == "both":
+                    e = e.unionByName(
+                        e.select(
+                            F.col("dst").alias("src"),
+                            F.col("src").alias("dst"),
+                        )
+                    )
+                starts = df.select("_cur").distinct()
+                paths = path_expand(
+                    starts, e, lo, hi - 1,
+                    semantics=path_opt.lower(), v_col="_cur",
+                )
+                pe = paths.select(
+                    F.col("start").alias("_cur"),
+                    F.col("end").alias("_peend"),
+                    F.col("path").alias("_pepath"),
+                )
+                df = (
+                    df.join(pe, "_cur")
+                    .drop("_cur")
+                    .withColumnRenamed("_peend", "_cur")
+                )
+                if result_opt == "END_V":
+                    df = df.drop("_pepath")
+                else:
+                    cur_kind = "p"  # path-collection traverser
+                continue
             elabel = args[0][1] if args else None
             e = _edges_for(graph, name, elabel)
             df = edge_expand(df, e, name, "_cur", "_nxt").drop("_cur").withColumnRenamed(
@@ -710,6 +809,18 @@ def gremlin(graph: Graph | PropertyGraph, query: str) -> DataFrame:
                     df = df.unionByName(part)
         elif name in ("times", "until", "emit"):
             raise ValueError(f".{name}(...) must follow repeat(...)")
+        elif name == "with":
+            raise ValueError(
+                ".with(...) must follow a PathExpand out/in/both('lo..hi')"
+            )
+        elif name == "endV":
+            # unfold the ALL_V path collection to its end vertex
+            # (supported_gremlin_steps.md §endV); a no-op after END_V
+            if cur_kind == "p":
+                df = df.drop("_pepath")
+                cur_kind = "v"
+            elif cur_kind != "v":
+                raise ValueError("endV() follows a PathExpand step")
         elif name == "has":
             if len(args) != 2 or args[0][0] != "str":
                 raise ValueError("has() takes (prop, literal | P-predicate)")
@@ -1080,4 +1191,7 @@ def gremlin(graph: Graph | PropertyGraph, query: str) -> DataFrame:
         )
     if cur_kind == "val":
         return df  # already the single value column named after the prop
+    if cur_kind == "p":
+        # ALL_V path collections sink as the vertex-array column
+        return df.select(F.col("_pepath").alias("path"))
     return df.select(F.col("_cur").alias("id"))

@@ -666,3 +666,54 @@ def test_gremlin_projections(spark):
     ]
     with pytest.raises(ValueError, match="PropertyGraph"):
         gremlin(_chain_graph(spark), "g.V().label()")
+
+
+def test_gremlin_pathexpand_sugar(spark):
+    g = _chain_graph(spark)  # 0->1->2->3->4, 1->10
+    # [1,3) hops from 0: ends {1, 2, 10}
+    rows = gremlin(g, "g.V(0).out('1..3')").collect()
+    assert sorted(tuple(r["path"]) for r in rows) == [
+        (0, 1), (0, 1, 2), (0, 1, 10),
+    ]
+    rows = gremlin(
+        g, "g.V(0).out('1..3').with('RESULT_OPT', 'END_V')"
+    ).collect()
+    assert sorted(r["id"] for r in rows) == [1, 2, 10]
+    # endV unfolds the ALL_V collection to the end vertex
+    rows = gremlin(g, "g.V(0).out('1..3').endV()").collect()
+    assert sorted(r["id"] for r in rows) == [1, 2, 10]
+    # chaining continues after END_V
+    n = gremlin(
+        g,
+        "g.V(0).out('1..3').with('RESULT_OPT', 'END_V').out().count()",
+    ).collect()[0]["count"]
+    assert n == 3  # 1->2, 1->10, 2->3
+    with pytest.raises(ValueError, match="not supported on path-collection"):
+        gremlin(g, "g.V(0).out('1..3').out().count()")
+    with pytest.raises(ValueError, match="must follow a PathExpand"):
+        gremlin(g, "g.V(0).with('PATH_OPT', 'SIMPLE').count()")
+    with pytest.raises(ValueError, match="unsupported RESULT_OPT"):
+        gremlin(g, "g.V(0).out('1..3').with('RESULT_OPT', 'ALL_V_E')")
+
+
+def test_gremlin_pathexpand_simple_vs_arbitrary(spark):
+    # cycle 0->1->2->0: arbitrary revisits, simple does not
+    g = make_graph(spark, [(0, 1), (1, 2), (2, 0)], vertices=[0, 1, 2])
+    arb = gremlin(
+        g,
+        "g.V(0).out('3..4').with('PATH_OPT', 'ARBITRARY')"
+        ".with('RESULT_OPT', 'END_V')",
+    ).collect()
+    assert [r["id"] for r in arb] == [0]  # 0->1->2->0
+    simple = gremlin(
+        g,
+        "g.V(0).out('3..4').with('PATH_OPT', 'SIMPLE')"
+        ".with('RESULT_OPT', 'END_V')",
+    ).collect()
+    assert simple == []  # the 3-hop walk repeats vertex 0
+    # both(): each undirected 2-walk from 1
+    n = gremlin(
+        g,
+        "g.V(1).both('2..3').with('RESULT_OPT', 'END_V').count()",
+    ).collect()[0]["count"]
+    assert n == 4  # 1->0->{1,2}, 1->2->{0,1} (via both orientations)
