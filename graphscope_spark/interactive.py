@@ -49,7 +49,7 @@ class InteractiveQuery:
             head = query.lstrip()
             if head.startswith("g."):
                 lang = "gremlin"
-            elif head[:5].upper() == "MATCH":
+            elif head[:5].upper() == "MATCH" or head[:4].upper() == "CALL":
                 lang = "cypher"
             else:
                 raise ValueError(

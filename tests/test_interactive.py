@@ -26,6 +26,10 @@ def test_interactive_dispatch(spark):
         "MATCH (a)-->(b), (b)-->(c), (a)-->(c) RETURN count(*) AS n",
         lang="cypher",
     ).collect()[0]["n"] == 1
+    # CALL infers cypher and dispatches through the procedure registry
+    assert iq.execute("CALL wcc()").count() == iq.execute(
+        "g.V().count()"
+    ).collect()[0]["count"]
 
 
 def test_interactive_property_graph(spark):
