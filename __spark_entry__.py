@@ -2422,6 +2422,25 @@ def _q_gremlin_triangle(spark, sf_dir):
     return res.selectExpr("CAST(count AS BIGINT) AS n")
 
 
+def _q_gremlin_match(spark, sf_dir):
+    """The Gremlin match() composite-pattern step (supported_gremlin_steps
+    .md §Match → MatchStep → the match() join DAG): two chained sentences
+    binding the 2-hop pairs of the low-id seeds, with bag multiplicity
+    (one row per edge pair), projected by select()."""
+    from graphscope_spark.operators.gremlin import gremlin
+
+    g = _customer_graph(spark, sf_dir)
+    res = gremlin(
+        g,
+        "g.V().hasId(0, 1, 2, 3, 4).match("
+        "__.as('a').out().as('b'), __.as('b').out().as('c')"
+        ").select('a', 'c')",
+    )
+    return res.selectExpr(
+        "CAST(a AS BIGINT) AS a", "CAST(c AS BIGINT) AS c"
+    ).orderBy("a", "c")
+
+
 def _q_cypher_with_agg(spark, sf_dir):
     """WITH-pipelined two-stage aggregation (degree histogram with a
     HAVING-shaped WHERE): stage 1 groups knows-edges per customer, the
@@ -3203,6 +3222,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gremlin_exists": _q_gremlin_exists,
     "gremlin_union": _q_gremlin_union,
     "gremlin_pathexpand": _q_gremlin_pathexpand,
+    "gremlin_match": _q_gremlin_match,
     "cypher_with_agg": _q_cypher_with_agg,
     "cypher_not_exists": _q_cypher_not_exists,
     "cypher_isnull": _q_cypher_isnull,
@@ -3385,6 +3405,13 @@ pe2 AS MATERIALIZED (
 SELECT cur AS id, SUM(cnt)::BIGINT AS n_walks FROM (
   SELECT cur, cnt FROM pe1 UNION ALL SELECT cur, cnt FROM pe2) t
 GROUP BY cur ORDER BY id""",
+    # gremlin_match: 2-hop (a, c) pairs of the low-id seeds with bag
+    # multiplicity (one row per edge pair)
+    "gremlin_match": _with("dummy AS (SELECT 1 AS one)")
+    + """
+SELECT e1.src AS a, e2.dst AS c
+FROM edges e1 JOIN edges e2 ON e2.src = e1.dst
+WHERE e1.src < 5 ORDER BY a, c""",
     # gremlin_group: buys_from multiplicity per supplier nationkey
     "gremlin_group": """
 WITH buys AS (

@@ -41,6 +41,11 @@ Supported chain grammar::
                                   # → semi-join); .not(...) is the anti
      .union(out(..), in(..), ...) # branch merge of single-step traversals
      .identity()                  # no-op (GIE IdentityStep)
+     .match(__.as(t).out().as(u), ...)   # composite pattern → the match()
+         join DAG; bindings continue into select()/count()/dedup()/limit()
+         (simple Graph; labeled patterns belong to the Cypher frontend)
+     .subgraph([name])            # terminal on edge traversers: the
+         deduplicated edge-induced subgraph as (src, dst)
      .dedup([tag, ...])
      .order().by(prop|select(tag) [, asc|desc]).by(...)  # multi-key sort
      .limit(n) | .range(lo, hi) | .sample(n) | .coin(p)  # range keeps
@@ -159,6 +164,26 @@ def _parse_arg(raw: str):
     if raw in ("asc", "desc", "Order.asc", "Order.desc", "incr", "decr"):
         d = raw.split(".")[-1]
         return ("ord", {"incr": "asc", "decr": "desc"}.get(d, d))
+    m = re.match(r"^__\s*\.\s*as\s*\(", raw)
+    if m:
+        # multi-step anonymous chain — the match() sentence form
+        # (__.as('a').out().as('b')); parsed like a top-level chain
+        steps = []
+        pos = raw.index(".")
+        while pos < len(raw):
+            sm = _STEP_NAME.match(raw, pos)
+            if not sm:
+                raise ValueError(f"expected a .step(...) at: {raw[pos:]!r}")
+            inner, pos = _scan_args(raw, sm.end() - 1)
+            steps.append(
+                (
+                    sm.group(1),
+                    [_parse_arg(a) for a in _split_top(inner)]
+                    if inner.strip()
+                    else [],
+                )
+            )
+        return ("chain", steps)
     m = re.match(r"^(?:__\s*\.\s*)?([A-Za-z_]\w*)\s*\(", raw)
     if m and m.group(1) in (
         "out", "in", "both", "outE", "inE", "bothE", "hasId", "has",
@@ -465,7 +490,7 @@ def gremlin(graph: Graph | PropertyGraph, query: str) -> DataFrame:
         if cur_kind == "e" and name not in (
             "has", "hasNot", "values", "valueMap", "count", "limit",
             "range", "sample", "coin", "inV", "outV", "otherV", "bothV",
-            "dedup", "fold",
+            "dedup", "fold", "subgraph",
         ):
             raise ValueError(
                 f"step {name}() is not supported on edge traversers — "
@@ -483,6 +508,11 @@ def gremlin(graph: Graph | PropertyGraph, query: str) -> DataFrame:
             raise ValueError(
                 f"step {name}() is not supported on path-collection "
                 "traversers (RESULT_OPT ALL_V) — call endV() first"
+            )
+        if cur_kind == "m" and name not in ("select", "count", "dedup", "limit"):
+            raise ValueError(
+                f"step {name}() is not supported on match() bindings — "
+                "use select()/count()/dedup()/limit()"
             )
         if name == "V":
             df = _all_vertices(graph)
@@ -948,6 +978,93 @@ def gremlin(graph: Graph | PropertyGraph, query: str) -> DataFrame:
         elif name == "identity":
             if args:
                 raise ValueError("identity() takes no arguments")
+        elif name == "match":
+            # composite pattern step (supported_gremlin_steps.md §Match):
+            # sentences __.as('a').out().as('b') lower onto the match()
+            # join-DAG operator (closing-first greedy order); incoming
+            # traversers restrict the first sentence's start tag (TinkerPop
+            # match-start binding). Labeled patterns belong to the Cypher
+            # frontend (cypher_property), which owns per-label edge tables.
+            from graphscope_spark.operators.match import match as _match
+
+            if not isinstance(graph, Graph):
+                raise ValueError(
+                    "match() step supports the simple Graph — use "
+                    "cypher_property for labeled patterns"
+                )
+            if tags:
+                raise ValueError(
+                    "match() must run before as() tags are bound"
+                )
+            if not args:
+                raise ValueError("match() needs at least one sentence")
+            sentences: list[tuple[str, str, str]] = []
+            first_tag: str | None = None
+            anon = 0
+            for a in args:
+                if a[0] != "chain":
+                    raise ValueError(
+                        "match() sentences are __.as('t').out().as('u') chains"
+                    )
+                chain = a[1]
+                if (
+                    chain[0][0] != "as"
+                    or len(chain[0][1]) != 1
+                    or chain[0][1][0][0] != "str"
+                ):
+                    raise ValueError("match() sentences start with as('tag')")
+                cur = chain[0][1][0][1]
+                if first_tag is None:
+                    first_tag = cur
+                k = 1
+                if k == len(chain):
+                    raise ValueError(
+                        "match() sentence needs at least one expand step"
+                    )
+                while k < len(chain):
+                    sname, sargs = chain[k]
+                    if sname not in ("out", "in", "both"):
+                        raise ValueError(
+                            f"match() sentences support as/out/in/both "
+                            f"steps, got {sname}()"
+                        )
+                    if sargs:
+                        raise ValueError(
+                            "edge labels in match() sentences need the "
+                            "Cypher frontend"
+                        )
+                    k += 1
+                    if k < len(chain) and chain[k][0] == "as":
+                        if (
+                            len(chain[k][1]) != 1
+                            or chain[k][1][0][0] != "str"
+                        ):
+                            raise ValueError("as() takes one tag string")
+                        nxt = chain[k][1][0][1]
+                        k += 1
+                    elif k == len(chain):
+                        raise ValueError(
+                            "match() sentence must end with as('tag')"
+                        )
+                    else:
+                        nxt = f"_m{anon}"  # anonymous mid-chain vertex
+                        anon += 1
+                    if sname == "in":
+                        sentences.append((nxt, "out", cur))
+                    else:
+                        sentences.append((cur, sname, nxt))
+                    cur = nxt
+            bound = _match(graph, sentences)
+            bound = bound.drop(
+                *[c for c in bound.columns if c.startswith("_m")]
+            )
+            df = bound.join(
+                df.select(F.col("_cur").alias(first_tag)).distinct(),
+                first_tag,
+                "left_semi",
+            )
+            tags = list(df.columns)
+            cur_kind = "m"
         elif name == "is":
             # filter value traversers (GIE IsStep): values('age').is(gt(30))
             if cur_kind != "val":
@@ -968,7 +1085,8 @@ def gremlin(graph: Graph | PropertyGraph, query: str) -> DataFrame:
                     raise ValueError("value dedup() takes no tags")
                 df = df.dropDuplicates([val_col])
             else:
-                cols = [v for _k, v in args] or ["_cur"]
+                default = list(tags) if cur_kind == "m" else ["_cur"]
+                cols = [v for _k, v in args] or default
                 for c in cols:
                     if c != "_cur" and c not in tags:
                         raise ValueError(f"unbound tag {c!r} in dedup()")
@@ -1144,6 +1262,23 @@ def gremlin(graph: Graph | PropertyGraph, query: str) -> DataFrame:
             return df.join(labs, "_cur").select(
                 F.col("_cur").alias("id"), "label"
             )
+        elif name == "subgraph":
+            # edge-induced subgraph (supported_gremlin_steps.md §Subgraph:
+            # g.E().subgraph('sg')): the deduplicated edge set of the
+            # current edge traversers as a new Graph. The name argument is
+            # TinkerPop's side-effect key — accepted, unused (the subgraph
+            # IS the result here).
+            if cur_kind != "e":
+                raise ValueError(
+                    "subgraph() applies to edge traversers (E()/outE()/...)"
+                )
+            if i != len(steps) - 1:
+                raise ValueError("subgraph() must be terminal in this subset")
+            if args and (len(args) != 1 or args[0][0] != "str"):
+                raise ValueError("subgraph() takes an optional name string")
+            return df.select(
+                F.col("_esrc").alias("src"), F.col("_edst").alias("dst")
+            ).dropDuplicates(["src", "dst"])
         elif name == "constant":
             if len(args) != 1 or args[0][0] not in ("num", "str"):
                 raise ValueError("constant() takes one literal")
@@ -1194,4 +1329,6 @@ def gremlin(graph: Graph | PropertyGraph, query: str) -> DataFrame:
     if cur_kind == "p":
         # ALL_V path collections sink as the vertex-array column
         return df.select(F.col("_pepath").alias("path"))
+    if cur_kind == "m":
+        return df.select(*sorted(tags))
     return df.select(F.col("_cur").alias("id"))

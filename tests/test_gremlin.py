@@ -717,3 +717,60 @@ def test_gremlin_pathexpand_simple_vs_arbitrary(spark):
         "g.V(1).both('2..3').with('RESULT_OPT', 'END_V').count()",
     ).collect()[0]["count"]
     assert n == 4  # 1->0->{1,2}, 1->2->{0,1} (via both orientations)
+
+
+def test_gremlin_match_step(spark):
+    g = _rand_graph(spark)
+    # directed triangle via match() == the match() operator directly
+    want = match(
+        g, [("a", "out", "b"), ("b", "out", "c"), ("a", "out", "c")]
+    ).count()
+    got = gremlin(
+        g,
+        "g.V().match(__.as('a').out().as('b'), __.as('b').out().as('c'),"
+        " __.as('a').out().as('c')).count()",
+    ).collect()[0]["count"]
+    assert got == want
+    # select projects the bindings; incoming traversers restrict the
+    # first tag
+    rows = gremlin(
+        g,
+        "g.V().hasId(0, 1, 2).match(__.as('a').out().as('b')).select('a', 'b')",
+    ).collect()
+    want_pairs = {
+        (r["src"], r["dst"])
+        for r in g.edges.filter("src in (0,1,2)").collect()
+    }
+    assert {(r["a"], r["b"]) for r in rows} == want_pairs
+    # anonymous mid-chain vertex: 2-hop sentence
+    got = gremlin(
+        g, "g.V().match(__.as('a').out().out().as('c')).count()"
+    ).collect()[0]["count"]
+    want = match(
+        g, [("a", "out", "m"), ("m", "out", "c")]
+    ).count()
+    assert got == want
+    # in() sentences reverse
+    got = gremlin(
+        g, "g.V().match(__.as('a').in().as('b')).count()"
+    ).collect()[0]["count"]
+    assert got == g.edges.count()
+    with pytest.raises(ValueError, match="end with as"):
+        gremlin(g, "g.V().match(__.as('a').out()).count()")
+    with pytest.raises(ValueError, match="before as"):
+        gremlin(g, "g.V().as('x').match(__.as('a').out().as('b')).count()")
+
+
+def test_gremlin_subgraph_step(spark):
+    g = make_graph(
+        spark, [(0, 1, 1.0), (1, 2, 5.0), (2, 3, 2.0)], weights=True
+    )
+    rows = gremlin(g, "g.E().has('weight', gt(1.5)).subgraph('sg')").collect()
+    assert sorted((r["src"], r["dst"]) for r in rows) == [(1, 2), (2, 3)]
+    # bothE duplicates collapse in the subgraph edge set
+    rows = gremlin(
+        g, "g.V(1, 2).outE().subgraph('sg')"
+    ).collect()
+    assert sorted((r["src"], r["dst"]) for r in rows) == [(1, 2), (2, 3)]
+    with pytest.raises(ValueError, match="edge traversers"):
+        gremlin(g, "g.V().subgraph('sg')")
