@@ -139,3 +139,43 @@ def test_ngram_df_cap_is_semi_join(spark):
         ngram_jaccard_pairs(docs, threshold=0.1, max_shingle_df=5)
     )
     assert "LeftSemi" in plan
+
+
+def test_cypher_exists_plans_semi_anti_join(spark):
+    """[NOT] EXISTS(pattern) must lower to LeftSemi/LeftAnti joins — the
+    reference's documented lowering (supported_cypher.md 'implements as
+    anti join'), never a filtered cartesian/inner join."""
+    from graphscope_spark.graph.property_graph import PropertyGraph
+    from graphscope_spark.operators.cypher import cypher_property
+
+    v = spark.createDataFrame([(i, i) for i in range(6)], "id long, p long")
+    e = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src long, dst long")
+    pg = PropertyGraph().add_vertices("n", v).add_edges("r", "n", "n", e)
+    plan = _executed_plan(
+        cypher_property(
+            pg,
+            "MATCH (a:n)-[:r]->(b:n) WHERE NOT EXISTS((b)-[:r]->(a)) "
+            "RETURN a AS a, b AS b",
+        )
+    )
+    assert "LeftAnti" in plan
+    plan = _executed_plan(
+        cypher_property(
+            pg,
+            "MATCH (a:n) WHERE EXISTS((a)-[:r]->(x)) RETURN a AS a",
+        )
+    )
+    assert "LeftSemi" in plan
+    assert "Cartesian" not in plan
+
+
+def test_gremlin_existence_plans_semi_anti_join(spark):
+    from tests.conftest import make_graph
+
+    from graphscope_spark.operators.gremlin import gremlin
+
+    g = make_graph(spark, [(0, 1), (1, 2)], vertices=[0, 1, 2])
+    plan = _executed_plan(gremlin(g, "g.V().where(out())"))
+    assert "LeftSemi" in plan
+    plan = _executed_plan(gremlin(g, "g.V().not(__.in())"))
+    assert "LeftAnti" in plan
