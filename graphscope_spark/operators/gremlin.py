@@ -31,6 +31,8 @@ Supported chain grammar::
          semantics); without a cap the loop raises loudly after
          _UNTIL_MAX_ROUNDS non-converged rounds
      .has(prop, literal | P)      # P: lt/lte/gt/gte/eq/neq/within(...)
+     .has(prop)                   # keep elements WITH the property
+     .has(label, prop, literal | P)   # fused hasLabel + has
      .hasNot(prop)                # keep elements WITHOUT the property
      .hasId(id, ...)              # keep the listed vertex ids
      .hasLabel(label)             # PropertyGraph only
@@ -852,6 +854,46 @@ def gremlin(graph: Graph | PropertyGraph, query: str) -> DataFrame:
             elif cur_kind != "v":
                 raise ValueError("endV() follows a PathExpand step")
         elif name == "has":
+            if len(args) == 3:
+                # has(label, prop, value) — TinkerPop's fused
+                # hasLabel+has form (supported_gremlin_steps.md §has())
+                if cur_kind != "v" or args[0][0] != "str":
+                    raise ValueError(
+                        "has(label, prop, value) applies to vertex traversers"
+                    )
+                if isinstance(graph, Graph):
+                    raise ValueError("has(label, ...) needs a PropertyGraph")
+                lab = args[0][1]
+                if lab not in graph.vertices:
+                    raise ValueError(f"unknown vertex label {lab!r}")
+                ids = graph.vertices[lab].select(F.col("id").alias("_cur"))
+                df = df.join(ids, "_cur", "left_semi")
+                args = args[1:]
+            if len(args) == 1 and args[0][0] == "str":
+                # has(prop) — keep elements that HAVE the property
+                # (non-null); the complement of hasNot()
+                prop = args[0][1]
+                if cur_kind == "e":
+                    if prop not in edge_cols:
+                        df = df.filter(F.lit(False))
+                    else:
+                        df = df.filter(F.col(prop).isNotNull())
+                elif prop == "id":
+                    pass  # every element has its id
+                else:
+                    try:
+                        pt = _prop_table(graph, prop)
+                    except ValueError:
+                        pt = None
+                    if pt is None:
+                        df = df.filter(F.lit(False))
+                    else:
+                        df = df.join(
+                            pt.filter(F.col("_p").isNotNull()).select("_cur"),
+                            "_cur",
+                            "left_semi",
+                        )
+                continue
             if len(args) != 2 or args[0][0] != "str":
                 raise ValueError("has() takes (prop, literal | P-predicate)")
             prop = args[0][1]

@@ -774,3 +774,19 @@ def test_gremlin_subgraph_step(spark):
     assert sorted((r["src"], r["dst"]) for r in rows) == [(1, 2), (2, 3)]
     with pytest.raises(ValueError, match="edge traversers"):
         gremlin(g, "g.V().subgraph('sg')")
+
+
+def test_gremlin_has_arg_forms(spark):
+    pg = _pg(spark)
+    # has(prop): elements carrying the property
+    rows = gremlin(pg, "g.V().has('age')").collect()
+    assert sorted(r["id"] for r in rows) == [0, 1, 2, 3, 4]
+    # has(label, prop, P): fused hasLabel + has
+    rows = gremlin(pg, "g.V().has('person', 'age', gte(32))").collect()
+    assert sorted(r["id"] for r in rows) == [2, 3, 4]
+    rows = gremlin(pg, "g.V().has('company', 'size', 2000)").collect()
+    assert [r["id"] for r in rows] == [101]
+    # unknown property: has() drops everything (complement of hasNot)
+    assert gremlin(pg, "g.V().has('salary').count()").collect()[0]["count"] == 0
+    with pytest.raises(ValueError, match="unknown vertex label"):
+        gremlin(pg, "g.V().has('robot', 'age', 1)")
