@@ -712,6 +712,52 @@ def parse_cypher(query: str) -> dict:
                     )
                 items.append(("pathlen", pv, None, lm.group(2) or f"length_{pv}"))
                 continue
+            fm = re.match(
+                r"(?i)^(labels|type|elementId)\s*"
+                r"\(\s*([A-Za-z_][A-Za-z_0-9]*)\s*\)"
+                r"(?:\s+AS\s+([A-Za-z_][A-Za-z_0-9]*))?$",
+                raw,
+            )
+            if fm:
+                # labels(n) / type(r) / elementId(n) — supported_cypher.md
+                # operator table (single-label model: labels() is the one
+                # label string, not a list)
+                fname = fm.group(1).lower()
+                ftag, falias = fm.group(2), fm.group(3)
+                if not allow_props:
+                    raise ValueError(
+                        f"{fname}() after WITH is not supported — project "
+                        "it in the WITH items"
+                    )
+                if fname == "type":
+                    if ftag not in edge_vars:
+                        raise ValueError(
+                            f"type() takes a relationship variable, got "
+                            f"{ftag!r}"
+                        )
+                    el = sentences[edge_vars[ftag]][3]
+                    if el is None:
+                        raise ValueError(
+                            "type() needs a labeled relationship pattern"
+                        )
+                    items.append(("etype", ftag, el, falias or f"type_{ftag}"))
+                elif fname == "elementid":
+                    if ftag not in names:
+                        raise ValueError(
+                            f"elementId() references unbound tag {ftag!r}"
+                        )
+                    items.append(
+                        ("tag", ftag, None, falias or f"elementId_{ftag}")
+                    )
+                else:  # labels
+                    if ftag not in names:
+                        raise ValueError(
+                            f"labels() references unbound tag {ftag!r}"
+                        )
+                    items.append(
+                        ("labels", ftag, None, falias or f"labels_{ftag}")
+                    )
+                continue
             im = _RETURN_ITEM.match(raw)
             if not im:
                 # arithmetic projection: expr AS alias (alias mandatory —
@@ -1469,6 +1515,24 @@ def cypher_property(
                 f"(got {a!r}, {b!r})"
             )
 
+    # --- labels(tag) columns: constant for labeled tags, a label-union
+    # join for unlabeled ones ------------------------------------------------
+    for tag in sorted({it[1] for it in stage1_items if it[0] == "labels"}):
+        col = f"{tag}__labels"
+        if labels.get(tag) is not None:
+            out = out.withColumn(col, F.lit(labels[tag]))
+        else:
+            parts = [
+                vdf.select(F.col("id").alias(tag), F.lit(lab).alias(col))
+                for lab, vdf in pg.vertices.items()
+            ]
+            u = parts[0]
+            for p in parts[1:]:
+                u = u.unionByName(p)
+            out = out.join(
+                u, tag, "left" if tag in optional_only else "inner"
+            )
+
     # --- WITH / RETURN: projection / implicit grouping ----------------------
     # (Cypher's implicit aggregation: non-aggregate items are the grouping
     # keys; aggregates reduce each group)
@@ -1481,6 +1545,13 @@ def cypher_property(
                 continue
             if kind == "pathvar":
                 keys.append(F.col(f"{tag}__path").alias(alias))
+                continue
+            if kind == "labels":
+                keys.append(F.col(f"{tag}__labels").alias(alias))
+                continue
+            if kind == "etype":
+                # the relationship label, statically known from the pattern
+                keys.append(F.lit(prop).alias(alias))
                 continue
             if kind == "expr":
                 # arithmetic over bound tags / joined property columns

@@ -1152,3 +1152,28 @@ def test_cypher_call_property_graph_meta(spark):
     )
     assert st["vertex_type_statistics"] == {"company": 2, "person": 5}
     assert st["total_edge_count"] == 10
+
+
+def test_cypher_labels_type_elementid(spark):
+    from graphscope_spark.operators.cypher import cypher_property
+
+    pg = _pgraph(spark)
+    rows = cypher_property(
+        pg,
+        "MATCH (a:person)-[r:works_at]->(c) "
+        "RETURN elementId(a) AS eid, labels(c) AS clab, type(r) AS t",
+    ).collect()
+    assert {(r["eid"], r["clab"], r["t"]) for r in rows} == {
+        (i, "company", "works_at") for i in range(5)
+    }
+    # labels() over an unlabeled tag joins the label-union table
+    rows = cypher_property(
+        pg, "MATCH (a:person)-[:knows]->(b) RETURN labels(b) AS l, count(*) AS n"
+    ).collect()
+    assert [(r["l"], r["n"]) for r in rows] == [("person", 5)]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="labeled relationship"):
+        cypher_property(pg, "MATCH (a:person)-[r]->(b) RETURN type(r) AS t")
+    with _pytest.raises(ValueError, match="relationship variable"):
+        cypher_property(pg, "MATCH (a:person)-[:knows]->(b) RETURN type(a) AS t")
