@@ -320,11 +320,13 @@ def _item_prop_refs(items):
 
 def _parse_arith(raw: str, leaf):
     """Parse ``raw`` as an arithmetic expression over primaries: + - * / %
-    with standard precedence and unary minus (no parentheses — those belong
-    to the boolean grammar in WHERE). ``leaf(token) -> operand`` builds and
-    validates each primary. Nodes: ("arith", op, l, r) | ("neg", x)."""
+    and ^ (exponentiation, right-associative, binds tightest —
+    supported_cypher.md maps it to power(a, b)) with standard precedence
+    and unary minus (no parentheses — those belong to the boolean grammar
+    in WHERE). ``leaf(token) -> operand`` builds and validates each
+    primary. Nodes: ("arith", op, l, r) | ("neg", x)."""
     toks = [
-        t for t in re.split(r"\s*([+\-*/%])\s*", raw.strip()) if t != ""
+        t for t in re.split(r"\s*([+\-*/%^])\s*", raw.strip()) if t != ""
     ]
     pos = 0
 
@@ -333,19 +335,27 @@ def _parse_arith(raw: str, leaf):
         if pos < len(toks) and toks[pos] == "-":
             pos += 1
             return ("neg", prim())
-        if pos >= len(toks) or toks[pos] in "+-*/%":
+        if pos >= len(toks) or toks[pos] in "+-*/%^":
             raise ValueError(f"unsupported operand: {raw!r}")
         node = leaf(toks[pos])
         pos += 1
         return node
 
-    def term():
+    def power():
         nonlocal pos
         node = prim()
+        if pos < len(toks) and toks[pos] == "^":
+            pos += 1
+            node = ("arith", "^", node, power())  # right-associative
+        return node
+
+    def term():
+        nonlocal pos
+        node = power()
         while pos < len(toks) and toks[pos] in ("*", "/", "%"):
             op = toks[pos]
             pos += 1
-            node = ("arith", op, node, prim())
+            node = ("arith", op, node, power())
         return node
 
     def expr():
@@ -789,9 +799,10 @@ def parse_cypher(query: str) -> dict:
                         "property access after WITH is not supported — "
                         "project the property in the WITH items"
                     )
-                if dkw and fn != "count":
+                if dkw and fn not in ("count", "collect"):
                     raise ValueError(
-                        "DISTINCT inside an aggregate supports count() only"
+                        "DISTINCT inside an aggregate supports count() and "
+                        "collect() only"
                     )
                 kind = f"agg:{fn}" + (":d" if dkw else "")
                 default = f"{fn}_{atag}" + (f"_{aprop}" if aprop else "")
@@ -1102,6 +1113,7 @@ _ARITH_OPS = {
     "*": Column.__mul__,
     "/": Column.__truediv__,  # Cypher-on-Spark: always double division
     "%": Column.__mod__,
+    "^": lambda a, b: F.pow(a, b),  # supported_cypher.md: ^ → power(a, b)
 }
 
 
@@ -1570,8 +1582,10 @@ def cypher_property(
                     aggs.append(cnt.cast("bigint").alias(alias))
                 elif fn == "collect":
                     # Cypher leaves collect() order unspecified; sort for
-                    # a deterministic, engine-comparable result
-                    aggs.append(F.sort_array(F.collect_list(col)).alias(alias))
+                    # a deterministic, engine-comparable result.
+                    # collect(DISTINCT x) = Cypher's set collection.
+                    agg = F.collect_set(col) if dct else F.collect_list(col)
+                    aggs.append(F.sort_array(agg).alias(alias))
                 else:
                     aggs.append(
                         {"sum": F.sum, "min": F.min, "max": F.max, "avg": F.avg}[

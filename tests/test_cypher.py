@@ -1177,3 +1177,39 @@ def test_cypher_labels_type_elementid(spark):
         cypher_property(pg, "MATCH (a:person)-[r]->(b) RETURN type(r) AS t")
     with _pytest.raises(ValueError, match="relationship variable"):
         cypher_property(pg, "MATCH (a:person)-[:knows]->(b) RETURN type(a) AS t")
+
+
+def test_cypher_collect_distinct_and_power(spark):
+    from graphscope_spark.operators.cypher import cypher_property
+
+    pg = _pgraph(spark)
+    # collect(DISTINCT): the set of employers per knower (0 knows 1,2 who
+    # both... 1->100, 2->101)
+    rows = cypher_property(
+        pg,
+        "MATCH (a:person)-[:knows]->(b:person)-[:works_at]->(c) "
+        "RETURN a AS a, collect(DISTINCT c) AS cs",
+    ).collect()
+    got = {(r["a"], tuple(r["cs"])) for r in rows}
+    assert (0, (100, 101)) in got  # 0 knows 1 (→100) and 2 (→101)
+    # plain collect keeps duplicates; DISTINCT collapses them
+    rows = cypher_property(
+        pg,
+        "MATCH (a:person)-[:works_at]->(c) "
+        "RETURN c AS c, collect(DISTINCT c) AS cs, collect(c) AS cl",
+    ).collect()
+    for r in rows:
+        assert len(r["cs"]) == 1 and len(r["cl"]) >= 1
+    # exponentiation: right-assoc, tighter than *
+    rows = cypher_property(
+        pg,
+        "MATCH (a:person) WHERE a.id = 2 "
+        "RETURN a.id ^ 3 AS cube, 2 * a.id ^ 2 AS twice_sq",
+    ).collect()
+    assert rows[0]["cube"] == 8.0
+    assert rows[0]["twice_sq"] == 8.0
+    rows = cypher_property(
+        pg,
+        "MATCH (a:person) WHERE a.age ^ 2 > 1000 RETURN count(*) AS n",
+    ).collect()
+    assert rows[0]["n"] == 3  # ages 32,33,34 square past 1000
