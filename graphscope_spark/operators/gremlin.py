@@ -845,6 +845,8 @@ def gremlin(graph: Graph | PropertyGraph, query: str) -> DataFrame:
             raise ValueError(
                 ".with(...) must follow a PathExpand out/in/both('lo..hi')"
             )
+        elif name == "unfold":
+            raise ValueError("unfold() must follow fold() in this subset")
         elif name == "endV":
             # unfold the ALL_V path collection to its end vertex
             # (supported_gremlin_steps.md §endV); a no-op after END_V
@@ -985,6 +987,20 @@ def gremlin(graph: Graph | PropertyGraph, query: str) -> DataFrame:
                     raise ValueError(f"unbound tag {tag!r} in where()")
                 cond = F.col("_cur") == F.col(tag)
                 df = df.filter(cond if args[0][0] == "eq" else ~cond)
+            elif (
+                name == "where"
+                and len(args) == 2
+                and args[0][0] == "str"
+                and args[1][0] in ("eq", "neq")
+            ):
+                # where('a', eq('b')): compare two tagged vertices
+                # (supported_gremlin_steps.md §where(predicate))
+                a_t, b_t = args[0][1], args[1][1][0][1]
+                for t in (a_t, b_t):
+                    if t not in tags:
+                        raise ValueError(f"unbound tag {t!r} in where()")
+                cond = F.col(a_t) == F.col(b_t)
+                df = df.filter(cond if args[1][0] == "eq" else ~cond)
             else:
                 raise ValueError(
                     f"{name}() supports eq('tag') / neq('tag') / an "
@@ -1260,9 +1276,16 @@ def gremlin(graph: Graph | PropertyGraph, query: str) -> DataFrame:
             return df.agg(agg[name](val_col).alias(name))
         elif name == "fold":
             # fold the whole stream into one list row (TinkerPop fold);
-            # sorted so the result is deterministic across partitionings
+            # sorted so the result is deterministic across partitionings.
+            # fold().unfold() round-trips (supported_gremlin_steps.md
+            # §Unfold) — the pair cancels, modulo the sort.
             if args:
                 raise ValueError("fold() takes no arguments")
+            if i + 1 < len(steps) and steps[i + 1][0] == "unfold":
+                if steps[i + 1][1]:
+                    raise ValueError("unfold() takes no arguments")
+                consumed.add(i + 1)
+                continue
             if i != len(steps) - 1:
                 raise ValueError("fold() must be terminal in this subset")
             if cur_kind == "val":

@@ -790,3 +790,27 @@ def test_gremlin_has_arg_forms(spark):
     assert gremlin(pg, "g.V().has('salary').count()").collect()[0]["count"] == 0
     with pytest.raises(ValueError, match="unknown vertex label"):
         gremlin(pg, "g.V().has('robot', 'age', 1)")
+
+
+def test_gremlin_where_two_tags_and_unfold(spark):
+    g = _chain_graph(spark)
+    # where('a', eq('b')) closes a cycle between two tags: 2-hop returns
+    # to the start only on cycles (none here)
+    n = gremlin(
+        g,
+        "g.V().as('a').out().out().as('b').where('a', eq('b')).count()",
+    ).collect()[0]["count"]
+    assert n == 0
+    # neq keeps the non-returning walks
+    n = gremlin(
+        g,
+        "g.V().as('a').out().out().as('b').where('a', neq('b')).count()",
+    ).collect()[0]["count"]
+    assert n == 4  # 0->1->{2,10}, 1->2->3, 2->3->4
+    # fold().unfold() round-trips the stream
+    rows = gremlin(g, "g.V(0).out().fold().unfold()").collect()
+    assert sorted(r["id"] for r in rows) == [1]
+    n = gremlin(g, "g.V().fold().unfold().count()").collect()[0]["count"]
+    assert n == 6
+    with pytest.raises(ValueError, match="must follow fold"):
+        gremlin(g, "g.V().unfold().count()")
