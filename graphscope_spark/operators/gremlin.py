@@ -41,6 +41,12 @@ Supported chain grammar::
      .where(out(..) | in(..) | both(..) | outE(..) | inE(..))
                                   # existence filter (GIE where-traversal
                                   # → semi-join); .not(...) is the anti
+     .where(expr(...)) | .not(expr(...))   # SQL-expression sugar
+         # (supported_gremlin_steps.md §Expression, both the 0.27.0 and
+         # legacy @-spellings): _.prop / tag.prop refs, = <> < <= > >=,
+         # AND/OR/NOT, IN [..], IS [NOT] NULL, STARTS/ENDS WITH,
+         # CONTAINS, + - * / %, & | ^ << >> bit ops, POWER(x, y),
+         # LABELS(t)/elementId(t); null outcomes drop the traverser
      .union(out(..), in(..), ...) # branch merge of single-step traversals
      .identity()                  # no-op (GIE IdentityStep)
      .match(__.as(t).out().as(u), ...)   # composite pattern → the match()
@@ -65,7 +71,16 @@ Supported chain grammar::
      .group().by(key).by(val)     → key: prop | select(tag) | id default;
          val: count() | fold() | sum(prop)|min(prop)|max(prop)|mean(prop)
          (fold default) — columns (key, count|value)
+     .group().by(values(p).as(k), out().count().as(k2), ...)
+             .by(count().as(v), values(p).sum().as(v2), ...)
+         # extended GIE GroupStep (§Aggregate (Group)): multiple aliased
+         # keys (property / out|in|both-degree) × multiple aliased
+         # aggregates — one column per alias
+     .project(k1, k2, ...).by(spec)...   → one column per key; spec:
+         prop | values(p) | id() | select(tag) | out/in/both().count() |
+         expr(...)
      .select(tag, ...)            → tag columns
+     .select(expr(...))           → the expression value, column `value`
      .valueMap(prop, ...)         → (id, prop, ...) columns; edge
          traversers sink (src, dst, prop, ...)
      .elementMap(prop, ...)       → (id, label, prop, ...); PropertyGraph
@@ -111,15 +126,17 @@ _PREDS = {"lt", "lte", "gt", "gte", "eq", "neq", "within"}
 
 def _scan_args(s: str, pos: int) -> tuple[str, int]:
     """Return the argument substring of a balanced (...) starting at pos
-    (which must point at the opening paren) and the index after ')'."""
-    depth, i, in_str = 0, pos, False
+    (which must point at the opening paren) and the index after ')'.
+    Both quote styles shield parens: '...' (step literals) and "..."
+    (expr() literals, supported_gremlin_steps.md §Expression)."""
+    depth, i, quote = 0, pos, None
     while i < len(s):
         c = s[i]
-        if in_str:
-            if c == "'":
-                in_str = False
-        elif c == "'":
-            in_str = True
+        if quote:
+            if c == quote:
+                quote = None
+        elif c in ("'", '"'):
+            quote = c
         elif c == "(":
             depth += 1
         elif c == ")":
@@ -131,14 +148,14 @@ def _scan_args(s: str, pos: int) -> tuple[str, int]:
 
 
 def _split_top(s: str) -> list[str]:
-    out, depth, in_str, cur = [], 0, False, []
+    out, depth, quote, cur = [], 0, None, []
     for c in s:
-        if in_str:
+        if quote:
             cur.append(c)
-            if c == "'":
-                in_str = False
-        elif c == "'":
-            in_str = True
+            if c == quote:
+                quote = None
+        elif c in ("'", '"'):
+            quote = c
             cur.append(c)
         elif c == "(":
             depth += 1
@@ -161,11 +178,22 @@ def _parse_arg(raw: str):
     raw = raw.strip()
     if raw.startswith("'") and raw.endswith("'"):
         return ("str", raw[1:-1])
+    if raw.startswith('"') and raw.endswith('"'):
+        return ("str", raw[1:-1])
     if _NUM.match(raw):
         return ("num", float(raw) if "." in raw else int(raw))
     if raw in ("asc", "desc", "Order.asc", "Order.desc", "incr", "decr"):
         d = raw.split(".")[-1]
         return ("ord", {"incr": "asc", "decr": "desc"}.get(d, d))
+    m = re.match(r"^expr\s*\(", raw)
+    if m:
+        # SQL-expression sugar (supported_gremlin_steps.md §Expression):
+        # the payload is captured RAW and parsed by the expression grammar
+        # at execution time (it is not a step chain)
+        inner, end = _scan_args(raw, m.end() - 1)
+        if raw[end:].strip():
+            raise ValueError(f"trailing content after expr(): {raw!r}")
+        return ("expr", inner.strip())
     m = re.match(r"^__\s*\.\s*as\s*\(", raw)
     if m:
         # multi-step anonymous chain — the match() sentence form
@@ -189,18 +217,47 @@ def _parse_arg(raw: str):
     m = re.match(r"^(?:__\s*\.\s*)?([A-Za-z_]\w*)\s*\(", raw)
     if m and m.group(1) in (
         "out", "in", "both", "outE", "inE", "bothE", "hasId", "has",
-        "count", "fold", "sum", "min", "max", "mean",
+        "count", "fold", "sum", "min", "max", "mean", "values", "select",
+        "id",
     ):
         # anonymous traversal argument: repeat(out('label')) /
-        # until(hasId(3)) / where(out('x')) / group().by(..).by(count())
-        # — single-step subset
-        inner, end = _scan_args(raw, m.end() - 1)
-        if raw[end:].strip():
-            raise ValueError(
-                "anonymous traversals support a single step"
+        # until(hasId(3)) / where(out('x')) / group().by(..).by(count());
+        # multi-step chains (values('p').as('k'), out().count().as('k'))
+        # feed the extended group()/project() modulators
+        steps = []
+        pos0 = raw.index("__.") + 2 if raw.startswith("__") else None
+        if pos0 is None:
+            inner, end = _scan_args(raw, m.end() - 1)
+            steps.append(
+                (
+                    m.group(1),
+                    [_parse_arg(a) for a in _split_top(inner)]
+                    if inner.strip()
+                    else [],
+                )
             )
-        vals = [_parse_arg(a) for a in _split_top(inner)] if inner.strip() else []
-        return ("step", (m.group(1), vals))
+            pos = end
+        else:
+            pos = pos0
+        while pos < len(raw):
+            sm = _STEP_NAME.match(raw, pos)
+            if not sm:
+                raise ValueError(f"expected a .step(...) at: {raw[pos:]!r}")
+            inner, pos = _scan_args(raw, sm.end() - 1)
+            steps.append(
+                (
+                    sm.group(1),
+                    [_parse_arg(a) for a in _split_top(inner)]
+                    if inner.strip()
+                    else [],
+                )
+            )
+        if len(steps) == 1:
+            name0, vals = steps[0]
+            if name0 == "select":
+                return ("select", vals)
+            return ("step", (name0, vals))
+        return ("chain", steps)
     m = re.match(r"^(?:P\s*\.\s*)?([A-Za-z_]\w*)\s*\(", raw)
     if m and m.group(1) in _PREDS | {"select"}:
         inner, end = _scan_args(raw, m.end() - 1)
@@ -322,6 +379,380 @@ def _prop_table(graph, prop: str) -> DataFrame:
     return out
 
 
+# ---------------------------------------------------------------------------
+# expr() — SQL-expression sugar (supported_gremlin_steps.md §Expression)
+# ---------------------------------------------------------------------------
+
+_EXPR_TOKEN = re.compile(
+    r'"(?:[^"\\]|\\.)*"'
+    r"|'(?:[^'\\]|\\.)*'"
+    r"|\d+\.\d+[fFdD]?|\d+[lLfFdD]?"
+    r"|@[A-Za-z_0-9]*(?:\.[A-Za-z_~][A-Za-z0-9_]*)?"
+    r"|[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_~][A-Za-z0-9_]*)?"
+    r"|<<|>>|<=|>=|<>|!=|==|&&|\|\||[-+*/%&|^=<>(),\[\]!]"
+)
+
+_EXPR_KEYWORDS = {
+    "AND", "OR", "NOT", "IN", "IS", "NULL", "TRUE", "FALSE",
+    "STARTS", "ENDS", "WITH", "CONTAINS", "WITHIN", "WITHOUT",
+}
+_EXPR_FUNCS = {"POWER", "ELEMENTID", "LABELS", "TYPE", "LENGTH"}
+
+
+def _parse_expr(raw: str):
+    """Parse an ``expr()`` payload into a predicate/value AST.
+
+    Grammar per the SQL-standard precedence table in
+    supported_gremlin_steps.md §Expression (both the 0.27.0 syntax —
+    ``_.name = "marko" AND a.age > 10`` — and the legacy ``@.name ==
+    "marko" && @a.age > 10`` spellings). Nodes: ("lit", v) | ("list",
+    [v…]) | ("var", scope, prop|None) | ("func", name, [args]) |
+    ("neg"|"not", x) | ("bin", op, l, r) | ("strp", op, l, r) |
+    ("in", x, [v…]) | ("null", x, is_not) | ("cmp", op, l, r) |
+    ("bool", "and"|"or", [parts])."""
+    toks = _EXPR_TOKEN.findall(raw)
+    if "".join(toks).replace(" ", "") != raw.replace(" ", ""):
+        raise ValueError(f"unsupported characters in expr(): {raw!r}")
+    pos = 0
+
+    def peek(ahead: int = 0):
+        return toks[pos + ahead] if pos + ahead < len(toks) else None
+
+    def eat(tok: str | None = None):
+        nonlocal pos
+        t = peek()
+        if t is None or (tok is not None and t.upper() != tok.upper()):
+            raise ValueError(f"expected {tok!r} in expr(): {raw!r}")
+        pos += 1
+        return t
+
+    def is_kw(t, kw):
+        return t is not None and t.upper() == kw
+
+    def literal_of(t):
+        if t.startswith('"') or t.startswith("'"):
+            body = t[1:-1]
+            return re.sub(r"\\(.)", r"\1", body)
+        if re.match(r"^\d+\.\d+[fFdD]?$", t):
+            return float(t.rstrip("fFdD"))
+        if re.match(r"^\d+[lL]?$", t):
+            return int(t.rstrip("lL"))
+        if re.match(r"^\d+[fFdD]$", t):
+            return float(t[:-1])
+        if t.upper() == "TRUE":
+            return True
+        if t.upper() == "FALSE":
+            return False
+        return None
+
+    def parse_list():
+        eat("[")
+        vals = []
+        while not is_kw(peek(), "]"):
+            neg = False
+            if peek() == "-":
+                eat()
+                neg = True
+            v = literal_of(eat())
+            if v is None or isinstance(v, bool) and neg:
+                raise ValueError(f"expr() lists take literals: {raw!r}")
+            vals.append(-v if neg else v)
+            if peek() == ",":
+                eat()
+        eat("]")
+        return ("list", vals)
+
+    def primary():
+        nonlocal pos
+        t = peek()
+        if t is None:
+            raise ValueError(f"unexpected end of expr(): {raw!r}")
+        if t == "(":
+            eat()
+            node = or_expr()
+            eat(")")
+            return node
+        if t == "[":
+            return parse_list()
+        lit = literal_of(t)
+        if lit is not None or t.upper() in ("TRUE", "FALSE"):
+            eat()
+            return ("lit", lit)
+        if t.upper() in _EXPR_FUNCS and peek(1) == "(":
+            fname = eat().upper()
+            eat("(")
+            fargs = [or_expr()]
+            while peek() == ",":
+                eat()
+                fargs.append(or_expr())
+            eat(")")
+            return ("func", fname, fargs)
+        # variable: _ | _.prop | @ | @.prop | tag | tag.prop | @tag.prop
+        m = re.match(r"^(@?)([A-Za-z_0-9]*)(?:\.([A-Za-z_~][A-Za-z0-9_]*))?$", t)
+        if m and (m.group(1) or m.group(2)) and m.group(2).upper() not in _EXPR_KEYWORDS:
+            eat()
+            scope = m.group(2) or "_"
+            if scope == "_" or (m.group(1) and not m.group(2)):
+                scope = "_"
+            return ("var", scope, m.group(3))
+        raise ValueError(f"unsupported expr() token: {t!r} in {raw!r}")
+
+    def unary():
+        if peek() == "-":
+            eat()
+            return ("neg", unary())
+        return primary()
+
+    def mul_expr():
+        node = unary()
+        while peek() in ("*", "/", "%"):
+            op = eat()
+            node = ("bin", op, node, unary())
+        return node
+
+    def add_expr():
+        node = mul_expr()
+        while peek() in ("+", "-", "&", "|", "^", "<<", ">>"):
+            op = eat()
+            node = ("bin", op, node, mul_expr())
+        return node
+
+    def str_expr():
+        node = add_expr()
+        t = peek()
+        if is_kw(t, "STARTS") or is_kw(t, "ENDS"):
+            kind = eat().upper()
+            eat("WITH")
+            return ("strp", "startswith" if kind == "STARTS" else "endswith",
+                    node, add_expr())
+        if is_kw(t, "CONTAINS"):
+            eat()
+            return ("strp", "contains", node, add_expr())
+        if is_kw(t, "IN") or is_kw(t, "WITHIN"):
+            eat()
+            lst = parse_list()
+            return ("in", node, lst[1])
+        return node
+
+    def cmp_expr():
+        node = str_expr()
+        t = peek()
+        if t in ("=", "==", "<>", "!=", "<", "<=", ">", ">="):
+            op = eat()
+            op = {"==": "=", "!=": "<>"}.get(op, op)
+            return ("cmp", op, node, str_expr())
+        return node
+
+    def null_expr():
+        node = cmp_expr()
+        if is_kw(peek(), "IS"):
+            eat()
+            is_not = False
+            if is_kw(peek(), "NOT"):
+                eat()
+                is_not = True
+            eat("NULL")
+            return ("null", node, is_not)
+        return node
+
+    def not_expr():
+        if is_kw(peek(), "NOT") or peek() == "!":
+            eat()
+            return ("not", not_expr())
+        return null_expr()
+
+    def and_expr():
+        parts = [not_expr()]
+        while is_kw(peek(), "AND") or peek() == "&&":
+            eat()
+            parts.append(not_expr())
+        return parts[0] if len(parts) == 1 else ("bool", "and", parts)
+
+    def or_expr():
+        parts = [and_expr()]
+        while is_kw(peek(), "OR") or peek() == "||":
+            eat()
+            parts.append(and_expr())
+        return parts[0] if len(parts) == 1 else ("bool", "or", parts)
+
+    node = or_expr()
+    if pos != len(toks):
+        raise ValueError(f"trailing tokens in expr(): {' '.join(toks[pos:])!r}")
+    return node
+
+
+def _expr_refs(node):
+    """Yield every ("var", scope, prop) reference in an expr AST."""
+    kind = node[0]
+    if kind == "var":
+        yield node
+    elif kind == "func":
+        if node[1] == "ELEMENTID":
+            # elementId(a) reads the id, never a property
+            for a in node[2]:
+                for r in _expr_refs(a):
+                    yield ("var", r[1], None)
+        elif node[1] in ("LABELS", "TYPE"):
+            for a in node[2]:
+                for r in _expr_refs(a):
+                    yield ("var", r[1], "~label")
+        else:
+            for a in node[2]:
+                yield from _expr_refs(a)
+    elif kind in ("neg", "not"):
+        yield from _expr_refs(node[1])
+    elif kind == "bin" or kind == "strp" or kind == "cmp":
+        yield from _expr_refs(node[2])
+        yield from _expr_refs(node[3])
+    elif kind == "in":
+        yield from _expr_refs(node[1])
+    elif kind == "null":
+        yield from _expr_refs(node[1])
+    elif kind == "bool":
+        for p in node[2]:
+            yield from _expr_refs(p)
+
+
+def _expr_col(node, ref) -> "F.Column":
+    """Compile an expr AST to a Column; ``ref(scope, prop)`` resolves
+    variable references (prop None = the element id)."""
+    kind = node[0]
+    if kind == "lit":
+        return F.lit(node[1])
+    if kind == "var":
+        return ref(node[1], node[2])
+    if kind == "func":
+        fname, fargs = node[1], node[2]
+        if fname == "POWER":
+            if len(fargs) != 2:
+                raise ValueError("POWER(x, y) takes two arguments")
+            return F.pow(_expr_col(fargs[0], ref), _expr_col(fargs[1], ref))
+        if fname == "ELEMENTID":
+            if len(fargs) != 1 or fargs[0][0] != "var":
+                raise ValueError("elementId() takes one tag")
+            return ref(fargs[0][1], None)
+        if fname in ("LABELS", "TYPE"):
+            if len(fargs) != 1 or fargs[0][0] != "var":
+                raise ValueError(f"{fname}() takes one tag")
+            return ref(fargs[0][1], "~label")
+        raise ValueError(f"{fname}() is not supported in expr() (no path "
+                         "bindings in this frontend subset)")
+    if kind == "neg":
+        return -_expr_col(node[1], ref)
+    if kind == "not":
+        return ~_expr_col(node[1], ref)
+    if kind == "bin":
+        op = node[1]
+        l, r = _expr_col(node[2], ref), _expr_col(node[3], ref)
+        if op in ("<<", ">>"):
+            if node[3][0] != "lit" or not isinstance(node[3][1], int):
+                raise ValueError("shift amounts must be integer literals")
+            return (F.shiftleft if op == "<<" else F.shiftright)(l, node[3][1])
+        return {
+            "+": lambda: l + r, "-": lambda: l - r, "*": lambda: l * r,
+            "/": lambda: l / r, "%": lambda: l % r,
+            "&": lambda: l.bitwiseAND(r), "|": lambda: l.bitwiseOR(r),
+            "^": lambda: l.bitwiseXOR(r),
+        }[op]()
+    if kind == "strp":
+        l, r = _expr_col(node[2], ref), _expr_col(node[3], ref)
+        return getattr(l, node[1])(r)
+    if kind == "in":
+        return _expr_col(node[1], ref).isin(node[2])
+    if kind == "cmp":
+        op = node[1]
+        l, r = _expr_col(node[2], ref), _expr_col(node[3], ref)
+        return {
+            "=": lambda: l == r, "<>": lambda: l != r, "<": lambda: l < r,
+            "<=": lambda: l <= r, ">": lambda: l > r, ">=": lambda: l >= r,
+        }[op]()
+    if kind == "null":
+        col = _expr_col(node[1], ref)
+        return col.isNotNull() if node[2] else col.isNull()
+    # bool
+    cols = [_expr_col(p, ref) for p in node[2]]
+    out = cols[0]
+    for c in cols[1:]:
+        out = (out & c) if node[1] == "and" else (out | c)
+    return out
+
+
+def _label_table(graph) -> DataFrame:
+    """(id, label) over every vertex table of a PropertyGraph."""
+    if isinstance(graph, Graph):
+        raise ValueError("LABELS()/TYPE() need a PropertyGraph")
+    parts = [
+        vdf.select(F.col("id").alias("_cur"), F.lit(lab).alias("_p"))
+        for lab, vdf in graph.vertices.items()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _bind_expr(graph, df, tags, raw, cur_kind, edge_cols, val_col):
+    """Attach the property lookups an expr() needs to the traverser frame.
+
+    Returns (frame, column, temp_cols): ``frame`` is ``df`` with one
+    left-joined ``_x__scope__prop`` column per distinct property
+    reference (left join — a missing property is null, and Gremlin's
+    filter semantics drop null outcomes at the filter itself), ``column``
+    is the compiled expression, ``temp_cols`` must be dropped afterwards."""
+    node = _parse_expr(raw)
+    refs = sorted({(s, p) for _k, s, p in _expr_refs(node)},
+                  key=lambda x: (x[0], x[1] or ""))
+    temp: list[str] = []
+    frame = df
+    for scope, prop in refs:
+        if prop is None or prop == "id":
+            if scope != "_" and scope not in tags:
+                raise ValueError(f"unbound tag {scope!r} in expr()")
+            continue
+        if scope == "_" and cur_kind == "e":
+            if prop not in edge_cols:
+                raise ValueError(
+                    f"edge expr() needs an edge property (available: "
+                    f"{edge_cols}, got {prop!r})"
+                )
+            continue
+        if scope == "_" and cur_kind == "val":
+            raise ValueError(
+                "value traversers carry no properties — reference the "
+                "value as `_` in expr()"
+            )
+        if scope != "_" and scope not in tags:
+            raise ValueError(f"unbound tag {scope!r} in expr()")
+        cname = f"_x__{scope}__{prop.lstrip('~')}"
+        if cname in frame.columns:
+            temp.append(cname)
+            continue
+        tbl = (_label_table(graph) if prop == "~label"
+               else _prop_table(graph, prop))
+        join_on = "_cur" if scope == "_" else scope
+        frame = frame.join(
+            tbl.select(F.col("_cur").alias(join_on), F.col("_p").alias(cname)),
+            join_on, "left",
+        )
+        temp.append(cname)
+
+    def ref(scope, prop):
+        if prop is None or prop == "id":
+            if scope == "_":
+                if cur_kind == "val":
+                    return F.col(val_col)
+                if cur_kind == "e":
+                    raise ValueError("edge traversers have no element id — "
+                                     "reference a property instead")
+                return F.col("_cur")
+            return F.col(scope)
+        if scope == "_" and cur_kind == "e":
+            return F.col(prop)
+        return F.col(f"_x__{scope}__{prop.lstrip('~')}")
+
+    return frame, _expr_col(node, ref), temp
+
+
 def gremlin(graph: Graph | PropertyGraph, query: str) -> DataFrame:
     """Execute a Gremlin chain; returns the terminal-step DataFrame (see
     module docstring for the column contract of each terminal)."""
@@ -345,51 +776,165 @@ def gremlin(graph: Graph | PropertyGraph, query: str) -> DataFrame:
         key = F.col(by_tag) if by_tag else F.col("_cur").alias("v")
         return df.groupBy(key).agg(F.count(F.lit(1)).cast("bigint").alias("count"))
 
-    def finish_grp(keyspec, valspec) -> DataFrame:
-        """group().by(key).by(val) → one row per key (GIE GroupStep).
-
-        key: None (vertex id) | select('tag') | 'prop'; val: None (fold —
-        Gremlin's default group value) | count() | fold() |
-        sum/min/max/mean('prop'). fold sorts the collected list so the
-        result is deterministic across partitionings."""
-        keyed = df
-        if keyspec is None:
-            key = F.col("_cur").alias("v")
-        elif keyspec[0] == "select":
-            tag = keyspec[1][0][1]
-            if tag not in tags:
-                raise ValueError(f"unbound tag {tag!r} in group().by(select())")
-            key = F.col(tag)
-        elif keyspec[0] == "str":
-            prop = keyspec[1]
-            if prop == "id":
-                key = F.col("_cur").alias("id")
+    def _norm_group_keys(args) -> list:
+        """Normalize a key by()-step argument list to [(kind, payload,
+        alias)] — kind: 'id' | 'tag' | 'prop' | 'degree'. The extended GIE
+        GroupStep (supported_gremlin_steps.md §Aggregate (Group)) allows
+        multiple keys, each a values('p').as('k') / out().count().as('k')
+        chain."""
+        out = []
+        for a in args:
+            kind = a[0]
+            if kind == "str":
+                out.append(("id" if a[1] == "id" else "prop", a[1], a[1]))
+            elif kind == "select" and len(a[1]) == 1:
+                tag = a[1][0][1]
+                if tag not in tags:
+                    raise ValueError(
+                        f"unbound tag {tag!r} in group().by(select())"
+                    )
+                out.append(("tag", tag, tag))
+            elif kind == "step" and a[1][0] == "values" and len(a[1][1]) == 1:
+                prop = a[1][1][0][1]
+                out.append(("prop", prop, prop))
+            elif kind == "step" and a[1] == ("id", []):
+                out.append(("id", "id", "id"))
+            elif kind == "chain":
+                ch = a[1]
+                alias = None
+                if ch[-1][0] == "as" and len(ch[-1][1]) == 1:
+                    alias = ch[-1][1][0][1]
+                    ch = ch[:-1]
+                if len(ch) == 1 and ch[0][0] == "values" and len(ch[0][1]) == 1:
+                    prop = ch[0][1][0][1]
+                    out.append(("prop", prop, alias or prop))
+                elif (
+                    len(ch) == 2
+                    and ch[0][0] in ("out", "in", "both")
+                    and ch[1] == ("count", [])
+                ):
+                    elabel = ch[0][1][0][1] if ch[0][1] else None
+                    out.append(("degree", (ch[0][0], elabel),
+                                alias or "count"))
+                else:
+                    raise ValueError(
+                        f"unsupported group() key chain: {a!r}"
+                    )
             else:
+                raise ValueError(f"unsupported group().by() key: {a!r}")
+        return out
+
+    def _norm_group_vals(args) -> list:
+        """Normalize a value by()-step argument list to [(agg, prop|None,
+        alias)] — agg: 'count' | 'fold' | 'sum'|'min'|'max'|'mean'."""
+        out = []
+        for a in args:
+            kind = a[0]
+            if kind == "step":
+                vname, vargs = a[1]
+                if vname in ("count", "fold") and not vargs:
+                    out.append((vname, None,
+                                "count" if vname == "count" else "value"))
+                elif vname in ("sum", "min", "max", "mean") and len(vargs) == 1:
+                    out.append((vname, vargs[0][1], vname))
+                else:
+                    raise ValueError(
+                        f"unsupported group() value step: {a!r}"
+                    )
+            elif kind == "chain":
+                ch = a[1]
+                alias = None
+                if ch[-1][0] == "as" and len(ch[-1][1]) == 1:
+                    alias = ch[-1][1][0][1]
+                    ch = ch[:-1]
+                if len(ch) == 1 and ch[0][0] == "count" and not ch[0][1]:
+                    out.append(("count", None, alias or "count"))
+                elif (
+                    len(ch) == 2
+                    and ch[0][0] == "values"
+                    and len(ch[0][1]) == 1
+                    and ch[1][0] in ("sum", "min", "max", "mean")
+                    and not ch[1][1]
+                ):
+                    out.append((ch[1][0], ch[0][1][0][1], alias or ch[1][0]))
+                else:
+                    raise ValueError(
+                        f"unsupported group() value chain: {a!r}"
+                    )
+            else:
+                raise ValueError(f"unsupported group() value by(): {a!r}")
+        return out
+
+    def finish_grp(keyspecs, valspecs) -> DataFrame:
+        """group().by(key…).by(val…) → one row per key tuple (GIE
+        GroupStep, incl. the extended multi-key/multi-value forms of
+        supported_gremlin_steps.md §Aggregate (Group)).
+
+        keys: None (vertex id) | normalized list from _norm_group_keys;
+        vals: None (fold — Gremlin's default group value) | normalized
+        list from _norm_group_vals. fold sorts the collected list so the
+        result is deterministic across partitionings; degree keys count
+        one-hop neighbors (vertices without edges key at 0)."""
+        keyed = df
+        keycols = []
+        for kn, (kind, payload, alias) in enumerate(
+            keyspecs or [("id", "id", "v")]
+        ):
+            if kind == "id":
+                keycols.append(F.col("_cur").alias(alias if keyspecs else "v"))
+            elif kind == "tag":
+                keycols.append(F.col(payload).alias(alias))
+            elif kind == "prop":
+                cname = f"_gkey{kn}"
                 keyed = keyed.join(
-                    _prop_table(graph, prop).withColumnRenamed("_p", "_gkey"),
+                    _prop_table(graph, payload).withColumnRenamed("_p", cname),
                     "_cur",
                 )
-                key = F.col("_gkey").alias(prop)
-        else:
-            raise ValueError(f"unsupported group().by() key: {keyspec!r}")
-        if valspec is None or valspec[1][0] == "fold":
-            agg = F.sort_array(F.collect_list(F.col("_cur"))).alias("value")
-        else:
-            vname, vargs = valspec[1]
-            if vname == "count":
-                agg = F.count(F.lit(1)).cast("bigint").alias("count")
-            else:  # sum/min/max/mean over a property of the grouped elements
-                if len(vargs) != 1 or vargs[0][0] != "str":
-                    raise ValueError(f"group().by({vname}(...)) needs a property")
+                keycols.append(F.col(cname).alias(alias))
+            else:  # degree
+                direction, elabel = payload
+                e = _edges_for(graph, direction, elabel)
+                if direction == "out":
+                    deg = e.groupBy(F.col("src").alias("_cur"))
+                elif direction == "in":
+                    deg = e.groupBy(F.col("dst").alias("_cur"))
+                else:
+                    deg = (
+                        e.select(F.col("src").alias("_cur"))
+                        .unionAll(e.select(F.col("dst").alias("_cur")))
+                        .groupBy("_cur")
+                    )
+                cname = f"_gkey{kn}"
                 keyed = keyed.join(
-                    _prop_table(graph, vargs[0][1]).withColumnRenamed(
-                        "_p", "_gval"
-                    ),
-                    "_cur",
+                    deg.agg(F.count(F.lit(1)).alias(cname)), "_cur", "left"
+                ).withColumn(
+                    cname, F.coalesce(F.col(cname), F.lit(0)).cast("bigint")
                 )
+                keycols.append(F.col(cname).alias(alias))
+        aggs = []
+        prop_slots: dict[str, str] = {}
+        for vn, (agg, prop, alias) in enumerate(
+            valspecs or [("fold", None, "value")]
+        ):
+            if agg == "count":
+                aggs.append(F.count(F.lit(1)).cast("bigint").alias(alias))
+            elif agg == "fold":
+                aggs.append(
+                    F.sort_array(F.collect_list(F.col("_cur"))).alias(alias)
+                )
+            else:
+                if prop not in prop_slots:
+                    cname = f"_gval{vn}"
+                    keyed = keyed.join(
+                        _prop_table(graph, prop).withColumnRenamed(
+                            "_p", cname
+                        ),
+                        "_cur",
+                    )
+                    prop_slots[prop] = cname
                 fn = {"sum": F.sum, "min": F.min, "max": F.max, "mean": F.avg}
-                agg = fn[vname](F.col("_gval")).alias(vname)
-        return keyed.groupBy(key).agg(agg)
+                aggs.append(fn[agg](F.col(prop_slots[prop])).alias(alias))
+        return keyed.groupBy(*keycols).agg(*aggs)
 
     def apply_order() -> DataFrame:
         exprs = [
@@ -443,19 +988,12 @@ def gremlin(graph: Graph | PropertyGraph, query: str) -> DataFrame:
             raise ValueError("groupCount() may only be followed by .by(...)")
         if pending_grp is not None:
             if name == "by":
-                if len(args) != 1:
-                    raise ValueError("group().by() takes one argument")
+                if not args:
+                    raise ValueError("group().by() needs arguments")
                 if pending_grp["n_by"] == 0:
-                    pending_grp["key"] = args[0]
+                    pending_grp["key"] = _norm_group_keys(args)
                 elif pending_grp["n_by"] == 1:
-                    if args[0][0] != "step" or args[0][1][0] not in (
-                        "count", "fold", "sum", "min", "max", "mean",
-                    ):
-                        raise ValueError(
-                            "group() value by() takes count()/fold()/"
-                            "sum('p')/min('p')/max('p')/mean('p')"
-                        )
-                    pending_grp["val"] = args[0]
+                    pending_grp["val"] = _norm_group_vals(args)
                 else:
                     raise ValueError("group() takes at most two .by(...)")
                 pending_grp["n_by"] += 1
@@ -1001,10 +1539,23 @@ def gremlin(graph: Graph | PropertyGraph, query: str) -> DataFrame:
                         raise ValueError(f"unbound tag {t!r} in where()")
                 cond = F.col(a_t) == F.col(b_t)
                 df = df.filter(cond if args[1][0] == "eq" else ~cond)
+            elif len(args) == 1 and args[0][0] == "expr":
+                # SQL-expression filter (supported_gremlin_steps.md
+                # §Expression): where(expr(_.name = "marko")); property
+                # lookups left-join onto the frame, a null outcome drops
+                # the traverser (Gremlin filter semantics); not(expr(..))
+                # keeps the complement of the TRUE set
+                frame, col, temp = _bind_expr(
+                    graph, df, tags, args[0][1], cur_kind, edge_cols, val_col
+                )
+                cond = (
+                    ~F.coalesce(col, F.lit(False)) if name == "not" else col
+                )
+                df = frame.filter(cond).drop(*temp)
             else:
                 raise ValueError(
-                    f"{name}() supports eq('tag') / neq('tag') / an "
-                    "anonymous traversal step"
+                    f"{name}() supports eq('tag') / neq('tag') / "
+                    "expr(...) / an anonymous traversal step"
                 )
         elif name == "union":
             # union(out(..), in(..), ...): apply each single-step branch to
@@ -1203,11 +1754,89 @@ def gremlin(graph: Graph | PropertyGraph, query: str) -> DataFrame:
         elif name == "select":
             if i != len(steps) - 1:
                 raise ValueError("select() must be terminal in this subset")
+            if len(args) == 1 and args[0][0] == "expr":
+                # projection form: select(expr(_.name)) → column `value`
+                frame, col, _temp = _bind_expr(
+                    graph, df, tags, args[0][1], cur_kind, edge_cols, val_col
+                )
+                return frame.select(col.alias("value"))
             cols = [v for _k, v in args]
             for c in cols:
                 if c not in tags:
                     raise ValueError(f"unbound tag {c!r} in select()")
             return df.select(*cols)
+        elif name == "project":
+            # project('k1','k2').by(spec).by(spec) → one column per key
+            # (TinkerPop ProjectStep / GIE Project); by specs: 'prop' |
+            # values('p') | id() | select('tag') | out/in/both().count() |
+            # expr(...). One by() per key, terminal.
+            keys = [v for k, v in args if k == "str"]
+            if not keys or len(keys) != len(args):
+                raise ValueError("project() takes one or more string keys")
+            bys = []
+            j = i + 1
+            while j < len(steps) and steps[j][0] == "by":
+                if len(steps[j][1]) != 1:
+                    raise ValueError("project().by() takes one argument")
+                bys.append(steps[j][1][0])
+                consumed.add(j)
+                j += 1
+            if j != len(steps):
+                raise ValueError(
+                    "project().by(...) must be terminal in this subset"
+                )
+            if len(bys) != len(keys):
+                raise ValueError(
+                    f"project() needs one .by() per key "
+                    f"({len(keys)} keys, {len(bys)} by-steps)"
+                )
+            frame = df
+            outcols = []
+            for kn, (key, spec) in enumerate(zip(keys, bys)):
+                if spec[0] == "expr":
+                    frame, col, _t = _bind_expr(
+                        graph, frame, tags, spec[1], cur_kind, edge_cols,
+                        val_col,
+                    )
+                    outcols.append(col.alias(key))
+                    continue
+                kind, payload, _al = _norm_group_keys([spec])[0]
+                if kind == "id":
+                    col = F.col("_cur")
+                elif kind == "tag":
+                    col = F.col(payload)
+                elif kind == "prop":
+                    cname = f"_pj{kn}"
+                    frame = frame.join(
+                        _prop_table(graph, payload).withColumnRenamed(
+                            "_p", cname
+                        ),
+                        "_cur", "left",
+                    )
+                    col = F.col(cname)
+                else:  # degree
+                    direction, elabel = payload
+                    e = _edges_for(graph, direction, elabel)
+                    if direction == "out":
+                        deg = e.groupBy(F.col("src").alias("_cur"))
+                    elif direction == "in":
+                        deg = e.groupBy(F.col("dst").alias("_cur"))
+                    else:
+                        deg = (
+                            e.select(F.col("src").alias("_cur"))
+                            .unionAll(e.select(F.col("dst").alias("_cur")))
+                            .groupBy("_cur")
+                        )
+                    cname = f"_pj{kn}"
+                    frame = frame.join(
+                        deg.agg(F.count(F.lit(1)).alias(cname)), "_cur", "left"
+                    ).withColumn(
+                        cname,
+                        F.coalesce(F.col(cname), F.lit(0)).cast("bigint"),
+                    )
+                    col = F.col(cname)
+                outcols.append(col.alias(key))
+            return frame.select(*outcols)
         elif name == "valueMap":
             if i != len(steps) - 1:
                 raise ValueError("valueMap() must be terminal in this subset")

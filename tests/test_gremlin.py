@@ -814,3 +814,181 @@ def test_gremlin_where_two_tags_and_unfold(spark):
     assert n == 6
     with pytest.raises(ValueError, match="must follow fold"):
         gremlin(g, "g.V().unfold().count()")
+
+
+def _modern_pg(spark):
+    """TinkerPop's 'modern' graph — the fixture the reference's
+    supported_gremlin_steps.md §Expression examples run on."""
+    from graphscope_spark.graph.property_graph import PropertyGraph
+
+    person = spark.createDataFrame(
+        [(1, "marko", 29), (2, "vadas", 27), (4, "josh", 32),
+         (6, "peter", 35)],
+        "id long, name string, age long",
+    )
+    soft = spark.createDataFrame(
+        [(3, "lop"), (5, "ripple")], "id long, name string"
+    )
+    created = spark.createDataFrame(
+        [(1, 3), (4, 5), (4, 3), (6, 3)], "src long, dst long"
+    )
+    knows = spark.createDataFrame([(1, 2), (1, 4)], "src long, dst long")
+    return (
+        PropertyGraph()
+        .add_vertices("person", person)
+        .add_vertices("software", soft)
+        .add_edges("created", "person", "software", created)
+        .add_edges("knows", "person", "person", knows)
+    )
+
+
+def test_gremlin_expr_doc_examples(spark):
+    """The reference doc's own §Expression running examples, verbatim."""
+    pg = _modern_pg(spark)
+    r = gremlin(pg, 'g.V().where(expr(_.name = "marko"))').collect()
+    assert sorted(x["id"] for x in r) == [1]
+    r = gremlin(
+        pg, 'g.V().as("a").where(expr(a.name = "marko" OR a.age > 10))'
+    ).collect()
+    assert sorted(x["id"] for x in r) == [1, 2, 4, 6]
+    r = gremlin(
+        pg, 'g.V().as("a").where(expr(a.age IS NULL)).values("name")'
+    ).collect()
+    assert sorted(x["name"] for x in r) == ["lop", "ripple"]
+    r = gremlin(
+        pg, 'g.V().as("a").where(expr(a.age IS NOT NULL)).values("name")'
+    ).collect()
+    assert sorted(x["name"] for x in r) == ["josh", "marko", "peter", "vadas"]
+    r = gremlin(
+        pg, 'g.V().as("a").where(expr(a.name STARTS WITH "ma"))'
+    ).collect()
+    assert sorted(x["id"] for x in r) == [1]
+    r = gremlin(pg, 'g.V().select(expr(_.name))').collect()
+    assert sorted(x["value"] for x in r) == [
+        "josh", "lop", "marko", "peter", "ripple", "vadas",
+    ]
+    # _.age ^ 1 is bitwise XOR in expr() (POWER is the exponent function)
+    r = gremlin(pg, 'g.V().hasLabel("person").select(expr(_.age ^ 1))').collect()
+    assert sorted(x["value"] for x in r) == [26, 28, 33, 34]
+    r = gremlin(
+        pg, 'g.V().hasLabel("person").select(expr(POWER(_.age, 2)))'
+    ).collect()
+    assert sorted(int(x["value"]) for x in r) == [729, 841, 1024, 1225]
+
+
+def test_gremlin_expr_operators(spark):
+    pg = _modern_pg(spark)
+    # IN list, arithmetic with precedence, legacy @/&&/== spelling,
+    # shifts, NOT-over-strpred, not(expr(...)) complement
+    assert gremlin(
+        pg, 'g.V().where(expr(_.name IN ["marko", "vadas"])).count()'
+    ).collect()[0]["count"] == 2
+    r = gremlin(
+        pg, 'g.V().hasLabel("person").where(expr((_.age + 1) * 2 = 60))'
+    ).collect()
+    assert sorted(x["id"] for x in r) == [1]
+    r = gremlin(
+        pg, 'g.V().as("a").where(expr(@a.name == "marko" && @a.age > 10))'
+    ).collect()
+    assert sorted(x["id"] for x in r) == [1]
+    r = gremlin(pg, 'g.V().hasLabel("person").select(expr(_.age << 1))').collect()
+    assert sorted(x["value"] for x in r) == [54, 58, 64, 70]
+    r = gremlin(
+        pg, 'g.V().where(expr(NOT _.name STARTS WITH "ma")).values("name")'
+    ).collect()
+    assert sorted(x["name"] for x in r) == [
+        "josh", "lop", "peter", "ripple", "vadas",
+    ]
+    # not(expr(..)): null outcomes (no age) are NOT true, so they stay
+    assert gremlin(
+        pg, 'g.V().not(expr(_.age IS NOT NULL)).count()'
+    ).collect()[0]["count"] == 2
+    # LABELS()/elementId() functions
+    assert gremlin(
+        pg, 'g.V().as("a").where(expr(LABELS(a) = "software")).count()'
+    ).collect()[0]["count"] == 2
+    assert gremlin(
+        pg, 'g.V().as("a").where(expr(elementId(a) = 4)).count()'
+    ).collect()[0]["count"] == 1
+
+
+def test_gremlin_expr_errors(spark):
+    pg = _modern_pg(spark)
+    with pytest.raises(ValueError, match="unbound tag"):
+        gremlin(pg, 'g.V().where(expr(z.age > 1))').collect()
+    with pytest.raises(ValueError, match="no vertex label has property"):
+        gremlin(pg, 'g.V().where(expr(_.salary > 1))').collect()
+    with pytest.raises(ValueError, match="trailing tokens|unsupported"):
+        gremlin(pg, 'g.V().where(expr(_.age > 1 2))').collect()
+    with pytest.raises(ValueError, match="not supported in expr"):
+        gremlin(pg, 'g.V().as("p").where(expr(LENGTH(p) > 1))').collect()
+
+
+def test_gremlin_extended_group(spark):
+    """supported_gremlin_steps.md §Aggregate (Group) — the extended
+    multi-key / multi-value by()-step examples."""
+    pg = _modern_pg(spark)
+    r = gremlin(
+        pg,
+        'g.V().hasLabel("person").group()'
+        '.by(values("name").as("k1"), values("age").as("k2"))',
+    ).collect()
+    got = sorted((x["k1"], x["k2"], list(x["value"])) for x in r)
+    assert got == [
+        ("josh", 32, [4]), ("marko", 29, [1]), ("peter", 35, [6]),
+        ("vadas", 27, [2]),
+    ]
+    r = gremlin(
+        pg,
+        'g.V().hasLabel("person").group()'
+        '.by(out().count().as("k1"), values("name").as("k2"))',
+    ).collect()
+    assert sorted((x["k1"], x["k2"]) for x in r) == [
+        (0, "vadas"), (1, "peter"), (2, "josh"), (3, "marko"),
+    ]
+    r = gremlin(
+        pg,
+        'g.V().hasLabel("person").group().by("name")'
+        '.by(count().as("v1"), values("age").sum().as("v2"))',
+    ).collect()
+    assert sorted((x["name"], x["v1"], x["v2"]) for x in r) == [
+        ("josh", 1, 32), ("marko", 1, 29), ("peter", 1, 35), ("vadas", 1, 27),
+    ]
+    # legacy single-key single-value forms unchanged
+    r = gremlin(pg, 'g.V().hasLabel("person").group().by("name").by(count())').collect()
+    assert sorted((x["name"], x["count"]) for x in r) == [
+        ("josh", 1), ("marko", 1), ("peter", 1), ("vadas", 1),
+    ]
+    with pytest.raises(ValueError, match="unsupported group"):
+        gremlin(pg, 'g.V().group().by(out().out().as("k"))').collect()
+
+
+def test_gremlin_project(spark):
+    pg = _modern_pg(spark)
+    r = gremlin(
+        pg,
+        'g.V().hasLabel("person").project("v", "deg", "nm")'
+        '.by(id()).by(out().count()).by("name")',
+    ).collect()
+    assert sorted((x["v"], x["deg"], x["nm"]) for x in r) == [
+        (1, 3, "marko"), (2, 0, "vadas"), (4, 2, "josh"), (6, 1, "peter"),
+    ]
+    # expr() value and select(tag) binding
+    r = gremlin(
+        pg,
+        'g.V().hasLabel("person").project("nm", "agesq")'
+        '.by("name").by(expr(_.age * _.age))',
+    ).collect()
+    assert sorted((x["nm"], x["agesq"]) for x in r) == [
+        ("josh", 1024), ("marko", 841), ("peter", 1225), ("vadas", 729),
+    ]
+    r = gremlin(
+        pg,
+        'g.V().as("a").out("knows").project("who", "from")'
+        '.by(id()).by(select("a"))',
+    ).collect()
+    assert sorted((x["who"], x["from"]) for x in r) == [(2, 1), (4, 1)]
+    with pytest.raises(ValueError, match="one .by"):
+        gremlin(pg, 'g.V().project("a", "b").by(id())').collect()
+    with pytest.raises(ValueError, match="terminal"):
+        gremlin(pg, 'g.V().project("a").by(id()).count()').collect()
