@@ -115,10 +115,27 @@ _STR_PRED = re.compile(
     r"(?i)^(.+?)\s+(STARTS\s+WITH|ENDS\s+WITH|CONTAINS)\s+(.+)$"
 )
 _RE_PRED = re.compile(r"^(.+?)\s*=~\s*(.+)$")
-# p = shortestPath((a)-[*..6]->(b)) — GIE's Cypher shortest-path surface
+# datetime(<epoch-ms>) literal (supported_cypher.md UDF row
+# gs.function.datetime): rewritten to a paren-free __ts_<ms> token before
+# the WHERE tokenizer runs, because the boolean grammar owns parentheses
+_DATETIME_LIT = re.compile(r"(?i)\bdatetime\s*\(\s*(\d+)\s*\)")
+_TS_TOKEN = re.compile(r"^__ts_(\d+)$")
+# <temporal>.<interval> extraction (supported_cypher.md Extract row):
+# tag.prop.year … tag.prop.second over a timestamp property
+_EXTRACT_RE = re.compile(
+    r"(?i)^([A-Za-z_]\w*)\.([A-Za-z_]\w*)"
+    r"\.(year|month|day|hour|minute|second)$"
+)
+_EXTRACT_FNS = {
+    "year": F.year, "month": F.month, "day": F.dayofmonth,
+    "hour": F.hour, "minute": F.minute, "second": F.second,
+}
+# p = shortestPath((a)-[*..6]->(b)) — GIE's Cypher shortest-path surface;
+# allShortestPaths(...) is the ALL SHORTEST path modifier
+# (supported_cypher.md Path Modifier rows)
 _SHORTEST = re.compile(
     r"(?is)^(?:([A-Za-z_][A-Za-z_0-9]*)\s*=\s*)?"
-    r"shortestPath\s*\((.*)\)\s*$"
+    r"(allShortestPaths|shortestPath)\s*\((.*)\)\s*$"
 )
 
 # WHERE tokens: quoted strings survive intact so AND/OR inside a literal
@@ -270,6 +287,10 @@ def _operand_leaves(operand):
         yield from _operand_leaves(operand[3])
     elif kind == "neg":
         yield from _operand_leaves(operand[1])
+    elif kind == "extract":
+        # interval extraction reads the underlying property — pushdown
+        # reasoning sees it as that property reference
+        yield ("prop", operand[1], operand[2])
     else:
         yield operand
 
@@ -408,6 +429,11 @@ def parse_cypher(query: str) -> dict:
     ``("lit", value)`` and item kind ∈ {"tag", "prop", "count"}.
     """
     q = query.strip().rstrip(";")
+    # datetime(<ms>) literals become paren-free tokens the WHERE/RETURN
+    # grammars can carry (note: a literal `datetime(123)` INSIDE a quoted
+    # string would also rewrite — datetime-shaped string content is not
+    # supported)
+    q = _DATETIME_LIT.sub(lambda m: f"__ts_{m.group(1)}", q)
     # WITH is a clause keyword only when it does not complete a string
     # predicate — `STARTS WITH` / `ENDS WITH` stay inside their WHERE text
     toks = re.split(
@@ -483,9 +509,13 @@ def parse_cypher(query: str) -> dict:
             raise ValueError(f"tag {tag!r} bound to two labels: {prev}, {label}")
         labels[tag] = label if label is not None else prev
 
-    def parse_shortest(path: str, sp_var: str | None, inner: str) -> None:
+    def parse_shortest(
+        path: str, sp_var: str | None, inner: str, all_paths: bool = False
+    ) -> None:
         """p = shortestPath((a)-[:lab?][*lo..hi?]->(b)) — ONE edge pattern;
-        an unbounded [*] is allowed here (BFS terminates regardless)."""
+        an unbounded [*] is allowed here (BFS terminates regardless).
+        ``all_paths`` marks allShortestPaths(...) (ALL SHORTEST): every
+        minimal-hop path binds, not one deterministic representative."""
         pos = 0
         node = _NODE.match(inner, pos)
         if not node:
@@ -519,7 +549,10 @@ def parse_cypher(query: str) -> dict:
         else:
             raise ValueError(f"unsupported edge direction {left}…{right}")
         idx = len(sentences) - 1
-        shortest[idx] = {"var": sp_var, "max": int(hmax) if hmax else None}
+        shortest[idx] = {
+            "var": sp_var, "max": int(hmax) if hmax else None,
+            "all": all_paths,
+        }
         if sp_var is not None:
             if sp_var in path_vars or sp_var in labels:
                 raise ValueError(f"path variable {sp_var!r} already bound")
@@ -529,7 +562,10 @@ def parse_cypher(query: str) -> dict:
         for path in (p.strip() for p in part_text.split(",") if p.strip()):
             sp = _SHORTEST.match(path)
             if sp:
-                parse_shortest(path, sp.group(1), sp.group(2).strip())
+                parse_shortest(
+                    path, sp.group(1), sp.group(3).strip(),
+                    sp.group(2).lower().startswith("all"),
+                )
                 continue
             pos = 0
             node = _NODE.match(path, pos)
@@ -612,6 +648,16 @@ def parse_cypher(query: str) -> dict:
     tags = set(labels)
 
     def parse_primary(raw: str):
+        tm = _TS_TOKEN.match(raw.strip())
+        if tm:
+            # rewritten datetime(<ms>) literal → a timestamp constant
+            return ("lit_ts", int(tm.group(1)))
+        xm = _EXTRACT_RE.match(raw.strip())
+        if xm:
+            etag, eprop, part = xm.group(1), xm.group(2), xm.group(3).lower()
+            if etag not in tags and etag not in edge_vars:
+                raise ValueError(f"WHERE references unbound tag {etag!r}")
+            return ("extract", etag, eprop, part)
         om = _OPERAND.match(raw.strip())
         if not om:
             raise ValueError(f"unsupported operand: {raw!r}")
@@ -635,7 +681,11 @@ def parse_cypher(query: str) -> dict:
 
     def parse_operand(raw: str):
         raw = raw.strip()
-        if _OPERAND.match(raw):
+        if (
+            _TS_TOKEN.match(raw)
+            or _EXTRACT_RE.match(raw)
+            or _OPERAND.match(raw)
+        ):
             return parse_primary(raw)
         # not a plain primary: arithmetic expression over primaries
         return _parse_arith(raw, parse_primary)
@@ -722,6 +772,53 @@ def parse_cypher(query: str) -> dict:
                     )
                 items.append(("pathlen", pv, None, lm.group(2) or f"length_{pv}"))
                 continue
+            pm = re.match(
+                r"(?i)^(nodes|relationships)\s*"
+                r"\(\s*([A-Za-z_][A-Za-z_0-9]*)\s*\)"
+                r"(?:\s+AS\s+([A-Za-z_][A-Za-z_0-9]*))?$",
+                raw,
+            )
+            if pm:
+                # nodes(p) / relationships(p) — supported_cypher.md UDF
+                # rows (gs.function.nodes/relationships): the path's vertex
+                # array / its consecutive (src, dst) edge structs
+                fname = pm.group(1).lower()
+                pv, falias = pm.group(2), pm.group(3)
+                if pv not in path_vars or not allow_props:
+                    raise ValueError(
+                        f"{fname}() takes a bound shortestPath variable, "
+                        f"got {pv!r}"
+                    )
+                kind = "pathvar" if fname == "nodes" else "pathrels"
+                items.append((kind, pv, None, falias or f"{fname}_{pv}"))
+                continue
+            em = re.match(
+                r"(?i)^(startNode|endNode)\s*"
+                r"\(\s*([A-Za-z_][A-Za-z_0-9]*)\s*\)"
+                r"(?:\s+AS\s+([A-Za-z_][A-Za-z_0-9]*))?$",
+                raw,
+            )
+            if em:
+                # startNode(r) / endNode(r) — supported_cypher.md UDF rows:
+                # the relationship's endpoint vertex ids, statically the
+                # pattern's bound endpoint tags (sentences are normalized
+                # to src→dst orientation at parse time)
+                fname = em.group(1).lower()
+                rv, falias = em.group(2), em.group(3)
+                if rv not in edge_vars or not allow_props:
+                    raise ValueError(
+                        f"{fname}() takes a relationship variable, got {rv!r}"
+                    )
+                sa, sdir, sb, _sel = sentences[edge_vars[rv]]
+                if sdir != "out":
+                    raise ValueError(
+                        f"{fname}() is undefined on undirected patterns"
+                    )
+                items.append((
+                    "tag", sa if fname == "startnode" else sb, None,
+                    falias or f"{fname.replace('node', 'Node')}_{rv}",
+                ))
+                continue
             fm = re.match(
                 r"(?i)^(labels|type|elementId)\s*"
                 r"\(\s*([A-Za-z_][A-Za-z_0-9]*)\s*\)"
@@ -777,7 +874,7 @@ def parse_cypher(query: str) -> dict:
                 )
                 if am and allow_props:
                     node = parse_operand(am.group(1))
-                    if node[0] in ("arith", "neg"):
+                    if node[0] in ("arith", "neg", "extract", "lit_ts"):
                         items.append(("expr", node, None, am.group(2)))
                         continue
                 raise ValueError(f"unsupported {what} item: {raw!r}")
@@ -834,6 +931,9 @@ def parse_cypher(query: str) -> dict:
         return distinct, items
 
     def parse_alias_operand(raw: str, names: set):
+        tm = _TS_TOKEN.match(raw.strip())
+        if tm:
+            return ("lit_ts", int(tm.group(1)))
         om = _OPERAND.match(raw.strip())
         if not om:
             raise ValueError(f"unsupported operand: {raw!r}")
@@ -1121,6 +1221,14 @@ def _operand_col(operand, propcol, tagcol=None) -> Column:
     kind = operand[0]
     if kind == "lit":
         return F.lit(operand[1])
+    if kind == "lit_ts":
+        # datetime(<epoch-ms>) literal → timestamp constant
+        return F.timestamp_millis(F.lit(operand[1]))
+    if kind == "extract":
+        # tag.prop.year … — interval extraction over a temporal property
+        return _EXTRACT_FNS[operand[3]](
+            propcol(operand[1], operand[2])
+        ).cast("long")
     if kind == "tag":
         return tagcol(operand[1]) if tagcol else F.col(operand[1])
     if kind == "neg":
@@ -1248,6 +1356,7 @@ def cypher_property(
             # (no binding), matching GIE.
             from graphscope_spark.graph.graph import Graph as _SimpleGraph
             from graphscope_spark.operators.relational import (
+                all_shortest_paths_expand,
                 shortest_path_expand,
             )
 
@@ -1258,9 +1367,12 @@ def cypher_property(
                 _tag_ids(a).select(F.col("id").alias("a"))
                 .crossJoin(_tag_ids(b).select(F.col("id").alias("b")))
             )
-            sp = shortest_path_expand(
-                g, pairs, max_depth=spec["max"] or 10_000
+            expand = (
+                all_shortest_paths_expand
+                if spec.get("all")
+                else shortest_path_expand
             )
+            sp = expand(g, pairs, max_depth=spec["max"] or 10_000)
             key = spec["var"]
             cols = [
                 F.col("a").alias("src"),
@@ -1557,6 +1669,17 @@ def cypher_property(
                 continue
             if kind == "pathvar":
                 keys.append(F.col(f"{tag}__path").alias(alias))
+                continue
+            if kind == "pathrels":
+                # relationships(p): consecutive (src, dst) pairs along the
+                # path's vertex array
+                pc = f"{tag}__path"
+                keys.append(
+                    F.expr(
+                        f"transform(slice({pc}, 1, size({pc}) - 1), "
+                        f"(x, i) -> struct(x AS src, {pc}[i + 1] AS dst))"
+                    ).alias(alias)
+                )
                 continue
             if kind == "labels":
                 keys.append(F.col(f"{tag}__labels").alias(alias))

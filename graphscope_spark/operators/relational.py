@@ -212,3 +212,72 @@ def shortest_path_expand(
         )
     finally:
         forest.unpersist()
+
+
+def all_shortest_paths_expand(
+    graph,
+    pairs: DataFrame,
+    max_depth: int = 10_000,
+) -> DataFrame:
+    """ALL SHORTEST variant of :func:`shortest_path_expand`
+    (supported_cypher.md Path Modifier "ALL SHORTEST" /
+    algebra.proto ALL SHORTESTPATH): for each (a, b) pair return ONE ROW
+    PER minimal-hop path. Unreachable pairs drop.
+
+    Plan: the same parent-tracked multi-source BFS gives per-(source, id)
+    depths; reconstruction walks backwards one join per hop against the
+    EDGE table filtered to depth-(d-1) predecessors — every predecessor at
+    the minimal depth continues a path, so the join multiplies exactly
+    over the shortest-path DAG (the enumeration is output-bound: rows =
+    number of shortest paths, the semantics' intrinsic size)."""
+    from pyspark.sql import functions as F
+
+    from graphscope_spark.engine.multisource import multi_source_bfs_parents
+
+    pr = pairs.select(
+        F.col(pairs.columns[0]).cast("long").alias("a"),
+        F.col(pairs.columns[1]).cast("long").alias("b"),
+    ).distinct()
+    sources = pr.select(F.col("a").alias("source")).distinct()
+    forest = multi_source_bfs_parents(graph, sources, max_depth=max_depth).persist()
+    edges = graph.edges.select(
+        F.col("src").alias("pred"), F.col("dst").alias("cursor")
+    )
+    try:
+        hit = pr.join(
+            forest.select(
+                F.col("source").alias("a"), F.col("id").alias("b"), "depth"
+            ),
+            ["a", "b"],
+        )
+        max_hops = int(hit.agg(F.max("depth")).collect()[0][0] or 0)
+        depths = forest.select(
+            F.col("source").alias("a"),
+            F.col("id").alias("pred"),
+            F.col("depth").alias("pdepth"),
+        )
+        cur = hit.select(
+            "a", "b", F.col("depth").alias("hops"),
+            F.col("b").alias("cursor"), F.col("depth").alias("cdepth"),
+            F.array("b").alias("path"),
+        ).localCheckpoint(eager=True)
+        for _ in range(max_hops):
+            done = cur.filter(F.col("cursor") == F.col("a"))
+            todo = cur.filter(F.col("cursor") != F.col("a"))
+            step = (
+                todo.join(edges, "cursor")
+                .join(depths, ["a", "pred"])
+                .filter(F.col("pdepth") == F.col("cdepth") - 1)
+                .select(
+                    "a", "b", "hops",
+                    F.col("pred").alias("cursor"),
+                    F.col("pdepth").alias("cdepth"),
+                    F.concat(F.array("pred"), "path").alias("path"),
+                )
+            )
+            cur = done.unionByName(step).localCheckpoint(eager=True)
+        return cur.filter(F.col("cursor") == F.col("a")).select(
+            "a", "b", "hops", "path"
+        )
+    finally:
+        forest.unpersist()

@@ -682,7 +682,7 @@ def test_cypher_shortest_path(spark):
         "WHERE a.id = 0 AND b.id = 4 "
         "RETURN a.id AS aid, b.id AS bid, length(p) AS len, p"
     )
-    assert ast["shortest"] == {0: {"var": "p", "max": 6}}
+    assert ast["shortest"] == {0: {"var": "p", "max": 6, "all": False}}
     assert ("pathlen", "p", None, "len") in ast["return"]["items"]
     assert ("pathvar", "p", None, "p") in ast["return"]["items"]
 
@@ -1213,3 +1213,157 @@ def test_cypher_collect_distinct_and_power(spark):
         "MATCH (a:person) WHERE a.age ^ 2 > 1000 RETURN count(*) AS n",
     ).collect()
     assert rows[0]["n"] == 3  # ages 32,33,34 square past 1000
+
+
+def test_cypher_path_and_edge_functions(spark):
+    """nodes(p)/relationships(p)/startNode(r)/endNode(r) — the
+    supported_cypher.md UDF rows (gs.function.*)."""
+    from graphscope_spark.operators.cypher import cypher_property
+
+    pg = _pgraph(spark)
+    rows = cypher_property(
+        pg,
+        "MATCH p = shortestPath((a:person)-[:knows*..6]->(b:person)) "
+        "WHERE a.id = 0 AND b.id = 4 "
+        "RETURN nodes(p) AS ns, relationships(p) AS rs, length(p) AS len",
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert list(r["ns"]) == [0, 2, 3, 4]
+    assert [(x["src"], x["dst"]) for x in r["rs"]] == [(0, 2), (2, 3), (3, 4)]
+    assert r["len"] == 3
+
+    rows = cypher_property(
+        pg,
+        "MATCH (a:person)-[r:knows]->(b:person) WHERE a.id = 0 "
+        "RETURN startNode(r) AS s, endNode(r) AS e ORDER BY e",
+    ).collect()
+    assert [(x["s"], x["e"]) for x in rows] == [(0, 1), (0, 2)]
+
+    # <-[r]- pattern: sentences normalize to src->dst, startNode follows
+    # the EDGE direction, not the pattern's textual order
+    rows = cypher_property(
+        pg,
+        "MATCH (b:person)<-[r:knows]-(a:person) WHERE a.id = 0 "
+        "RETURN startNode(r) AS s, endNode(r) AS e ORDER BY e",
+    ).collect()
+    assert [(x["s"], x["e"]) for x in rows] == [(0, 1), (0, 2)]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="shortestPath variable"):
+        cypher_property(pg, "MATCH (a:person) RETURN nodes(a) AS x")
+    with _pytest.raises(ValueError, match="relationship variable"):
+        cypher_property(
+            pg, "MATCH (a:person)-[:knows]->(b) RETURN startNode(a) AS x"
+        )
+    with _pytest.raises(ValueError, match="undirected"):
+        cypher_property(
+            pg,
+            "MATCH (a:person)-[r:knows]-(b:person) "
+            "RETURN startNode(r) AS s",
+        )
+
+
+def test_cypher_datetime_literal_and_extract(spark):
+    """datetime(<epoch-ms>) literals and <temporal>.<interval> extraction
+    (supported_cypher.md UDF + Extract rows) over a timestamp property."""
+    from datetime import datetime
+
+    from graphscope_spark.graph.property_graph import PropertyGraph
+    from graphscope_spark.operators.cypher import cypher_property
+
+    ev = spark.createDataFrame(
+        [
+            (0, datetime(2020, 1, 15, 10, 30, 0)),
+            (1, datetime(2021, 6, 1, 5, 0, 0)),
+            (2, datetime(2022, 12, 31, 23, 59, 59)),
+        ],
+        "id long, created timestamp",
+    )
+    follows = spark.createDataFrame(
+        [(0, 1), (1, 2)], "src long, dst long"
+    )
+    pg = (
+        PropertyGraph()
+        .add_vertices("event", ev)
+        .add_edges("follows", "event", "event", follows)
+    )
+    # datetime(1606780800000) = 2020-12-01T00:00:00Z; WHERE pushes to scan
+    cutoff = 1606780800000
+    rows = cypher_property(
+        pg,
+        f"MATCH (e:event) WHERE e.created > datetime({cutoff}) "
+        "RETURN e.id AS id",
+    ).collect()
+    assert sorted(r["id"] for r in rows) == [1, 2]
+    # interval extraction in WHERE and RETURN
+    rows = cypher_property(
+        pg,
+        "MATCH (e:event) WHERE e.created.year = 2021 "
+        "RETURN e.id AS id, e.created.month AS m",
+    ).collect()
+    assert [(r["id"], r["m"]) for r in rows] == [(1, 6)]
+    rows = cypher_property(
+        pg,
+        "MATCH (e:event)-[:follows]->(f:event) "
+        "WHERE f.created.year - e.created.year >= 1 "
+        "RETURN e.id AS src_id, f.created.day AS d ORDER BY src_id",
+    ).collect()
+    assert [(r["src_id"], r["d"]) for r in rows] == [(0, 1), (1, 31)]
+    # RETURN item form: extraction AS alias
+    rows = cypher_property(
+        pg,
+        "MATCH (e:event) RETURN e.created.hour AS h",
+    ).collect()
+    assert sorted(r["h"] for r in rows) == [5, 10, 23]
+
+
+def test_cypher_all_shortest_paths(spark):
+    """allShortestPaths(...) (supported_cypher.md ALL SHORTEST row): one
+    row PER minimal-hop path, vs shortestPath's single representative."""
+    from graphscope_spark.graph.property_graph import PropertyGraph
+    from graphscope_spark.operators.cypher import cypher_property
+
+    # diamond 0->{1,2}->3 plus a longer detour 0->4->5->3: exactly two
+    # 2-hop shortest paths 0..3, the detour never binds
+    person = spark.createDataFrame(
+        [(i, 30 + i) for i in range(6)], "id long, age long"
+    )
+    knows = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (2, 3), (0, 4), (4, 5), (5, 3)],
+        "src long, dst long",
+    )
+    pg = (
+        PropertyGraph()
+        .add_vertices("person", person)
+        .add_edges("knows", "person", "person", knows)
+    )
+    rows = cypher_property(
+        pg,
+        "MATCH p = allShortestPaths((a:person)-[:knows*..6]->(b:person)) "
+        "WHERE a.id = 0 AND b.id = 3 "
+        "RETURN length(p) AS len, p",
+    ).collect()
+    assert sorted(tuple(r["p"]) for r in rows) == [(0, 1, 3), (0, 2, 3)]
+    assert [r["len"] for r in rows] == [2, 2]
+    # singular shortestPath picks ONE deterministic representative
+    rows1 = cypher_property(
+        pg,
+        "MATCH p = shortestPath((a:person)-[:knows*..6]->(b:person)) "
+        "WHERE a.id = 0 AND b.id = 3 "
+        "RETURN p",
+    ).collect()
+    assert len(rows1) == 1
+    # aggregation over path multiplicity: count of shortest paths per pair
+    rows = cypher_property(
+        pg,
+        "MATCH p = allShortestPaths((a:person)-[:knows*..6]->(b:person)) "
+        "WHERE a.id = 0 "
+        "RETURN b.id AS bid, count(*) AS n_paths ORDER BY bid",
+    ).collect()
+    # bid=0 is the 0-hop self binding — same min-depth-includes-0
+    # semantics as the singular shortestPath (its BFS forest roots at
+    # depth 0)
+    assert [(r["bid"], r["n_paths"]) for r in rows] == [
+        (0, 1), (1, 1), (2, 1), (3, 2), (4, 1), (5, 1),
+    ]
