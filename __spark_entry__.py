@@ -2737,6 +2737,23 @@ def _q_cypher_allshortest(spark, sf_dir):
     ).orderBy("aid", "bid")
 
 
+def _q_random_multi_bfs(spark, sf_dir):
+    """Random multi-source BFS (flash/traversal/random-multi-bfs.h): 4
+    seeded congruential roots advanced in lock-step (one shuffle per
+    level, composite-state batch), depth-capped at 3; the oracle is a
+    depth-capped recursive min-depth walk from the same arithmetic
+    roots."""
+    from graphscope_spark.algorithms.traversal import random_multi_bfs
+
+    g = _customer_graph(spark, sf_dir)
+    res = random_multi_bfs(g, k=4, seed=7, max_depth=3)
+    return res.selectExpr(
+        "CAST(source AS BIGINT) AS source",
+        "CAST(id AS BIGINT) AS id",
+        "CAST(depth AS BIGINT) AS depth",
+    ).orderBy("source", "id")
+
+
 def _q_cypher_edge_prop(spark, sf_dir):
     """Relationship variables with edge-property access (GIE property
     fetch on edge bindings): r.w filters the edge scan (the edge half of
@@ -3266,6 +3283,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gremlin_expr": _q_gremlin_expr,
     "gremlin_group_ext": _q_gremlin_group_ext,
     "cypher_allshortest": _q_cypher_allshortest,
+    "random_multi_bfs": _q_random_multi_bfs,
     "cypher_cross_label": _q_cypher_cross_label,
     "cypher_filtered": _q_cypher_filtered,
     "cypher_shortest": _q_cypher_shortest,
@@ -3405,6 +3423,25 @@ ORACLES: dict[str, str] = {
     "cross_label_2hop": _CROSS_LABEL_SQL,
     "cypher_cross_label": _CROSS_LABEL_SQL,
     "cypher_shortest": _CYPHER_SHORTEST_SQL,
+    # random-multi-bfs: seeded congruential roots (seed + i*floor(n/k)) % n
+    # — the engine draws the same arithmetic roots, so the recursive
+    # min-depth walk is an exact twin
+    "random_multi_bfs": _with(
+        """
+rmb_seeds AS MATERIALIZED (
+  SELECT DISTINCT (7 + i * ((SELECT c FROM params) // 4))
+         % (SELECT c FROM params) AS s
+  FROM range(4) t(i)),
+rmb_walk(s, id, depth) AS (
+  SELECT s, s, 0 FROM rmb_seeds
+  UNION
+  SELECT w.s, e.dst, w.depth + 1
+  FROM rmb_walk w JOIN edges e ON e.src = w.id
+  WHERE w.depth < 3)"""
+    )
+    + """
+SELECT s AS source, id, MIN(depth)::BIGINT AS depth
+FROM rmb_walk GROUP BY s, id ORDER BY source, id""",
     # allShortestPaths: 2 unrolled BFS rounds with path-count sums; each
     # round's new frontier anti-joins every earlier round so only
     # minimal-hop counts survive (asp0 = the 0-hop self bindings)

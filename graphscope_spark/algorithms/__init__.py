@@ -24,7 +24,7 @@ from graphscope_spark.algorithms.centrality import (
 from graphscope_spark.algorithms.hits import hits
 from graphscope_spark.algorithms.kcore import k_core, k_shell
 from graphscope_spark.algorithms.pagerank import pagerank, pagerank_ldbc
-from graphscope_spark.algorithms.traversal import bfs, sssp
+from graphscope_spark.algorithms.traversal import bfs, random_multi_bfs, sssp
 from graphscope_spark.algorithms.triangles import (
     avg_clustering,
     lcc,
@@ -35,7 +35,8 @@ from graphscope_spark.algorithms.wcc import wcc
 
 __all__ = [
     "pagerank", "pagerank_ldbc", "wcc", "cdlp", "lpa", "triangles", "lcc",
-    "transitivity", "avg_clustering", "sssp", "bfs", "k_core", "k_shell",
+    "transitivity", "avg_clustering", "sssp", "bfs", "random_multi_bfs",
+    "k_core", "k_shell",
     "hits", "degree_centrality", "eigenvector_centrality", "katz_centrality",
     "closeness_centrality", "betweenness_centrality", "louvain", "modularity",
     "lpa_u2i", "voterank", "all_pairs_shortest_path_length", "is_simple_path",

@@ -313,3 +313,41 @@ def bfs(
     if return_result:
         return res
     return res.state.select("id", "depth")
+
+
+def random_multi_bfs(
+    graph: Graph,
+    k: int = 4,
+    seed: int = 7,
+    max_depth: int = 10_000,
+) -> DataFrame:
+    """Random multi-source BFS (flash/traversal/random-multi-bfs.h): ``k``
+    seeded pseudo-random roots advanced in lock-step, one shuffle per
+    level — the composite-state batch of engine/multisource.py.
+
+    Roots are the deterministic congruential pick ``(seed + i·⌊n/k⌋) % n``
+    over the DENSE vertex-id space — the seeded-reproducible equivalent of
+    the reference's ``rand() % n`` root choice (its FLASH runtime also
+    draws vertex INDICES), so every run (and the DuckDB oracle twin) sees
+    the same roots. Raises when a picked id is not a vertex (sparse id
+    spaces: densify first via the loader's dense-GID path).
+
+    Returns (source, id, depth) for every reachable pair.
+    """
+    from graphscope_spark.engine.multisource import multi_source_bfs
+
+    n = graph.num_vertices
+    if k < 1 or k > n:
+        raise ValueError(f"k={k} out of range for {n} vertices")
+    step = max(1, n // k)
+    roots = sorted({(seed + i * step) % n for i in range(k)})
+    present = (
+        graph.vertices.filter(F.col("id").isin(roots)).count()
+    )
+    if present != len(roots):
+        raise ValueError(
+            f"random_multi_bfs picked {len(roots)} roots but only "
+            f"{present} are vertices — the id space is not dense 0..n-1 "
+            "(load with dense-GID assignment first)"
+        )
+    return multi_source_bfs(graph, roots, max_depth=max_depth)

@@ -185,3 +185,42 @@ def test_core_numbers_hindex_matches_peel(spark):
     p = {r["id"]: r["shell"] for r in k_shell(g, mode="peel").collect()}
     assert h == p
     g.unpersist()
+
+
+def test_random_multi_bfs(spark):
+    """flash/traversal/random-multi-bfs.h: k seeded roots, exact parity
+    with per-root single-source BFS; deterministic root choice."""
+    from graphscope_spark.algorithms.traversal import bfs, random_multi_bfs
+
+    vertices, edges = p2p_mid(n=120, m=400)
+    g = make_graph(spark, edges, vertices)
+    res = random_multi_bfs(g, k=3, seed=7)
+    rows = res.collect()
+    roots = sorted({r["source"] for r in rows})
+    n = len(vertices)
+    assert roots == sorted({(7 + i * (n // 3)) % n for i in range(3)})
+    got = {}
+    for r in rows:
+        got.setdefault(r["source"], {})[r["id"]] = r["depth"]
+    for s in roots:
+        want = {
+            r["id"]: r["depth"] for r in bfs(g, source=s).collect()
+            if r["depth"] is not None and r["depth"] >= 0
+        }
+        assert got[s] == want, f"source {s}"
+    # depth cap bounds the frontier rounds
+    capped = random_multi_bfs(g, k=3, seed=7, max_depth=1).collect()
+    assert max(r["depth"] for r in capped) <= 1
+    # determinism across calls
+    again = sorted(
+        (r["source"], r["id"], r["depth"])
+        for r in random_multi_bfs(g, k=3, seed=7).collect()
+    )
+    assert again == sorted((r["source"], r["id"], r["depth"]) for r in rows)
+    g.unpersist()
+
+    # sparse (non-dense) id space refuses loudly
+    g2 = make_graph(spark, [(1000, 2000)], [1000, 2000])
+    with pytest.raises(ValueError, match="not dense"):
+        random_multi_bfs(g2, k=2, seed=0)
+    g2.unpersist()
