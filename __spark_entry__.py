@@ -2525,6 +2525,33 @@ def _q_gremlin_sum(spark, sf_dir):
     ).selectExpr("CAST(sum AS BIGINT) AS sum")
 
 
+def _q_gremlin_local(spark, sf_dir):
+    """Local-scope aggregate (supported_gremlin_steps.md §local):
+    fold().sum(local) over the folded value list — same traverser stream
+    as gremlin_sum, folded then reduced per-list."""
+    from graphscope_spark.operators.gremlin import gremlin
+
+    pg = _property_graph(spark, sf_dir)
+    return gremlin(
+        pg, "g.V().out('buys_from').values('nationkey').fold().sum(local)"
+    ).selectExpr("CAST(sum AS BIGINT) AS sum")
+
+
+def _q_cypher_xor(spark, sf_dir):
+    """XOR boolean operator (supported_cypher.md XOR row) with AND-over-XOR
+    precedence, pushed into the supplier vertex scan."""
+    from graphscope_spark.operators.cypher import cypher_property
+
+    pg = _property_graph(spark, sf_dir)
+    res = cypher_property(
+        pg,
+        "MATCH (s:supplier) "
+        "WHERE s.nationkey < 10 XOR s.nationkey % 2 = 0 "
+        "RETURN s.id AS sid",
+    )
+    return res.selectExpr("CAST(sid AS BIGINT) AS sid").orderBy("sid")
+
+
 def _q_gremlin_edge(spark, sf_dir):
     """Edge-element traverser surface (outE/has-on-edge-prop/inV) driven
     end-to-end from a Gremlin string: per-vertex count of incoming heavy
@@ -2752,6 +2779,40 @@ def _q_random_multi_bfs(spark, sf_dir):
         "CAST(id AS BIGINT) AS id",
         "CAST(depth AS BIGINT) AS depth",
     ).orderBy("source", "id")
+
+
+def _q_cypher_temporal(spark, sf_dir):
+    """Cypher temporal/duration arithmetic (supported_cypher.md Temporal
+    Mathematical rows): <temporal> ± <duration> as a WHERE operand and
+    <temporal> − <temporal> → duration-in-ms as a projection, over an
+    event→next-event chain (consecutive event_ids; the dangling last dst
+    drops in the pattern join)."""
+    from graphscope_spark.graph.property_graph import PropertyGraph
+    from graphscope_spark.operators.cypher import cypher_property
+
+    ev = _load(spark, sf_dir, "events").select(
+        F.col("event_id").alias("id"), "event_id", "ts"
+    )
+    nxt = ev.select(
+        F.col("event_id").alias("src"),
+        (F.col("event_id") + F.lit(1)).alias("dst"),
+    )
+    pg = (
+        PropertyGraph()
+        .add_vertices("event", ev)
+        .add_edges("next", "event", "event", nxt)
+    )
+    res = cypher_property(
+        pg,
+        # 2024-01-15T00:00:00Z - 3 days, gaps over 4 minutes
+        "MATCH (a:event)-[:next]->(b:event) "
+        "WHERE a.ts >= datetime(1705276800000) - duration({days: 3}) "
+        "AND b.ts - a.ts > duration({minutes: 4}) "
+        "RETURN a.event_id AS eid, b.ts - a.ts AS gap_ms",
+    )
+    return res.selectExpr(
+        "CAST(eid AS BIGINT) AS eid", "CAST(gap_ms AS BIGINT) AS gap_ms"
+    ).orderBy("eid")
 
 
 def _q_cypher_edge_prop(spark, sf_dir):
@@ -3284,6 +3345,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gremlin_group_ext": _q_gremlin_group_ext,
     "cypher_allshortest": _q_cypher_allshortest,
     "random_multi_bfs": _q_random_multi_bfs,
+    "cypher_temporal": _q_cypher_temporal,
+    "cypher_xor": _q_cypher_xor,
+    "gremlin_local": _q_gremlin_local,
+    "kcore_search": _q_kcore_search,
     "cypher_cross_label": _q_cypher_cross_label,
     "cypher_filtered": _q_cypher_filtered,
     "cypher_shortest": _q_cypher_shortest,
@@ -3328,7 +3393,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bfs": _q_bfs,
     "sssp": _q_sssp,
     "kcore": _q_kcore,
-    "kcore_search": _q_kcore_search,
     "scc": _q_scc,
     "harmonic": _q_harmonic,
     "betweenness": _q_betweenness,
@@ -3423,6 +3487,16 @@ ORACLES: dict[str, str] = {
     "cross_label_2hop": _CROSS_LABEL_SQL,
     "cypher_cross_label": _CROSS_LABEL_SQL,
     "cypher_shortest": _CYPHER_SHORTEST_SQL,
+    # temporal arithmetic: both engines reduce to epoch-millisecond
+    # integer math (Spark unix_millis / DuckDB epoch_ms both floor the
+    # microsecond value), so gaps and shifted cutoffs match bit-for-bit
+    "cypher_temporal": """
+SELECT a.event_id::BIGINT AS eid,
+       (epoch_ms(b.ts) - epoch_ms(a.ts))::BIGINT AS gap_ms
+FROM events a JOIN events b ON b.event_id = a.event_id + 1
+WHERE a.ts >= make_timestamp((1705276800000 - 3*86400000) * 1000)
+  AND epoch_ms(b.ts) - epoch_ms(a.ts) > 4*60000
+ORDER BY eid""",
     # random-multi-bfs: seeded congruential roots (seed + i*floor(n/k)) % n
     # — the engine draws the same arithmetic roots, so the recursive
     # min-depth walk is an exact twin
@@ -3484,6 +3558,21 @@ WITH buys AS (
   FROM orders)
 SELECT SUM(s_nationkey)::BIGINT AS sum
 FROM buys b JOIN supplier s ON b.dst = 1000000 + s_suppkey""",
+    # fold().sum(local) reduces the same folded stream gremlin_sum
+    # aggregates directly — the local-scope and global sums agree
+    "gremlin_local": """
+WITH buys AS (
+  SELECT DISTINCT o_custkey AS src,
+         1000000 + (o_orderkey % (SELECT count(*) FROM supplier)) AS dst
+  FROM orders)
+SELECT SUM(s_nationkey)::BIGINT AS sum
+FROM buys b JOIN supplier s ON b.dst = 1000000 + s_suppkey""",
+    # XOR = boolean inequality; AND binds tighter (supported_cypher.md)
+    "cypher_xor": """
+SELECT (1000000 + s_suppkey)::BIGINT AS sid
+FROM supplier
+WHERE (s_nationkey < 10) <> (s_nationkey % 2 = 0)
+ORDER BY sid""",
     "gremlin_edge": _with("dummy AS (SELECT 1 AS one)")
     + """
 SELECT dst AS id, count(*)::BIGINT AS n_heavy

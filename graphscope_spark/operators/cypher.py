@@ -120,6 +120,52 @@ _RE_PRED = re.compile(r"^(.+?)\s*=~\s*(.+)$")
 # the WHERE tokenizer runs, because the boolean grammar owns parentheses
 _DATETIME_LIT = re.compile(r"(?i)\bdatetime\s*\(\s*(\d+)\s*\)")
 _TS_TOKEN = re.compile(r"^__ts_(\d+)$")
+# duration(<ms>) / duration({days: 1, hours: 2, …}) literal
+# (supported_cypher.md Temporal Mathematical rows): rewritten to a
+# paren-free __dur_<ms> token like datetime(). Only fixed-length units
+# (days/hours/minutes/seconds/milliseconds) are accepted — months and
+# years are calendar-dependent and have no single millisecond value.
+_DURATION_LIT = re.compile(
+    r"(?i)\bduration\s*\(\s*(\d+|\{[^}]*\})\s*\)"
+)
+_DUR_TOKEN = re.compile(r"^__dur_(\d+)$")
+_DUR_UNIT_MS = {
+    "day": 86_400_000, "days": 86_400_000,
+    "hour": 3_600_000, "hours": 3_600_000,
+    "minute": 60_000, "minutes": 60_000,
+    "second": 1_000, "seconds": 1_000,
+    "millisecond": 1, "milliseconds": 1,
+}
+
+
+def _duration_ms(arg: str) -> int:
+    """Total milliseconds of a duration() literal argument: a bare ms
+    integer or a {unit: value, …} map over fixed-length units."""
+    arg = arg.strip()
+    if not arg.startswith("{"):
+        return int(arg)
+    total = 0
+    body = arg[1:-1].strip()
+    if not body:
+        return 0
+    for part in body.split(","):
+        m = re.match(r"(?i)^\s*([A-Za-z]+)\s*:\s*(-?\d+)\s*$", part)
+        if not m:
+            raise ValueError(f"unsupported duration component: {part!r}")
+        unit = m.group(1).lower()
+        if unit not in _DUR_UNIT_MS:
+            raise ValueError(
+                f"unsupported duration unit {unit!r} — fixed-length units "
+                "only (days/hours/minutes/seconds/milliseconds); months "
+                "and years are calendar-dependent"
+            )
+        total += int(m.group(2)) * _DUR_UNIT_MS[unit]
+    if total < 0:
+        raise ValueError(
+            "duration() literal is negative — negate it in the "
+            "expression instead (- duration({...}))"
+        )
+    return total
 # <temporal>.<interval> extraction (supported_cypher.md Extract row):
 # tag.prop.year … tag.prop.second over a timestamp property
 _EXTRACT_RE = re.compile(
@@ -143,6 +189,30 @@ _SHORTEST = re.compile(
 _WHERE_TOKEN = re.compile(r"'[^']*'|\(|\)|[^()\s]+")
 
 _EXISTS_CONJ = re.compile(r"(?is)^(NOT\s+)?EXISTS\s*\((.*)\)$")
+
+
+def _split_items_text(text: str) -> list[str]:
+    """Split a RETURN/WITH item list on commas OUTSIDE brackets and string
+    literals, so [a, b] list literals stay one item."""
+    parts, cur, depth, in_str = [], [], 0, False
+    for ch in text:
+        if in_str:
+            cur.append(ch)
+            in_str = ch != "'"
+            continue
+        if ch == "'":
+            in_str = True
+        elif ch == "[":
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+            continue
+        cur.append(ch)
+    parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
 
 
 def _split_top_and(text: str) -> list[str]:
@@ -185,11 +255,13 @@ def _split_top_and(text: str) -> list[str]:
 def _parse_where(text: str, parse_operand) -> list:
     """Parse a WHERE expression into top-level conjunct trees.
 
-    Grammar: expr := term (OR term)* ; term := factor (AND factor)* ;
+    Grammar (Cypher precedence NOT > AND > XOR > OR):
+    expr := xterm (OR xterm)* ; xterm := term (XOR term)* ;
+    term := factor (AND factor)* ;
     factor := NOT factor | '(' expr ')' | operand cmp operand.
-    Nodes: ("cmp", lhs, op, rhs) | ("and"|"or", [nodes]) | ("not", node).
-    Returns the AND-flattened top level as a list — the unit the planner's
-    single-tag pushdown reasons over."""
+    Nodes: ("cmp", lhs, op, rhs) | ("and"|"or"|"xor", [nodes]) |
+    ("not", node). Returns the AND-flattened top level as a list — the
+    unit the planner's single-tag pushdown reasons over."""
     toks = _WHERE_TOKEN.findall(text.strip())
     pos = 0
 
@@ -201,11 +273,19 @@ def _parse_where(text: str, parse_operand) -> list:
 
     def expr():
         nonlocal pos
-        parts = [term()]
+        parts = [xterm()]
         while is_kw(peek(), "OR"):
             pos += 1
-            parts.append(term())
+            parts.append(xterm())
         return parts[0] if len(parts) == 1 else ("or", parts)
+
+    def xterm():
+        nonlocal pos
+        parts = [term()]
+        while is_kw(peek(), "XOR"):
+            pos += 1
+            parts.append(term())
+        return parts[0] if len(parts) == 1 else ("xor", parts)
 
     def term():
         nonlocal pos
@@ -233,7 +313,7 @@ def _parse_where(text: str, parse_operand) -> list:
             peek() is not None
             and peek() not in ("(", ")")
             and (
-                peek().upper() not in ("AND", "OR", "NOT")
+                peek().upper() not in ("AND", "OR", "XOR", "NOT")
                 # `IS NOT NULL`: the NOT belongs to the null test, not the
                 # boolean grammar
                 or (
@@ -335,6 +415,11 @@ def _item_prop_refs(items):
             for o in _operand_leaves(tag):
                 if o[0] == "prop":
                     yield o[1], o[2]
+        elif kind == "listexpr":
+            for node in tag:
+                for o in _operand_leaves(node):
+                    if o[0] == "prop":
+                        yield o[1], o[2]
         elif prop is not None and (kind == "prop" or kind.startswith("agg:")):
             yield tag, prop
 
@@ -414,7 +499,13 @@ def _pred_to_col(node, opcol) -> "Column":
     cols = [_pred_to_col(c, opcol) for c in node[1]]
     out = cols[0]
     for c in cols[1:]:
-        out = (out & c) if kind == "and" else (out | c)
+        if kind == "and":
+            out = out & c
+        elif kind == "xor":
+            # boolean exclusive disjunction (supported_cypher.md XOR row)
+            out = out != c
+        else:
+            out = out | c
     return out
 
 
@@ -434,6 +525,10 @@ def parse_cypher(query: str) -> dict:
     # string would also rewrite — datetime-shaped string content is not
     # supported)
     q = _DATETIME_LIT.sub(lambda m: f"__ts_{m.group(1)}", q)
+    # duration(<ms> | {unit: value, …}) literals likewise — rewritten
+    # before parsing so the map form's commas/braces never reach the
+    # item/WHERE grammars
+    q = _DURATION_LIT.sub(lambda m: f"__dur_{_duration_ms(m.group(1))}", q)
     # WITH is a clause keyword only when it does not complete a string
     # predicate — `STARTS WITH` / `ENDS WITH` stay inside their WHERE text
     toks = re.split(
@@ -652,6 +747,10 @@ def parse_cypher(query: str) -> dict:
         if tm:
             # rewritten datetime(<ms>) literal → a timestamp constant
             return ("lit_ts", int(tm.group(1)))
+        dm = _DUR_TOKEN.match(raw.strip())
+        if dm:
+            # rewritten duration(…) literal → a millisecond constant
+            return ("lit_dur", int(dm.group(1)))
         xm = _EXTRACT_RE.match(raw.strip())
         if xm:
             etag, eprop, part = xm.group(1), xm.group(2), xm.group(3).lower()
@@ -683,6 +782,7 @@ def parse_cypher(query: str) -> dict:
         raw = raw.strip()
         if (
             _TS_TOKEN.match(raw)
+            or _DUR_TOKEN.match(raw)
             or _EXTRACT_RE.match(raw)
             or _OPERAND.match(raw)
         ):
@@ -757,7 +857,7 @@ def parse_cypher(query: str) -> dict:
             distinct = True
             text = dm.group(1)
         items = []
-        for raw in (x.strip() for x in text.split(",")):
+        for raw in _split_items_text(text):
             lm = re.match(
                 r"(?i)^length\s*\(\s*([A-Za-z_][A-Za-z_0-9]*)\s*\)"
                 r"(?:\s+AS\s+([A-Za-z_][A-Za-z_0-9]*))?$",
@@ -865,6 +965,32 @@ def parse_cypher(query: str) -> dict:
                         ("labels", ftag, None, falias or f"labels_{ftag}")
                     )
                 continue
+            km = re.match(
+                r"(?is)^\[(.*)\]\s+AS\s+([A-Za-z_]\w*)$", raw
+            )
+            if km and allow_props:
+                # [expr, …] AS alias — ListLiteral fold
+                # (supported_cypher.md ListLiteral row); alias mandatory
+                elems = [
+                    parse_operand(e)
+                    for e in _split_items_text(km.group(1))
+                ]
+                if not elems:
+                    raise ValueError(f"empty list literal: {raw!r}")
+                items.append(("listexpr", elems, None, km.group(2)))
+                continue
+            bm = re.match(
+                r"(?i)^(__ts_|__dur_)(\d+)\s+AS\s+([A-Za-z_]\w*)$", raw
+            )
+            if bm and allow_props:
+                # bare datetime()/duration() literal projection — would
+                # otherwise false-match the identifier item form below
+                node = (
+                    "lit_ts" if bm.group(1).lower() == "__ts_" else "lit_dur",
+                    int(bm.group(2)),
+                )
+                items.append(("expr", node, None, bm.group(3)))
+                continue
             im = _RETURN_ITEM.match(raw)
             if not im:
                 # arithmetic projection: expr AS alias (alias mandatory —
@@ -874,7 +1000,9 @@ def parse_cypher(query: str) -> dict:
                 )
                 if am and allow_props:
                     node = parse_operand(am.group(1))
-                    if node[0] in ("arith", "neg", "extract", "lit_ts"):
+                    if node[0] in (
+                        "arith", "neg", "extract", "lit_ts", "lit_dur"
+                    ):
                         items.append(("expr", node, None, am.group(2)))
                         continue
                 raise ValueError(f"unsupported {what} item: {raw!r}")
@@ -934,6 +1062,9 @@ def parse_cypher(query: str) -> dict:
         tm = _TS_TOKEN.match(raw.strip())
         if tm:
             return ("lit_ts", int(tm.group(1)))
+        dm = _DUR_TOKEN.match(raw.strip())
+        if dm:
+            return ("lit_dur", int(dm.group(1)))
         om = _OPERAND.match(raw.strip())
         if not om:
             raise ValueError(f"unsupported operand: {raw!r}")
@@ -1107,6 +1238,10 @@ def parse_match(query: str) -> tuple[list[tuple[str, str, str]], dict]:
             raise ValueError("property access requires cypher_property")
         if kind.startswith("agg:"):
             raise ValueError("aggregate functions require cypher_property")
+        if kind not in ("tag", "count"):
+            raise ValueError(
+                f"{kind} projections require cypher_property"
+            )
         items.append((kind, tag if kind == "tag" else "*", alias))
     return (
         [(a, d, b) for a, d, b, _el in ast["sentences"]],
@@ -1217,28 +1352,109 @@ _ARITH_OPS = {
 }
 
 
-def _operand_col(operand, propcol, tagcol=None) -> Column:
+def _operand_col(operand, propcol, tagcol=None, propkind=None) -> Column:
+    return _operand_typed(operand, propcol, tagcol, propkind)[0]
+
+
+def _ts_propkind(dtypes: dict, name_fn):
+    """propkind callback over a dtypes map: a property is temporal ("ts")
+    when its underlying column is a Spark timestamp; name_fn(tag, prop)
+    gives the column name in that frame."""
+    def pk(tag: str, prop: str) -> str:
+        dt = dtypes.get(name_fn(tag, prop), "")
+        return "ts" if dt.startswith("timestamp") else "unk"
+    return pk
+
+
+def _temporal_arith(op, lc, lk, rc, rk):
+    """Lower + - * / with a temporal ("ts") or duration ("dur") side
+    (supported_cypher.md Temporal Mathematical rows). Everything reduces
+    to epoch-millisecond arithmetic: durations ARE bigint milliseconds,
+    and an "unk" (property) operand combined with a temporal one is
+    coerced to timestamp — the only typing under which the expression is
+    defined."""
+
+    def ms(c, k):
+        # cast first: TIMESTAMP_NTZ (parquet's naive timestamps) is not
+        # accepted by unix_millis; the cast reads NTZ wall-clock in the
+        # session timezone — run sessions in UTC (session.py does) so it
+        # matches DuckDB's naive-as-UTC epoch_ms
+        return F.unix_millis(c.cast("timestamp")) if k in ("ts", "unk") else c
+
+    if op == "+":
+        if lk == "dur" and rk == "dur":
+            return lc + rc, "dur"
+        if "dur" in (lk, rk):  # <temporal> + <duration> (either order)
+            tsc, tsk = (lc, lk) if rk == "dur" else (rc, rk)
+            dc = rc if rk == "dur" else lc
+            return F.timestamp_millis(ms(tsc, tsk) + dc), "ts"
+        raise ValueError("temporal + temporal is not defined")
+    if op == "-":
+        if rk == "dur":
+            if lk == "dur":
+                return lc - rc, "dur"
+            # <temporal> - <duration>
+            return F.timestamp_millis(ms(lc, lk) - rc), "ts"
+        if lk == "dur":
+            raise ValueError("duration - temporal is not defined")
+        # <temporal> - <temporal> → duration in milliseconds
+        return (ms(lc, lk) - ms(rc, rk)).cast("long"), "dur"
+    if op in ("*", "/"):
+        if lk == "ts" or rk == "ts":
+            raise ValueError(f"{op} is not defined for temporal values")
+        if lk == "dur" and rk == "dur":
+            raise ValueError(f"duration {op} duration is not defined")
+        if op == "/" and rk == "dur":
+            raise ValueError("numeric / duration is not defined")
+        dc, nc = (lc, rc) if lk == "dur" else (rc, lc)
+        out = (dc * nc) if op == "*" else (dc / nc)
+        return out.cast("long"), "dur"
+    raise ValueError(f"operator {op} is not defined for temporal operands")
+
+
+def _operand_typed(
+    operand, propcol, tagcol=None, propkind=None
+) -> tuple[Column, str]:
+    """Compile an operand tree to (Column, kind) where kind ∈ {"num",
+    "ts" (timestamp), "dur" (bigint milliseconds), "unk" (a property or
+    alias whose type is the underlying column's)}. Plain numeric
+    arithmetic is untouched; a temporal/duration side routes through
+    _temporal_arith. ``propkind(tag, prop) -> kind`` (optional) resolves
+    property operands against the frame's actual dtypes, so
+    ``b.ts - a.ts`` over timestamp properties lowers to a millisecond
+    duration (supported_cypher.md temporal-subtraction row) instead of a
+    Spark interval."""
     kind = operand[0]
     if kind == "lit":
-        return F.lit(operand[1])
+        return F.lit(operand[1]), "num"
     if kind == "lit_ts":
         # datetime(<epoch-ms>) literal → timestamp constant
-        return F.timestamp_millis(F.lit(operand[1]))
+        return F.timestamp_millis(F.lit(operand[1])), "ts"
+    if kind == "lit_dur":
+        # duration(…) literal → bigint milliseconds
+        return F.lit(operand[1]).cast("long"), "dur"
     if kind == "extract":
         # tag.prop.year … — interval extraction over a temporal property
         return _EXTRACT_FNS[operand[3]](
             propcol(operand[1], operand[2])
-        ).cast("long")
+        ).cast("long"), "num"
     if kind == "tag":
-        return tagcol(operand[1]) if tagcol else F.col(operand[1])
+        return (tagcol(operand[1]) if tagcol else F.col(operand[1])), "unk"
     if kind == "neg":
-        return -_operand_col(operand[1], propcol, tagcol)
+        c, k = _operand_typed(operand[1], propcol, tagcol, propkind)
+        if k == "ts":
+            raise ValueError("cannot negate a temporal value")
+        return -c, k
     if kind == "arith":
-        return _ARITH_OPS[operand[1]](
-            _operand_col(operand[2], propcol, tagcol),
-            _operand_col(operand[3], propcol, tagcol),
+        lc, lk = _operand_typed(operand[2], propcol, tagcol, propkind)
+        rc, rk = _operand_typed(operand[3], propcol, tagcol, propkind)
+        if "ts" in (lk, rk) or "dur" in (lk, rk):
+            return _temporal_arith(operand[1], lc, lk, rc, rk)
+        return _ARITH_OPS[operand[1]](lc, rc), (
+            "unk" if "unk" in (lk, rk) else "num"
         )
-    return propcol(operand[1], operand[2])
+    pk = propkind(operand[1], operand[2]) if propkind else "unk"
+    return propcol(operand[1], operand[2]), pk
 
 
 def cypher_property(
@@ -1310,16 +1526,18 @@ def cypher_property(
         if t in evars:
             eprops_keep.setdefault(t, set()).add(p)
 
-    # allowed-id sets from pushed single-tag predicates
-    def _vertex_local_col(o):
-        # evaluated against the vertex table itself: tag → id, prop → column
-        return _operand_col(
-            o, lambda _t, p: F.col(p), lambda _t: F.col("id")
-        )
-
     allowed: dict[str, DataFrame] = {}
     for tag, plist in pushdown.items():
         v = pg.vertices[tag_label(tag)]
+        # evaluated against the vertex table itself: tag → id, prop →
+        # column; propkind from the table's own dtypes
+        vpk = _ts_propkind(dict(v.dtypes), lambda _t, p: p)
+
+        def _vertex_local_col(o, vpk=vpk):
+            return _operand_col(
+                o, lambda _t, p: F.col(p), lambda _t: F.col("id"), vpk
+            )
+
         for pred in plist:
             v = v.filter(_pred_to_col(pred, _vertex_local_col))
         allowed[tag] = v.select("id")
@@ -1437,10 +1655,14 @@ def cypher_property(
         if ev:
             # single-variable relationship predicates filter the edge scan
             # itself (the edge half of FilterIntoJoinRule)
+            epk = _ts_propkind(dict(e.dtypes), lambda _t, p: p)
             for pred in edge_push.get(ev, []):
                 e = e.filter(
                     _pred_to_col(
-                        pred, lambda o: _operand_col(o, lambda _t, p: F.col(p))
+                        pred,
+                        lambda o, epk=epk: _operand_col(
+                            o, lambda _t, p: F.col(p), None, epk
+                        ),
                     )
                 )
             e = e.select(
@@ -1586,10 +1808,16 @@ def cypher_property(
     def propcol(tag: str, prop: str) -> Column:
         return F.col(f"{tag}__{prop}")
 
-    for pred in post:
-        out = out.filter(
-            _pred_to_col(pred, lambda o: _operand_col(o, propcol))
-        )
+    if post:
+        # propkind over the bound frame's materialized {tag}__{prop}
+        # columns (vertex props just joined; edge props ride the sentences)
+        ppk = _ts_propkind(dict(out.dtypes), lambda t, p: f"{t}__{p}")
+        for pred in post:
+            out = out.filter(
+                _pred_to_col(
+                    pred, lambda o: _operand_col(o, propcol, None, ppk)
+                )
+            )
 
     # --- [NOT] EXISTS(pattern) conjuncts: semi/anti join the bound frame
     # against the pattern's edge table (supported_cypher.md "WHERE NOT
@@ -1662,6 +1890,11 @@ def cypher_property(
     # keys; aggregates reduce each group)
     def apply_items(df, items, distinct, pcol):
         keys, aggs = [], []
+        dpk = (
+            _ts_propkind(dict(df.dtypes), lambda t, p: f"{t}__{p}")
+            if pcol is not None
+            else None
+        )
         for kind, tag, prop, alias in items:
             if kind == "pathlen":
                 # Cypher length(p) = relationship count = BFS hop count
@@ -1690,7 +1923,16 @@ def cypher_property(
                 continue
             if kind == "expr":
                 # arithmetic over bound tags / joined property columns
-                keys.append(_operand_col(tag, pcol).alias(alias))
+                keys.append(_operand_col(tag, pcol, None, dpk).alias(alias))
+                continue
+            if kind == "listexpr":
+                # [expr, …] list literal (supported_cypher.md ListLiteral
+                # row): fold the element expressions into one array column
+                keys.append(
+                    F.array(
+                        *[_operand_col(n, pcol, None, dpk) for n in tag]
+                    ).alias(alias)
+                )
                 continue
             col = None
             if tag != "*":

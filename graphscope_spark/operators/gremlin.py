@@ -185,6 +185,10 @@ def _parse_arg(raw: str):
     if raw in ("asc", "desc", "Order.asc", "Order.desc", "incr", "decr"):
         d = raw.split(".")[-1]
         return ("ord", {"incr": "asc", "decr": "desc"}.get(d, d))
+    if raw in ("local", "Scope.local"):
+        # count(local)/sum(local)/… over a folded list
+        # (supported_gremlin_steps.md §local)
+        return ("scope", "local")
     m = re.match(r"^expr\s*\(", raw)
     if m:
         # SQL-expression sugar (supported_gremlin_steps.md §Expression):
@@ -1915,6 +1919,47 @@ def gremlin(graph: Graph | PropertyGraph, query: str) -> DataFrame:
                     raise ValueError("unfold() takes no arguments")
                 consumed.add(i + 1)
                 continue
+            nxt = steps[i + 1] if i + 1 < len(steps) else None
+            if nxt and nxt[0] in (
+                "count", "sum", "min", "max", "mean"
+            ) and nxt[1] == [("scope", "local")]:
+                # fold().X(local) — the local-scope aggregate over the
+                # folded list (supported_gremlin_steps.md §local:
+                # g.V().fold().count(local),
+                # g.V().values('age').fold().sum(local))
+                if i + 1 != len(steps) - 1:
+                    raise ValueError(f"{nxt[0]}(local) must be terminal")
+                if nxt[0] != "count" and cur_kind == "e":
+                    raise ValueError(
+                        f"{nxt[0]}(local) needs numeric elements — fold "
+                        "values() or vertex ids, not edges"
+                    )
+                consumed.add(i + 1)
+                if cur_kind == "val":
+                    col = F.col(val_col)
+                elif cur_kind == "e":
+                    col = F.struct(
+                        F.col("_esrc").alias("src"),
+                        F.col("_edst").alias("dst"),
+                    )
+                else:
+                    col = F.col("_cur")
+                fdf = df.agg(
+                    F.sort_array(F.collect_list(col)).alias("folded")
+                )
+                c = F.col("folded")
+                if nxt[0] == "count":
+                    out = F.size(c).cast("long")
+                elif nxt[0] == "min":
+                    out = F.array_min(c)
+                elif nxt[0] == "max":
+                    out = F.array_max(c)
+                else:
+                    total = F.aggregate(
+                        c, F.lit(0.0), lambda a, x: a + x.cast("double")
+                    )
+                    out = total if nxt[0] == "sum" else total / F.size(c)
+                return fdf.select(out.alias(nxt[0]))
             if i != len(steps) - 1:
                 raise ValueError("fold() must be terminal in this subset")
             if cur_kind == "val":

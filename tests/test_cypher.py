@@ -1318,6 +1318,160 @@ def test_cypher_datetime_literal_and_extract(spark):
     assert sorted(r["h"] for r in rows) == [5, 10, 23]
 
 
+def test_cypher_duration_arithmetic(spark):
+    """Temporal Mathematical rows (supported_cypher.md:77-83): temporal ±
+    duration, temporal − temporal → milliseconds, duration ± duration,
+    duration × ÷ numeric — all lowered to epoch-millisecond arithmetic."""
+    from datetime import datetime
+
+    from graphscope_spark.graph.property_graph import PropertyGraph
+    from graphscope_spark.operators.cypher import cypher_property
+
+    ev = spark.createDataFrame(
+        [
+            (0, datetime(2024, 1, 1, 0, 0, 0)),
+            (1, datetime(2024, 1, 1, 0, 5, 0)),
+            (2, datetime(2024, 1, 1, 1, 5, 0)),
+            (3, datetime(2024, 1, 2, 1, 5, 0)),
+        ],
+        "id long, created timestamp",
+    )
+    nxt = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "src long, dst long"
+    )
+    pg = (
+        PropertyGraph()
+        .add_vertices("event", ev)
+        .add_edges("next", "event", "event", nxt)
+    )
+    # <temporal> - <temporal> → duration in ms (RETURN), and
+    # duration({...}) map-form literals as comparison operands (WHERE)
+    rows = cypher_property(
+        pg,
+        "MATCH (a:event)-[:next]->(b:event) "
+        "WHERE b.created - a.created > duration({minutes: 30}) "
+        "RETURN a.id AS eid, b.created - a.created AS gap_ms",
+    ).collect()
+    assert sorted((r["eid"], r["gap_ms"]) for r in rows) == [
+        (1, 3_600_000), (2, 86_400_000),
+    ]
+    # <temporal> ± <duration> in WHERE: shift a datetime() literal
+    rows = cypher_property(
+        pg,
+        "MATCH (e:event) "
+        # 2024-01-01T01:00:00Z + 5min = 01:05 → events 2,3 qualify (>=)
+        "WHERE e.created >= datetime(1704070800000) + duration({minutes: 5}) "
+        "RETURN e.id AS eid",
+    ).collect()
+    assert sorted(r["eid"] for r in rows) == [2, 3]
+    rows = cypher_property(
+        pg,
+        "MATCH (e:event) "
+        # 2024-01-02T01:05:00Z - 1 day = Jan 1 01:05 → events 0,1 are before
+        "WHERE e.created < datetime(1704157500000) - duration({days: 1}) "
+        "RETURN e.id AS eid",
+    ).collect()
+    assert sorted(r["eid"] for r in rows) == [0, 1]
+    # <temporal> + <duration> as a RETURN projection stays a timestamp
+    rows = cypher_property(
+        pg,
+        "MATCH (e:event) WHERE e.id = 0 "
+        "RETURN e.created + duration({hours: 2, minutes: 30}) AS shifted",
+    ).collect()
+    assert rows[0]["shifted"] == datetime(2024, 1, 1, 2, 30, 0)
+    # duration arithmetic: dur ± dur, dur * num, dur / num (bigint ms),
+    # bare-ms duration(<n>) form, and unary minus
+    rows = cypher_property(
+        pg,
+        "MATCH (e:event) WHERE e.id = 0 RETURN "
+        "duration({days: 1}) + duration(500) AS a, "
+        "duration({hours: 1}) - duration({minutes: 30}) AS b, "
+        "duration({minutes: 1}) * 3 AS c, "
+        "duration({hours: 2}) / 4 AS d, "
+        "- duration(250) AS e",
+    ).collect()
+    r = rows[0]
+    assert (r["a"], r["b"], r["c"], r["d"], r["e"]) == (
+        86_400_500, 1_800_000, 180_000, 1_800_000, -250,
+    )
+    # undefined typings refuse loudly
+    import pytest as _pytest
+
+    for bad, msg in [
+        ("RETURN e.created + datetime(0) AS x", "temporal [+] temporal"),
+        ("RETURN duration(1) * duration(2) AS x", "duration [*] duration"),
+        ("RETURN 5 / duration(1) AS x", "numeric / duration"),
+        ("RETURN duration({months: 1}) AS x", "unsupported duration unit"),
+    ]:
+        with _pytest.raises(ValueError, match=msg):
+            cypher_property(pg, f"MATCH (e:event) WHERE e.id = 0 {bad}")
+
+
+def test_cypher_xor(spark):
+    """XOR boolean row (supported_cypher.md:97): NOT > AND > XOR > OR
+    precedence; lowered to boolean inequality."""
+    from graphscope_spark.graph.property_graph import PropertyGraph
+    from graphscope_spark.operators.cypher import cypher_property
+
+    person = spark.createDataFrame(
+        [(0, 10, 1), (1, 20, 1), (2, 10, 2), (3, 20, 2)],
+        "id long, age long, grp long",
+    )
+    knows = spark.createDataFrame([(0, 1)], "src long, dst long")
+    pg = (
+        PropertyGraph()
+        .add_vertices("person", person)
+        .add_edges("knows", "person", "person", knows)
+    )
+
+    def ids(q):
+        return sorted(
+            r["eid"]
+            for r in cypher_property(
+                pg, f"MATCH (a:person) WHERE {q} RETURN a.id AS eid"
+            ).collect()
+        )
+
+    # exactly-one-of
+    assert ids("a.age = 10 XOR a.grp = 1") == [1, 2]
+    # AND binds tighter than XOR: (age=10 AND grp=1) XOR grp=2 → {0, 2, 3}
+    assert ids("a.age = 10 AND a.grp = 1 XOR a.grp = 2") == [0, 2, 3]
+    # XOR binds tighter than OR: age=20 OR (grp=1 XOR grp=2) → everyone
+    assert ids("a.age = 20 OR a.grp = 1 XOR a.grp = 2") == [0, 1, 2, 3]
+    # NOT applies to the factor only
+    assert ids("NOT a.age = 10 XOR a.grp = 1") == [0, 3]
+
+
+def test_cypher_list_literal_projection(spark):
+    """ListLiteral row (supported_cypher.md:107): [expr, …] AS alias folds
+    element expressions into one array column; commas inside the brackets
+    never split the RETURN items."""
+    from graphscope_spark.graph.property_graph import PropertyGraph
+    from graphscope_spark.operators.cypher import cypher_property
+
+    person = spark.createDataFrame(
+        [(0, 10), (1, 20), (2, 30)], "id long, age long"
+    )
+    knows = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    pg = (
+        PropertyGraph()
+        .add_vertices("person", person)
+        .add_edges("knows", "person", "person", knows)
+    )
+    rows = cypher_property(
+        pg,
+        "MATCH (a:person)-[:knows]->(b:person) "
+        "RETURN [a.id, b.id] AS pair, [a.age + b.age, 7] AS vals, b.id AS bid",
+    ).collect()
+    got = sorted((tuple(r["pair"]), tuple(r["vals"]), r["bid"]) for r in rows)
+    assert got == [((0, 1), (30, 7), 1), ((1, 2), (50, 7), 2)]
+    # UNWIND-ing a projected list still works via the literal form
+    with pytest.raises(ValueError, match="empty list literal"):
+        cypher_property(
+            pg, "MATCH (a:person) RETURN [] AS nothing"
+        )
+
+
 def test_cypher_all_shortest_paths(spark):
     """allShortestPaths(...) (supported_cypher.md ALL SHORTEST row): one
     row PER minimal-hop path, vs shortestPath's single representative."""

@@ -605,6 +605,27 @@ def test_gremlin_fold(spark):
     assert got == [30, 31, 32]
 
 
+def test_gremlin_local_scope(spark):
+    """fold().X(local) — local-scope aggregates over the folded list
+    (supported_gremlin_steps.md §local examples)."""
+    g = _chain_graph(spark)
+    assert gremlin(g, "g.V().fold().count(local)").collect()[0]["count"] == \
+        gremlin(g, "g.V().count()").collect()[0]["count"]
+    pg = _pg(spark)
+    ages = [
+        r["age"] for r in gremlin(pg, "g.V().values('age')").collect()
+        if r["age"] is not None
+    ]
+    got = gremlin(pg, "g.V().values('age').fold().sum(local)").collect()[0]
+    assert got["sum"] == float(sum(ages))
+    got = gremlin(pg, "g.V().values('age').fold().min(local)").collect()[0]
+    assert got["min"] == min(ages)
+    got = gremlin(pg, "g.V().values('age').fold().mean(local)").collect()[0]
+    assert abs(got["mean"] - sum(ages) / len(ages)) < 1e-9
+    with pytest.raises(ValueError, match="must be terminal"):
+        gremlin(g, "g.V().fold().count(local).count()")
+
+
 def test_gremlin_group(spark):
     pg = _pg(spark)
     # key=property, value=count: persons per employer size bucket
