@@ -2537,6 +2537,22 @@ def _q_gremlin_local(spark, sf_dir):
     ).selectExpr("CAST(sum AS BIGINT) AS sum")
 
 
+def _q_cypher_case(spark, sf_dir):
+    """Searched CASE WHEN projection (supported_cypher.md Branch row) used
+    both as a grouping key and with expression predicates/results."""
+    from graphscope_spark.operators.cypher import cypher_property
+
+    pg = _property_graph(spark, sf_dir)
+    res = cypher_property(
+        pg,
+        "MATCH (s:supplier) RETURN "
+        "CASE WHEN s.nationkey < 8 THEN 'low' "
+        "WHEN s.nationkey < 17 THEN 'mid' ELSE 'high' END AS band, "
+        "count(*) AS n",
+    )
+    return res.selectExpr("band", "CAST(n AS BIGINT) AS n").orderBy("band")
+
+
 def _q_cypher_xor(spark, sf_dir):
     """XOR boolean operator (supported_cypher.md XOR row) with AND-over-XOR
     precedence, pushed into the supplier vertex scan."""
@@ -3347,6 +3363,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "random_multi_bfs": _q_random_multi_bfs,
     "cypher_temporal": _q_cypher_temporal,
     "cypher_xor": _q_cypher_xor,
+    "cypher_case": _q_cypher_case,
     "gremlin_local": _q_gremlin_local,
     "kcore_search": _q_kcore_search,
     "cypher_cross_label": _q_cypher_cross_label,
@@ -3567,6 +3584,12 @@ WITH buys AS (
   FROM orders)
 SELECT SUM(s_nationkey)::BIGINT AS sum
 FROM buys b JOIN supplier s ON b.dst = 1000000 + s_suppkey""",
+    # searched CASE lowers to the identical SQL CASE chain
+    "cypher_case": """
+SELECT CASE WHEN s_nationkey < 8 THEN 'low'
+            WHEN s_nationkey < 17 THEN 'mid' ELSE 'high' END AS band,
+       count(*)::BIGINT AS n
+FROM supplier GROUP BY 1 ORDER BY band""",
     # XOR = boolean inequality; AND binds tighter (supported_cypher.md)
     "cypher_xor": """
 SELECT (1000000 + s_suppkey)::BIGINT AS sid

@@ -192,8 +192,8 @@ _EXISTS_CONJ = re.compile(r"(?is)^(NOT\s+)?EXISTS\s*\((.*)\)$")
 
 
 def _split_items_text(text: str) -> list[str]:
-    """Split a RETURN/WITH item list on commas OUTSIDE brackets and string
-    literals, so [a, b] list literals stay one item."""
+    """Split a RETURN/WITH item list on commas OUTSIDE brackets/braces and
+    string literals, so [a, b] list and {k: v} map literals stay one item."""
     parts, cur, depth, in_str = [], [], 0, False
     for ch in text:
         if in_str:
@@ -202,9 +202,9 @@ def _split_items_text(text: str) -> list[str]:
             continue
         if ch == "'":
             in_str = True
-        elif ch == "[":
+        elif ch in "[{":
             depth += 1
-        elif ch == "]":
+        elif ch in "]}":
             depth -= 1
         elif ch == "," and depth == 0:
             parts.append("".join(cur))
@@ -213,6 +213,62 @@ def _split_items_text(text: str) -> list[str]:
         cur.append(ch)
     parts.append("".join(cur))
     return [p.strip() for p in parts if p.strip()]
+
+
+def _parse_case(body: str, parse_operand, parse_pred) -> tuple[list, object]:
+    """Parse a searched-CASE body (the text between CASE and END —
+    supported_cypher.md Branch row, reference-planned) into
+    ``([(pred_tree, value_operand), …], else_operand | None)``.
+
+    Splits on top-level WHEN/THEN/ELSE keywords outside string literals
+    and parentheses; each predicate goes through the WHERE grammar
+    (``parse_pred``), each result value through ``parse_operand``."""
+    toks: list[tuple[str, str]] = []  # (kw, following-text)
+    depth, in_str, i, kw, start = 0, False, 0, None, 0
+    out: list[tuple[str | None, str]] = []
+    while i < len(body):
+        c = body[i]
+        if in_str:
+            in_str = c != "'"
+        elif c == "'":
+            in_str = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and (i == 0 or not (body[i - 1].isalnum() or body[i - 1] == "_")):
+            m = re.match(r"(?i)(WHEN|THEN|ELSE)(?![A-Za-z0-9_])", body[i:])
+            if m:
+                out.append((kw, body[start:i]))
+                kw = m.group(1).upper()
+                i += len(m.group(1))
+                start = i
+                continue
+        i += 1
+    out.append((kw, body[start:]))
+    toks = [(k, t.strip()) for k, t in out if k is not None or t.strip()]
+    if not toks or toks[0][0] != "WHEN":
+        raise ValueError("CASE must start with WHEN (searched form only)")
+    whens: list[tuple] = []
+    els = None
+    j = 0
+    while j < len(toks):
+        k, t = toks[j]
+        if k == "WHEN":
+            if j + 1 >= len(toks) or toks[j + 1][0] != "THEN":
+                raise ValueError("CASE WHEN without a matching THEN")
+            conj = parse_pred(t)
+            pred = conj[0] if len(conj) == 1 else ("and", conj)
+            whens.append((pred, parse_operand(toks[j + 1][1])))
+            j += 2
+        elif k == "ELSE":
+            if els is not None or j != len(toks) - 1:
+                raise ValueError("CASE allows one trailing ELSE")
+            els = parse_operand(t)
+            j += 1
+        else:
+            raise ValueError(f"unexpected {k} in CASE")
+    return whens, els
 
 
 def _split_top_and(text: str) -> list[str]:
@@ -417,6 +473,23 @@ def _item_prop_refs(items):
                     yield o[1], o[2]
         elif kind == "listexpr":
             for node in tag:
+                for o in _operand_leaves(node):
+                    if o[0] == "prop":
+                        yield o[1], o[2]
+        elif kind == "case":
+            for pred, val in tag:
+                for o in _cmp_operands(pred):
+                    if o[0] == "prop":
+                        yield o[1], o[2]
+                for o in _operand_leaves(val):
+                    if o[0] == "prop":
+                        yield o[1], o[2]
+            if prop is not None:  # the ELSE operand rides the prop slot
+                for o in _operand_leaves(prop):
+                    if o[0] == "prop":
+                        yield o[1], o[2]
+        elif kind == "mapexpr":
+            for _key, node in tag:
                 for o in _operand_leaves(node):
                     if o[0] == "prop":
                         yield o[1], o[2]
@@ -964,6 +1037,38 @@ def parse_cypher(query: str) -> dict:
                     items.append(
                         ("labels", ftag, None, falias or f"labels_{ftag}")
                     )
+                continue
+            cs = re.match(
+                r"(?is)^CASE\s+(.*?)\s+END\s+AS\s+([A-Za-z_]\w*)$", raw
+            )
+            if cs and allow_props:
+                # searched CASE WHEN … THEN … [ELSE …] END AS alias
+                # (supported_cypher.md Branch row; alias mandatory —
+                # there is no canonical name for an expression)
+                whens, els = _parse_case(
+                    cs.group(1),
+                    parse_operand,
+                    lambda t: _parse_where(t, parse_operand),
+                )
+                items.append(("case", whens, els, cs.group(2)))
+                continue
+            mm = re.match(
+                r"(?is)^\{(.*)\}\s+AS\s+([A-Za-z_]\w*)$", raw
+            )
+            if mm and allow_props:
+                # {key: expr, …} AS alias — MapLiteral fold
+                # (supported_cypher.md MapLiteral row). Cypher maps are
+                # heterogeneous, so the faithful Spark type is a named
+                # struct, not a map<k,v> (which forces one value type).
+                pairs = []
+                for kv in _split_items_text(mm.group(1)):
+                    km2 = re.match(r"(?s)^([A-Za-z_]\w*)\s*:\s*(.+)$", kv)
+                    if not km2:
+                        raise ValueError(f"bad map-literal entry: {kv!r}")
+                    pairs.append((km2.group(1), parse_operand(km2.group(2))))
+                if not pairs:
+                    raise ValueError(f"empty map literal: {raw!r}")
+                items.append(("mapexpr", pairs, None, mm.group(2)))
                 continue
             km = re.match(
                 r"(?is)^\[(.*)\]\s+AS\s+([A-Za-z_]\w*)$", raw
@@ -1931,6 +2036,34 @@ def cypher_property(
                 keys.append(
                     F.array(
                         *[_operand_col(n, pcol, None, dpk) for n in tag]
+                    ).alias(alias)
+                )
+                continue
+            if kind == "case":
+                # searched CASE (supported_cypher.md Branch row) →
+                # F.when chain; no ELSE → NULL (Cypher semantics)
+                opc = lambda o: _operand_col(o, pcol, None, dpk)  # noqa: E731
+                col = None
+                for pred, val in tag:
+                    cond = _pred_to_col(pred, opc)
+                    col = (
+                        F.when(cond, opc(val))
+                        if col is None
+                        else col.when(cond, opc(val))
+                    )
+                if prop is not None:  # ELSE operand rides the prop slot
+                    col = col.otherwise(opc(prop))
+                keys.append(col.alias(alias))
+                continue
+            if kind == "mapexpr":
+                # {key: expr, …} map literal → named struct (heterogeneous
+                # value types, so map<k,v> would be lossy)
+                keys.append(
+                    F.struct(
+                        *[
+                            _operand_col(n, pcol, None, dpk).alias(k)
+                            for k, n in tag
+                        ]
                     ).alias(alias)
                 )
                 continue

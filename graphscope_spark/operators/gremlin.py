@@ -393,7 +393,7 @@ _EXPR_TOKEN = re.compile(
     r"|\d+\.\d+[fFdD]?|\d+[lLfFdD]?"
     r"|@[A-Za-z_0-9]*(?:\.[A-Za-z_~][A-Za-z0-9_]*)?"
     r"|[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_~][A-Za-z0-9_]*)?"
-    r"|<<|>>|<=|>=|<>|!=|==|&&|\|\||[-+*/%&|^=<>(),\[\]!]"
+    r"|<<|>>|<=|>=|<>|!=|==|&&|\|\||[-+*/%&|^=<>(),\[\]!~]"
 )
 
 _EXPR_KEYWORDS = {
@@ -505,6 +505,11 @@ def _parse_expr(raw: str):
         if peek() == "-":
             eat()
             return ("neg", unary())
+        if peek() == "~":
+            # bit reverse (supported_cypher.md BitOpr "~" row,
+            # reference-planned)
+            eat()
+            return ("bnot", unary())
         return primary()
 
     def mul_expr():
@@ -603,7 +608,7 @@ def _expr_refs(node):
         else:
             for a in node[2]:
                 yield from _expr_refs(a)
-    elif kind in ("neg", "not"):
+    elif kind in ("neg", "not", "bnot"):
         yield from _expr_refs(node[1])
     elif kind == "bin" or kind == "strp" or kind == "cmp":
         yield from _expr_refs(node[2])
@@ -643,6 +648,8 @@ def _expr_col(node, ref) -> "F.Column":
                          "bindings in this frontend subset)")
     if kind == "neg":
         return -_expr_col(node[1], ref)
+    if kind == "bnot":
+        return F.bitwise_not(_expr_col(node[1], ref))
     if kind == "not":
         return ~_expr_col(node[1], ref)
     if kind == "bin":

@@ -1521,3 +1521,100 @@ def test_cypher_all_shortest_paths(spark):
     assert [(r["bid"], r["n_paths"]) for r in rows] == [
         (0, 1), (1, 1), (2, 1), (3, 2), (4, 1), (5, 1),
     ]
+
+
+def test_cypher_case_when(spark):
+    """Searched CASE WHEN (supported_cypher.md Branch row): multi-branch
+    string results, keyword text inside string literals left alone."""
+    from graphscope_spark.operators.cypher import cypher_property
+
+    pg = _pgraph(spark)
+    res = cypher_property(
+        pg,
+        "MATCH (a:person) RETURN a.id AS aid, "
+        "CASE WHEN a.age < 32 THEN 'when young' "
+        "WHEN a.age < 34 THEN 'mid' ELSE 'else old' END AS band",
+    )
+    got = {r["aid"]: r["band"] for r in res.collect()}
+    assert got == {
+        0: "when young", 1: "when young", 2: "mid", 3: "mid", 4: "else old",
+    }
+
+
+def test_cypher_case_no_else_and_value_exprs(spark):
+    """No ELSE -> NULL (Cypher semantics); arithmetic in both the
+    predicate and the result value."""
+    from graphscope_spark.operators.cypher import cypher_property
+
+    res = cypher_property(
+        _pgraph(spark),
+        "MATCH (a:person) RETURN "
+        "CASE WHEN a.age % 2 = 0 THEN a.age * 10 END AS v",
+    )
+    vals = [r["v"] for r in res.collect()]
+    assert sorted(v for v in vals if v is not None) == [300, 320, 340]
+    assert vals.count(None) == 2
+
+
+def test_cypher_case_as_grouping_key(spark):
+    """CASE in the grouping position: keys and aggregates coexist."""
+    from graphscope_spark.operators.cypher import cypher_property
+
+    res = cypher_property(
+        _pgraph(spark),
+        "MATCH (a:person) RETURN "
+        "CASE WHEN a.age < 33 THEN 0 ELSE 1 END AS b, count(*) AS n",
+    )
+    assert sorted((r["b"], r["n"]) for r in res.collect()) == [(0, 3), (1, 2)]
+
+
+def test_cypher_case_errors(spark):
+    from graphscope_spark.operators.cypher import cypher_property
+
+    pg = _pgraph(spark)
+    # simple (operand) CASE form is not the searched grammar
+    with pytest.raises(ValueError, match="searched"):
+        cypher_property(
+            pg, "MATCH (a:person) RETURN CASE a.age WHEN 30 THEN 1 END AS x"
+        )
+    # WHEN without THEN
+    with pytest.raises(ValueError, match="THEN"):
+        cypher_property(
+            pg, "MATCH (a:person) RETURN CASE WHEN a.age < 33 END AS x"
+        )
+    # ELSE must be last and unique
+    with pytest.raises(ValueError, match="ELSE"):
+        cypher_property(
+            pg,
+            "MATCH (a:person) RETURN CASE WHEN a.age < 33 THEN 1 "
+            "ELSE 2 ELSE 3 END AS x",
+        )
+    # alias mandatory (no END ... AS -> not a CASE item at all)
+    with pytest.raises(ValueError, match="unsupported"):
+        cypher_property(
+            pg, "MATCH (a:person) RETURN CASE WHEN a.age < 33 THEN 1 END"
+        )
+
+
+def test_cypher_map_literal(spark):
+    """{k: expr, ...} MapLiteral (supported_cypher.md MapLiteral row) ->
+    named struct; heterogeneous value types survive."""
+    from graphscope_spark.operators.cypher import cypher_property
+
+    pg = _pgraph(spark)
+    rows = cypher_property(
+        pg,
+        "MATCH (a:person)-[:knows]->(b:person) WHERE a.id = 0 "
+        "RETURN {src: a.id, dstage: b.age + 1, tag: 'x'} AS m, b.id AS bid",
+    ).collect()
+    got = sorted(
+        ((r["m"].asDict(), r["bid"]) for r in rows), key=lambda t: t[1]
+    )
+    assert got == [
+        ({"src": 0, "dstage": 32, "tag": "x"}, 1),
+        ({"src": 0, "dstage": 33, "tag": "x"}, 2),
+    ]
+    with pytest.raises(ValueError, match="map-literal"):
+        cypher_property(pg, "MATCH (a:person) RETURN {3: a.id} AS m")
+    with pytest.raises(ValueError, match="empty map"):
+        cypher_property(pg, "MATCH (a:person) RETURN {} AS m")

@@ -1013,3 +1013,18 @@ def test_gremlin_project(spark):
         gremlin(pg, 'g.V().project("a", "b").by(id())').collect()
     with pytest.raises(ValueError, match="terminal"):
         gremlin(pg, 'g.V().project("a").by(id()).count()').collect()
+
+
+def test_expr_bit_reverse(spark):
+    """~ bit reverse in expr() (BitOpr row, reference-planned)."""
+    from tests.conftest import make_graph
+    from graphscope_spark.operators.gremlin import gremlin
+
+    g = make_graph(
+        spark, [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)],
+        vertices=list(range(4)),
+    )
+    r = gremlin(g, "g.V().select(expr(~_ & 7))").collect()
+    assert sorted(x[0] for x in r) == [4, 5, 6, 7]  # ~id & 7 = 7 - id
+    r = gremlin(g, "g.V().where(expr(~_ = -2)).count()").collect()
+    assert r[0][0] == 1  # ~1 == -2
