@@ -582,6 +582,25 @@ def _pred_to_col(node, opcol) -> "Column":
     return out
 
 
+def _strip_comments(q: str) -> str:
+    """Drop ``//`` line comments (supported_cypher.md Keyword/Comments row)
+    outside single-quoted string literals."""
+    out, i, in_str = [], 0, False
+    while i < len(q):
+        c = q[i]
+        if in_str:
+            in_str = c != "'"
+        elif c == "'":
+            in_str = True
+        elif c == "/" and i + 1 < len(q) and q[i + 1] == "/":
+            nl = q.find("\n", i)
+            i = len(q) if nl < 0 else nl
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 def parse_cypher(query: str) -> dict:
     """Parse the MATCH/WHERE/RETURN subset into a plain-dict AST:
 
@@ -592,7 +611,7 @@ def parse_cypher(query: str) -> dict:
     where operands are ``("prop", tag, name)`` / ``("tag", tag)`` /
     ``("lit", value)`` and item kind ∈ {"tag", "prop", "count"}.
     """
-    q = query.strip().rstrip(";")
+    q = _strip_comments(query).strip().rstrip(";")
     # datetime(<ms>) literals become paren-free tokens the WHERE/RETURN
     # grammars can carry (note: a literal `datetime(123)` INSIDE a quoted
     # string would also rewrite — datetime-shaped string content is not

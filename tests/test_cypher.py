@@ -1618,3 +1618,27 @@ def test_cypher_map_literal(spark):
         cypher_property(pg, "MATCH (a:person) RETURN {3: a.id} AS m")
     with pytest.raises(ValueError, match="empty map"):
         cypher_property(pg, "MATCH (a:person) RETURN {} AS m")
+
+
+def test_cypher_line_comments(spark):
+    """`//` comments (supported_cypher.md Keyword/Comments row) are stripped
+    outside string literals; `//` inside a quoted string survives."""
+    from graphscope_spark.operators.cypher import cypher_property, parse_cypher
+
+    pg = _pgraph(spark)
+    n = cypher_property(
+        pg,
+        "// leading comment\n"
+        "MATCH (a:person)-[:knows]->(b:person) // trailing comment\n"
+        "WHERE a.age <= 31  // filter young\n"
+        "RETURN count(*) AS n",
+    ).collect()[0]["n"]
+    assert n == 3
+
+    ast = parse_cypher(
+        "MATCH (a:person) WHERE a.name = 'http://x' // real comment\n"
+        "RETURN a.name AS nm"
+    )
+    assert ast["where"] == [
+        ("cmp", ("prop", "a", "name"), "=", ("lit", "http://x"))
+    ]
