@@ -3578,6 +3578,99 @@ def _corpus_pagerank_sql(rounds: int = 10, alpha: float = 0.85) -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# crawl-cleaning text ops (training-data pipeline): documents.text carries no
+# PII/URLs, so both engines append the SAME deterministic doc_id-derived
+# segment (emails / URLs / phone numbers by doc_id % 3) and then the REAL
+# operators (operators/text.py regex built-ins) must find and mask exactly
+# those plants — the oracle runs the literal same patterns through RE2.
+# ---------------------------------------------------------------------------
+
+_PII_SEG_SPARK = (
+    "CASE CAST(doc_id % 3 AS INT) "
+    "WHEN 0 THEN concat(' contact user', doc_id, '@mail', doc_id % 5, '.com for details') "
+    "WHEN 1 THEN concat(' visit https://site', doc_id % 7, '.org/p/', doc_id, ' today') "
+    "ELSE concat(' call 555-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0'), ' now') END"
+)
+
+_PII_SEG_DUCK = """CASE CAST(d.doc_id % 3 AS INT)
+  WHEN 0 THEN ' contact user' || CAST(d.doc_id AS VARCHAR) || '@mail' ||
+              CAST(d.doc_id % 5 AS VARCHAR) || '.com for details'
+  WHEN 1 THEN ' visit https://site' || CAST(d.doc_id % 7 AS VARCHAR) ||
+              '.org/p/' || CAST(d.doc_id AS VARCHAR) || ' today'
+  ELSE ' call 555-' || lpad(CAST(d.doc_id % 10000 AS VARCHAR), 4, '0') || ' now'
+END"""
+
+
+def _q_pii_scrub(spark, sf_dir):
+    """PII scrub (C4/RefinedWeb-style): mask emails/phones with counts —
+    regexp built-ins, Java-regex ∩ RE2 patterns (operators/text.py)."""
+    from graphscope_spark.operators.text import scrub_pii
+
+    docs = _load(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"concat(text, {_PII_SEG_SPARK}) AS text"
+    )
+    out = scrub_pii(docs, "text", out="clean")
+    return out.select(
+        "doc_id",
+        F.col("n_emails").cast("long").alias("n_emails"),
+        F.col("n_phones").cast("long").alias("n_phones"),
+        "clean",
+    ).orderBy("doc_id")
+
+
+def _q_url_domains(spark, sf_dir):
+    """Link census of a crawl-cleaning pipeline: URL extraction → domain
+    aggregation (operators/text.py extract_url_domains)."""
+    from graphscope_spark.operators.text import extract_url_domains
+
+    docs = _load(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"concat(text, {_PII_SEG_SPARK}) AS text"
+    )
+    return extract_url_domains(docs, "text").orderBy("domain")
+
+
+def _q_doc_ttr(spark, sf_dir):
+    """Type-token ratio (lexical diversity) — pure array built-ins."""
+    from graphscope_spark.operators.text import with_type_token_ratio
+
+    docs = _load(spark, sf_dir, "documents")
+    return with_type_token_ratio(docs, "text").select("doc_id", "ttr").orderBy("doc_id")
+
+
+from graphscope_spark.operators.text import (  # noqa: E402  (oracle twins)
+    EMAIL_RE as _EMAIL_RE,
+    PHONE_RE as _PHONE_RE,
+    URL_DOMAIN_RE as _URL_DOMAIN_RE,
+    URL_RE as _URL_RE,
+)
+
+_PII_SCRUB_SQL = f"""
+WITH enr AS (
+  SELECT d.doc_id, d.text || {_PII_SEG_DUCK} AS text FROM documents d)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_EMAIL_RE}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(text, '{_PHONE_RE}'))::BIGINT AS n_phones,
+       regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{_PHONE_RE}', '<PHONE>', 'g') AS clean
+FROM enr ORDER BY doc_id"""
+
+_URL_DOMAINS_SQL = f"""
+WITH enr AS (
+  SELECT d.doc_id, d.text || {_PII_SEG_DUCK} AS text FROM documents d),
+urls AS (
+  SELECT unnest(regexp_extract_all(text, '{_URL_RE}')) AS url FROM enr)
+SELECT regexp_extract(url, '{_URL_DOMAIN_RE}', 1) AS domain,
+       count(*)::BIGINT AS n
+FROM urls GROUP BY domain ORDER BY domain"""
+
+_DOC_TTR_SQL = """
+SELECT doc_id,
+       round(len(list_distinct(string_split(text, ' ')))
+             / greatest(len(string_split(text, ' ')), 1), 6) AS ttr
+FROM documents ORDER BY doc_id"""
+
+
 _CORPUS_SHA_SQL = _corpus_with(
     """
 cimp AS (
@@ -3611,6 +3704,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_repo_links": _q_corpus_repo_links,
     "corpus_pagerank": _q_corpus_pagerank,
     "corpus_sha256": _q_corpus_sha256,
+    # crawl-cleaning text ops (training-data pipeline)
+    "pii_scrub": _q_pii_scrub,
+    "url_domains": _q_url_domains,
+    "doc_ttr": _q_doc_ttr,
     "gremlin_expr": _q_gremlin_expr,
     "gremlin_group_ext": _q_gremlin_group_ext,
     "cypher_allshortest": _q_cypher_allshortest,
@@ -3762,6 +3859,9 @@ ORACLES: dict[str, str] = {
      ORDER BY src_repo, dst_repo""",
     "corpus_pagerank": _corpus_pagerank_sql(10),
     "corpus_sha256": _CORPUS_SHA_SQL,
+    "pii_scrub": _PII_SCRUB_SQL,
+    "url_domains": _URL_DOMAINS_SQL,
+    "doc_ttr": _DOC_TTR_SQL,
     "pagerank_converged": _pagerank_converged_sql(15),
     "ppr": _ppr_sql(1, 10),
     "articlerank": _articlerank_sql(10),

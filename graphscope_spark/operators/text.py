@@ -19,9 +19,19 @@ __all__ = [
     "with_lang_id",
     "with_quality_score",
     "with_fingerprint",
+    "with_type_token_ratio",
+    "scrub_pii",
+    "extract_url_domains",
     "stratified_sample",
     "LANG_MARKERS",
 ]
+
+# PII patterns kept to the Java-regex ∩ RE2 common subset (no lookarounds)
+# so the DuckDB oracle can run the literal same patterns.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}[- ]\d{4}\b"
+URL_RE = r"https?://[^ ]+"
+URL_DOMAIN_RE = r"https?://([^/ ]+)"
 
 # marker stopwords per language (tiny, deterministic heuristic)
 LANG_MARKERS = {
@@ -201,3 +211,60 @@ def stratified_sample(
     ok = picked.join(F.broadcast(short), strata_col, "left_anti")
     cols = df.columns
     return ok.select(*cols).unionByName(repaired.select(*cols))
+
+
+def with_type_token_ratio(
+    df: DataFrame, col: str = "text", out: str = "ttr"
+) -> DataFrame:
+    """Type-token ratio: distinct whitespace tokens / total tokens — a
+    standard lexical-diversity quality signal (low TTR ⇒ repetitive,
+    boilerplate-heavy documents a training pipeline down-weights).
+    Pure array built-ins: one codegen'd projection, no shuffle."""
+    toks = F.split(F.col(col), " ")
+    return df.withColumn(
+        out,
+        F.round(
+            F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1)),
+            6,
+        ),
+    )
+
+
+def scrub_pii(
+    df: DataFrame, col: str = "text", out: str = "clean"
+) -> DataFrame:
+    """Mask emails/phones (C4/RefinedWeb-style PII scrub) and count what was
+    masked. Patterns live in the Java-regex ∩ RE2 subset so the same literal
+    strings drive the DuckDB oracle. regexp_replace is JVM-side and global;
+    the counts come from regexp_extract_all sizes (same single pass shape)."""
+    c = F.col(col)
+    return (
+        df.withColumn(
+            "n_emails", F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), F.lit(0)))
+        )
+        .withColumn(
+            "n_phones", F.size(F.regexp_extract_all(c, F.lit(PHONE_RE), F.lit(0)))
+        )
+        .withColumn(
+            out,
+            F.regexp_replace(
+                F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+            ),
+        )
+    )
+
+
+def extract_url_domains(df: DataFrame, col: str = "text") -> DataFrame:
+    """(domain, n): URLs pulled with regexp_extract_all, exploded, reduced to
+    the host part — the link-census step of a crawl-cleaning pipeline.
+    One narrow extract + one hash aggregation; the explode stays proportional
+    to the number of matches, not document length."""
+    urls = F.explode(
+        F.regexp_extract_all(F.col(col), F.lit(URL_RE), F.lit(0))
+    ).alias("url")
+    return (
+        df.select(urls)
+        .select(F.regexp_extract("url", URL_DOMAIN_RE, 1).alias("domain"))
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -191,3 +191,48 @@ def test_stratified_sample(spark):
     # xxhash64 fast path: same counts, deterministic
     x = stratified_sample(df, "lang", 5)
     assert x.count() == 15
+
+
+def test_scrub_pii_masks_and_counts(spark):
+    from graphscope_spark.operators.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (0, "reach me at jo.doe+x@corp.example.org or 555-0199 thanks"),
+            (1, "no pii here at all"),
+            (2, "two mails a@b.io c@d.co and 555 1234"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in scrub_pii(df).collect()}
+    assert rows[0]["n_emails"] == 1 and rows[0]["n_phones"] == 1
+    assert "<EMAIL>" in rows[0]["clean"] and "<PHONE>" in rows[0]["clean"]
+    assert "jo.doe" not in rows[0]["clean"] and "0199" not in rows[0]["clean"]
+    assert rows[1]["n_emails"] == 0 and rows[1]["clean"] == "no pii here at all"
+    assert rows[2]["n_emails"] == 2 and rows[2]["n_phones"] == 1
+
+
+def test_extract_url_domains(spark):
+    from graphscope_spark.operators.text import extract_url_domains
+
+    df = spark.createDataFrame(
+        [
+            (0, "see https://a.org/x and http://b.net plain"),
+            (1, "again https://a.org/deep/path here"),
+            (2, "none"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r["domain"], r["n"]) for r in extract_url_domains(df).collect()}
+    assert got == {("a.org", 2), ("b.net", 1)}
+
+
+def test_type_token_ratio(spark):
+    from graphscope_spark.operators.text import with_type_token_ratio
+
+    df = spark.createDataFrame(
+        [(0, "a b a b"), (1, "x y z"), (2, "w w w w")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["ttr"] for r in with_type_token_ratio(df).collect()}
+    assert got == {0: 0.5, 1: 1.0, 2: 0.25}
