@@ -140,6 +140,61 @@ spark.stop()
 """
 
 
+_CORPUS_SCALING_SCRIPT = """
+import json, sys, time
+sys.path.insert(0, {repo!r})
+import os
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
+from graphscope_spark.session import get_spark
+spark = get_spark(app_name="bench_corpus_scaling", master=f"local[{cores}]",
+                  shuffle_partitions={parts})
+from graphscope_spark.corpus.extractor import (
+    extract_file_deps, repo_link_edges, with_sha256)
+from graphscope_spark.corpus.generator import synth_corpus
+files = synth_corpus(spark, {n_files}, {n_files} // 50,
+                     num_partitions={parts}).persist()
+nf = files.count()  # materialize generation OUTSIDE the timed region
+t0 = time.time()
+n_sha = with_sha256(files).where("sha256 IS NOT NULL").count()
+links = repo_link_edges(files, extract_file_deps(files))
+n_links = links.count()
+sec = time.time() - t0
+print("BENCHJSON" + json.dumps({{
+    "cores": {cores}, "n_files": nf, "repo_link_edges": n_links,
+    "extract_sec": round(sec, 2),
+    "files_per_sec": round(nf / sec, 1)}}))
+spark.stop()
+"""
+
+
+def _corpus_scaling_run(cores: int, n_files: int, timeout: int = 1200) -> dict:
+    """Fresh-subprocess corpus-extraction run (sha256 + import regexes +
+    symbol join + repo agg) — the axes-A job. Unlike the PageRank superstep
+    loop this stage is compute-bound scan work (one shuffle at the symbol
+    join), so its N→4N efficiency shows what the non-iterative 80% of a
+    100 TB pipeline does on added executors.
+
+    Strong-scaling protocol: IDENTICAL input partitioning (64 parts) and
+    shuffle partitioning at both core counts — only parallelism differs, so
+    task shapes (pandas batch sizes, shuffle fan-in) are held constant."""
+    import subprocess
+
+    code = _CORPUS_SCALING_SCRIPT.format(
+        repo=os.path.dirname(os.path.abspath(__file__)),
+        cores=cores, parts=64, n_files=n_files,
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=timeout,
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("BENCHJSON"):
+            return json.loads(line[len("BENCHJSON"):])
+    raise RuntimeError(
+        f"corpus scaling run failed (cores={cores}): {proc.stderr[-2000:]}"
+    )
+
+
 def _pagerank_run(cores: int, n_edges: int, rounds: int = 10,
                   timeout: int = 1200, tol: float = 0.0,
                   driver_mem: str | None = None) -> dict:
@@ -563,6 +618,20 @@ def write_report(payload: dict, best: dict | None = None) -> None:
             f"{c.get('extract_sec')}s = {c.get('files_per_sec')} files/s; "
             f"{c.get('repo_link_edges')} repo-link edges.",
         ]
+    cs, cl = s.get("corpus_small"), s.get("corpus_large")
+    if cs and cl and "error" not in cs and "error" not in cl:
+        lines += [
+            "",
+            f"- **corpus-extraction strong scaling (axes-A job, fresh JVMs, "
+            f"{cs['n_files']} files)**: {SMALL_CORES} cores "
+            f"{cs['files_per_sec']} files/s → {CPUS} cores "
+            f"{cl['files_per_sec']} files/s = N→4N efficiency "
+            f"**{s.get('corpus_strong_efficiency')}**. The extraction stage "
+            "is compute-bound scan work (one shuffle at the symbol join) — "
+            "this is what the non-iterative bulk of a 100 TB pipeline does "
+            "on added executors, complementing the shuffle-bound PageRank "
+            "series above.",
+        ]
     with open("BENCH/BASELINE.md", "w") as fh:
         fh.write("\n".join(lines) + "\n")
 
@@ -669,6 +738,26 @@ def main() -> None:
         scaling["weak_efficiency"] = round(
             scaling["small"]["total_sec"] / scaling["large_4x_data"]["total_sec"], 3
         )
+        # corpus-extraction strong scaling: OPT-IN ONLY. Measured r4: the
+        # string-scan stage saturates this box's memory bandwidth at 8
+        # cores (8c ≈ 146k files/s BEATS 32c ≈ 94-103k at 8M files; 28g
+        # heap changes nothing), so a single-box core-scaling number for
+        # it is meaningless — the honest record lives in
+        # BENCH/builder_points.json notes. The north-rule scaling metric
+        # (PageRank GTEPS) is the series above.
+        if os.environ.get("SPARK_GRAFT_CORPUS_SCALING") == "1":
+            try:
+                c_small = _corpus_scaling_run(SMALL_CORES, 8_000_000)
+                c_large = _corpus_scaling_run(CPUS, 8_000_000)
+                scaling["corpus_small"] = c_small
+                scaling["corpus_large"] = c_large
+                scaling["corpus_strong_efficiency"] = round(
+                    c_large["files_per_sec"]
+                    / (c_small["files_per_sec"] * (CPUS / SMALL_CORES)),
+                    3,
+                )
+            except Exception as exc:  # noqa: BLE001 — record, don't die
+                scaling["corpus_small"] = {"error": str(exc)[:500]}
         payload["scaling"] = scaling
 
     best = update_best_headline(scaling)

@@ -247,8 +247,16 @@ def _parse_case(body: str, parse_operand, parse_pred) -> tuple[list, object]:
         i += 1
     out.append((kw, body[start:]))
     toks = [(k, t.strip()) for k, t in out if k is not None or t.strip()]
+    if not toks:
+        raise ValueError("empty CASE")
+    # simple form: `CASE <expr> WHEN <value> THEN …` — the leading kw=None
+    # token is the test operand; each WHEN value becomes an equality predicate
+    test = None
+    if toks[0][0] is None:
+        test = parse_operand(toks[0][1])
+        toks = toks[1:]
     if not toks or toks[0][0] != "WHEN":
-        raise ValueError("CASE must start with WHEN (searched form only)")
+        raise ValueError("CASE must start with WHEN (or `CASE expr WHEN`)")
     whens: list[tuple] = []
     els = None
     j = 0
@@ -257,8 +265,11 @@ def _parse_case(body: str, parse_operand, parse_pred) -> tuple[list, object]:
         if k == "WHEN":
             if j + 1 >= len(toks) or toks[j + 1][0] != "THEN":
                 raise ValueError("CASE WHEN without a matching THEN")
-            conj = parse_pred(t)
-            pred = conj[0] if len(conj) == 1 else ("and", conj)
+            if test is not None:
+                pred = ("cmp", test, "=", parse_operand(t))
+            else:
+                conj = parse_pred(t)
+                pred = conj[0] if len(conj) == 1 else ("and", conj)
             whens.append((pred, parse_operand(toks[j + 1][1])))
             j += 2
         elif k == "ELSE":

@@ -1572,10 +1572,10 @@ def test_cypher_case_errors(spark):
     from graphscope_spark.operators.cypher import cypher_property
 
     pg = _pgraph(spark)
-    # simple (operand) CASE form is not the searched grammar
-    with pytest.raises(ValueError, match="searched"):
+    # bare CASE with neither a test operand nor WHEN
+    with pytest.raises(ValueError, match="CASE"):
         cypher_property(
-            pg, "MATCH (a:person) RETURN CASE a.age WHEN 30 THEN 1 END AS x"
+            pg, "MATCH (a:person) RETURN CASE a.age END AS x"
         )
     # WHEN without THEN
     with pytest.raises(ValueError, match="THEN"):
@@ -1642,3 +1642,18 @@ def test_cypher_line_comments(spark):
     assert ast["where"] == [
         ("cmp", ("prop", "a", "name"), "=", ("lit", "http://x"))
     ]
+
+
+def test_cypher_case_simple_form(spark):
+    """Simple CASE `CASE expr WHEN value THEN …` lowers to equality
+    predicates on the test operand (supported_cypher.md Branch row)."""
+    from graphscope_spark.operators.cypher import cypher_property
+
+    res = cypher_property(
+        _pgraph(spark),
+        "MATCH (a:person) RETURN a.id AS aid, "
+        "CASE a.age % 2 WHEN 0 THEN 'even' WHEN 1 THEN 'odd' END AS par",
+    )
+    got = {r["aid"]: r["par"] for r in res.collect()}
+    # ages 30..34 for ids 0..4
+    assert got == {0: "even", 1: "odd", 2: "even", 3: "odd", 4: "even"}
