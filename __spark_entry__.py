@@ -3472,18 +3472,15 @@ def _q_corpus_repo_links(spark, sf_dir):
     )
 
 
-def _q_corpus_pagerank(spark, sf_dir):
-    """The north-rule flagship: PageRank over the repo-link graph derived
-    from the corpus by the real extractor — LDBC fixed 10 rounds so the
-    oracle unrolls exactly (reference: apps/pagerank/pagerank.h)."""
-    from graphscope_spark.algorithms.pagerank import pagerank_ldbc
+def _corpus_repo_graph(spark, sf_dir):
+    """Repo-link Graph with oracle-reproducible integer ids (the repo number
+    parsed from the name) and the file-dependency-count edge weight."""
     from graphscope_spark.corpus.extractor import extract_file_deps, repo_link_edges, repo_vertices
     from graphscope_spark.graph.graph import Graph
 
     files = _corpus_files(spark, sf_dir)
     links = repo_link_edges(files, extract_file_deps(files))
     names = repo_vertices(files)
-    # integer repo ids the oracle can reproduce: the repo number in the name
     rn = names.select(
         F.col("id").alias("hid"),
         F.regexp_extract("name", r"repo(\d+)$", 1).cast("long").alias("rid"),
@@ -3495,10 +3492,37 @@ def _q_corpus_pagerank(spark, sf_dir):
             rn.select(F.col("hid").alias("dst"), F.col("rid").alias("dst_rid")),
             "dst",
         )
-        .select(F.col("src_rid").alias("src"), F.col("dst_rid").alias("dst"))
+        .select(
+            F.col("src_rid").alias("src"),
+            F.col("dst_rid").alias("dst"),
+            "weight",
+        )
     )
-    g = Graph(edges, vertices=rn.select(F.col("rid").alias("id")), num_partitions=NUM_PARTITIONS)
+    return Graph(
+        edges, vertices=rn.select(F.col("rid").alias("id")),
+        num_partitions=NUM_PARTITIONS,
+    )
+
+
+def _q_corpus_pagerank(spark, sf_dir):
+    """The north-rule flagship: PageRank over the repo-link graph derived
+    from the corpus by the real extractor — LDBC fixed 10 rounds so the
+    oracle unrolls exactly (reference: apps/pagerank/pagerank.h)."""
+    from graphscope_spark.algorithms.pagerank import pagerank_ldbc
+
+    g = _corpus_repo_graph(spark, sf_dir)
     out = pagerank_ldbc(g, damping=0.85, rounds=10)
+    return out.select("id", F.round("pagerank", 6).alias("pagerank")).orderBy("id")
+
+
+def _q_corpus_pagerank_weighted(spark, sf_dir):
+    """Weighted PageRank (rank distributed by w/Σw — the engine's
+    ``weight_col`` path, never driver-checked before) over the same repo
+    graph; weight = file-dependency count per repo pair."""
+    from graphscope_spark.algorithms.pagerank import pagerank_ldbc
+
+    g = _corpus_repo_graph(spark, sf_dir)
+    out = pagerank_ldbc(g, damping=0.85, rounds=10, weight_col="weight")
     return out.select("id", F.round("pagerank", 6).alias("pagerank")).orderBy("id")
 
 
@@ -3546,17 +3570,27 @@ def _corpus_with(body: str) -> str:
     return "WITH " + _CORPUS_PROLOGUE + ("," + body if body else "")
 
 
-def _corpus_pagerank_sql(rounds: int = 10, alpha: float = 0.85) -> str:
-    """Unrolled PageRank over the repo-link graph (mirrors _pagerank_sql)."""
+def _corpus_pagerank_sql(
+    rounds: int = 10, alpha: float = 0.85, weighted: bool = False
+) -> str:
+    """Unrolled PageRank over the repo-link graph (mirrors _pagerank_sql).
+    ``weighted=True`` distributes rank by edge weight share w/Σw (the
+    engine's ``weight_col`` path) instead of uniformly by out-degree."""
+    deg = (
+        "SELECT src, sum(w)::DOUBLE AS outdeg FROM crlinks GROUP BY src"
+        if weighted
+        else "SELECT src, count(*)::DOUBLE AS outdeg FROM crlinks GROUP BY src"
+    )
+    msg = "sum(r.rank * e.w / d.outdeg)" if weighted else "sum(r.rank / d.outdeg)"
     ctes = [
-        "cdeg AS MATERIALIZED (SELECT src, count(*)::DOUBLE AS outdeg FROM crlinks GROUP BY src)",
+        f"cdeg AS MATERIALIZED ({deg})",
         "cr0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM crn) AS rank FROM crverts)",
     ]
     for k in range(1, rounds + 1):
         p = k - 1
         ctes.append(
             f"""cm{k} AS MATERIALIZED (
-              SELECT e.dst AS id, sum(r.rank / d.outdeg) AS msg
+              SELECT e.dst AS id, {msg} AS msg
               FROM crlinks e JOIN cr{p} r ON e.src = r.id JOIN cdeg d ON e.src = d.src
               GROUP BY e.dst)"""
         )
@@ -3703,6 +3737,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_file_deps": _q_corpus_file_deps,
     "corpus_repo_links": _q_corpus_repo_links,
     "corpus_pagerank": _q_corpus_pagerank,
+    "corpus_pagerank_weighted": _q_corpus_pagerank_weighted,
     "corpus_sha256": _q_corpus_sha256,
     # crawl-cleaning text ops (training-data pipeline)
     "pii_scrub": _q_pii_scrub,
@@ -3858,6 +3893,7 @@ ORACLES: dict[str, str] = {
      JOIN (SELECT DISTINCT rn, repo FROM crname) d ON l.dst = d.rn
      ORDER BY src_repo, dst_repo""",
     "corpus_pagerank": _corpus_pagerank_sql(10),
+    "corpus_pagerank_weighted": _corpus_pagerank_sql(10, weighted=True),
     "corpus_sha256": _CORPUS_SHA_SQL,
     "pii_scrub": _PII_SCRUB_SQL,
     "url_domains": _URL_DOMAINS_SQL,
