@@ -3742,7 +3742,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # crawl-cleaning text ops (training-data pipeline)
     "pii_scrub": _q_pii_scrub,
     "url_domains": _q_url_domains,
-    "doc_ttr": _q_doc_ttr,
     "gremlin_expr": _q_gremlin_expr,
     "gremlin_group_ext": _q_gremlin_group_ext,
     "cypher_allshortest": _q_cypher_allshortest,
@@ -3786,6 +3785,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tailed_triangles": _q_tailed_triangles,
     "lpa_by_color": _q_lpa_by_color,
     "min_edge_cover": _q_min_edge_cover,
+    # doc_ttr waits at 51: all 50 window slots hold never-checked
+    # queries; it is the cheapest (one projection, mirror-green)
+    "doc_ttr": _q_doc_ttr,
     "pagerank": _q_pagerank,
     "pagerank_converged": _q_pagerank_converged,
     "ppr": _q_ppr,
