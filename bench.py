@@ -530,6 +530,12 @@ def write_report(payload: dict, best: dict | None = None) -> None:
         "| min_edge_cover 2-3 checkpoints/round | 81.6s vs 66.6s for 5 "
         "checkpoints at sf0.1 (r4) | keep 5 — intermediates referenced 2+ "
         "times/round are cheaper materialized |",
+        "| per-round union-aggregate (contribs ∪ base → one groupBy(id), "
+        "1 shuffle) vs groupBy(dst)+join-back (2 exchanges, 2nd co-located) "
+        "| interleaved in-JVM A/B at 100M edges, 2 sessions × 8 rounds "
+        "each: medians 8.2 vs 14.6 then 8.4 vs 7.6 — inside ±3× host "
+        "noise, no reliable separation (r4) | keep groupBy+join-back (the "
+        "join-back exchange is already partitioning-aligned) |",
     ]
     cb = payload.get("closeness_batching")
     if cb:
