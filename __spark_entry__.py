@@ -567,6 +567,25 @@ def _apsp_sql(n_sources: int = 5, bound: int = 12) -> str:
     FROM walk GROUP BY source, id ORDER BY source, id"""
 
 
+def _avg_path_length_sql(n_sources: int = 50, bound: int = 14) -> str:
+    body = f"""
+    seeds AS MATERIALIZED (SELECT id FROM verts WHERE id < {n_sources}),
+    walk(source, id, depth) AS (
+      SELECT id, id, 0 FROM seeds
+      UNION
+      SELECT w.source, e.dst, w.depth + 1
+      FROM walk w JOIN edges e ON e.src = w.id
+      WHERE w.depth < {bound}
+    ),
+    dists AS (
+      SELECT source, id, min(depth) AS distance
+      FROM walk GROUP BY source, id)"""
+    return _with(body) + f"""
+    SELECT round(sum(distance)
+                 / ({n_sources}.0 * ((SELECT n FROM nv) - 1)), 6) AS avg_dist
+    FROM dists WHERE source <> id"""
+
+
 def _betweenness_sql(
     n_sources: int = 5, max_level: int = 8, n_hint: str = "(SELECT n FROM nv)"
 ) -> str:
@@ -1270,6 +1289,16 @@ def _q_apsp(spark, sf_dir):
     return all_pairs_shortest_path_length(g, sources=[0, 1, 2, 3, 4]).orderBy(
         "source", "id"
     )
+
+
+def _q_avg_path_length(spark, sf_dir):
+    """Average shortest path length over a deterministic 50-source sample
+    (reference client app average_shortest_path_length.py; grape
+    convention — unreachable pairs contribute 0)."""
+    from graphscope_spark.algorithms.paths import average_shortest_path_length
+
+    g = _customer_graph(spark, sf_dir)
+    return average_shortest_path_length(g, sources=list(range(50)))
 
 
 def _q_betweenness(spark, sf_dir):
@@ -3788,6 +3817,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # doc_ttr waits at 51: all 50 window slots hold never-checked
     # queries; it is the cheapest (one projection, mirror-green)
     "doc_ttr": _q_doc_ttr,
+    "avg_path_length": _q_avg_path_length,
     "pagerank": _q_pagerank,
     "pagerank_converged": _q_pagerank_converged,
     "ppr": _q_ppr,
@@ -4186,6 +4216,7 @@ GROUP BY b.dst ORDER BY supplier_id
     "kshell": _kshell_sql(),
     "clustering_global": _clustering_global_sql(),
     "apsp": _apsp_sql(5),
+    "avg_path_length": _avg_path_length_sql(50),
     "betweenness": _betweenness_sql(5),
     "voterank": _voterank_sql(5),
     "dfs_preorder": _dfs_sql(),

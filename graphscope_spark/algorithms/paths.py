@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from graphscope_spark.graph.graph import Graph
 
 __all__ = ["voterank", "all_pairs_shortest_path_length", "is_simple_path",
-           "all_simple_paths"]
+           "all_simple_paths", "average_shortest_path_length"]
 
 
 def voterank(graph: Graph, num_seeds: int) -> list[int]:
@@ -102,6 +102,34 @@ def all_pairs_shortest_path_length(
         sources = graph.vertices.select(F.col("id").alias("source"))
     return multi_source_bfs(graph, sources).select(
         "source", "id", F.col("depth").cast("int").alias("distance")
+    )
+
+
+def average_shortest_path_length(
+    graph: Graph, sources: list[int] | DataFrame | None = None
+) -> DataFrame:
+    """One-row (avg_dist): a = Σ_{s≠t reachable} d(s,t) / (|S|·(n−1)) —
+    the reference client app (python/graphscope/analytical/app/
+    average_shortest_path_length.py; unreachable pairs contribute 0, the
+    grape convention, so disconnected graphs don't raise like NetworkX).
+
+    ``sources=None`` = the exact all-pairs definition (|S| = n), subject to
+    all_pairs_shortest_path_length's O(V²) refusal gate; a deterministic
+    source sample is the scale estimator (one composite-state BFS batch
+    either way)."""
+    d = all_pairs_shortest_path_length(graph, sources=sources)
+    n = graph.num_vertices
+    n_src = (
+        n if sources is None
+        else (sources.count() if isinstance(sources, DataFrame) else len(sources))
+    )
+    return (
+        d.filter(F.col("source") != F.col("id"))
+        .agg(
+            F.round(
+                F.sum("distance") / F.lit(float(n_src * (n - 1))), 6
+            ).alias("avg_dist")
+        )
     )
 
 

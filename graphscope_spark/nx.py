@@ -33,6 +33,7 @@ from graphscope_spark.algorithms import (
 from graphscope_spark.algorithms.paths import (
     all_pairs_shortest_path_length,
     all_simple_paths,
+    average_shortest_path_length,
     is_simple_path,
 )
 from graphscope_spark.algorithms.scc import scc as strongly_connected_components
@@ -100,7 +101,7 @@ __all__ = [
     "shortest_path_length", "k_core", "k_shell", "hits", "degree_centrality",
     "eigenvector_centrality", "katz_centrality", "closeness_centrality",
     "betweenness_centrality", "voterank", "all_pairs_shortest_path_length",
-    "all_simple_paths", "is_simple_path",
+    "all_simple_paths", "is_simple_path", "average_shortest_path_length",
     "attribute_assortativity_coefficient",
     "degree_assortativity_coefficient", "average_degree_connectivity",
     "edge_boundary", "node_boundary", "harmonic_centrality", "greedy_color",

@@ -84,6 +84,22 @@ def test_apsp_and_simple_paths(spark):
     g.unpersist()
 
 
+def test_average_shortest_path_length(spark):
+    """Reference client app: a = Σ d(s,t) / (|S|·(n−1)); unreachable pairs
+    contribute 0 (grape convention, no NetworkX disconnected raise)."""
+    from graphscope_spark.algorithms.paths import average_shortest_path_length
+
+    vertices, edges = ALL_FIXTURES["diamond"]  # 1->2,1->3,2->4,3->4; n=4
+    g = make_graph(spark, edges, vertices)
+    # all-pairs: from 1: d=1,1,2; from 2: d(4)=1; from 3: d(4)=1 → Σ=6
+    full = average_shortest_path_length(g).collect()[0]["avg_dist"]
+    assert full == round(6 / (4 * 3), 6)
+    # sampled: sources [1, 2] → Σ = 4 + 1 = 5 over 2·3 ordered pairs
+    samp = average_shortest_path_length(g, sources=[1, 2]).collect()[0]["avg_dist"]
+    assert samp == round(5 / (2 * 3), 6)
+    g.unpersist()
+
+
 def test_assortativity_and_boundary(spark):
     from graphscope_spark.algorithms.assortativity import (
         attribute_assortativity,
