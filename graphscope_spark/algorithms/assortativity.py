@@ -106,3 +106,25 @@ def edge_boundary(graph: Graph, s: DataFrame) -> DataFrame:
         .join(sv.withColumnRenamed("id", "dst"), "dst", "left_anti")
         .select("src", "dst")
     )
+
+
+def numeric_assortativity(graph: Graph, attr: str) -> float:
+    """Numeric attribute assortativity: Pearson correlation of the numeric
+    vertex attribute across edge endpoints (the reference client app
+    numeric_assortativity_coefficient; NetworkX semantics)."""
+    v = graph.vertices.select("id", F.col(attr).cast("double").alias("_x"))
+    e = (
+        graph.edges.join(
+            v.withColumnRenamed("id", "src").withColumnRenamed("_x", "_sx"), "src"
+        ).join(
+            v.withColumnRenamed("id", "dst").withColumnRenamed("_x", "_dx"), "dst"
+        )
+    )
+    row = e.agg(
+        F.covar_pop("_sx", "_dx").alias("cov"),
+        F.stddev_pop("_sx").alias("sx"),
+        F.stddev_pop("_dx").alias("sy"),
+    ).collect()[0]
+    if not row["sx"] or not row["sy"]:
+        return float("nan")
+    return float(row["cov"] / (row["sx"] * row["sy"]))
