@@ -28,3 +28,18 @@ from graphscope_spark.session import get_spark
 __version__ = "0.1.0"
 
 __all__ = ["Graph", "get_spark", "__version__"]
+
+
+def __getattr__(name: str):
+    """Reference call-shape compat (PEP 562, lazy so package import stays
+    light): ``graphscope.pagerank(g)`` → ``graphscope_spark.pagerank(g)``.
+    Resolution order = flat client apps (apps.py), then the FLASH suite
+    (flash.py) — the same namespace layering as the reference's
+    ``graphscope`` package (analytical/app/__init__.py re-exports both)."""
+    import importlib
+
+    for mod in ("apps", "flash"):
+        m = importlib.import_module(f"graphscope_spark.{mod}")
+        if hasattr(m, name):
+            return getattr(m, name)
+    raise AttributeError(f"module 'graphscope_spark' has no attribute {name!r}")

@@ -55,3 +55,12 @@ def test_custom_dispatch_and_numeric_assortativity(spark):
     expected = float(np.corrcoef([v * 2 for v in sx], [v * 2 for v in sy])[0, 1])
     assert abs(r - expected) < 1e-9
     g.unpersist()
+
+
+def test_top_level_lazy_names():
+    import graphscope_spark as gs
+
+    assert callable(gs.pagerank) and callable(gs.wcc)        # apps.py
+    assert callable(gs.cc_log) and callable(gs.k_center)     # flash.py
+    with pytest.raises(AttributeError):
+        gs.definitely_not_an_app
