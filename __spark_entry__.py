@@ -836,6 +836,28 @@ def _roll(expr: str, seed: int = 7) -> str:
     )
 
 
+def _gnn_neighbor_sample_sql(n_seeds: int = 5, k1: int = 3, k2: int = 2,
+                             seed: int = 42) -> str:
+    """Node-wise 2-hop sampling twin: global per-src portable-hash ranking
+    (ties on dst), top-k1 from the seeds, top-k2 from the hop-1 frontier."""
+    key = _roll("CAST(dst AS VARCHAR)", seed)
+    body = f"""
+    nsr AS MATERIALIZED (
+      SELECT src, dst,
+             row_number() OVER (PARTITION BY src ORDER BY {key}, dst) AS rk
+      FROM edges),
+    nh1 AS (SELECT s.id AS root, 1 AS hop, r.src, r.dst
+            FROM (SELECT id FROM verts WHERE id < {n_seeds}) s
+            JOIN nsr r ON r.src = s.id WHERE r.rk <= {k1}),
+    nf1 AS (SELECT DISTINCT root, dst AS v FROM nh1),
+    nh2 AS (SELECT f.root, 2 AS hop, r.src, r.dst
+            FROM nf1 f JOIN nsr r ON r.src = f.v WHERE r.rk <= {k2})"""
+    return _with(body) + """
+    SELECT root, CAST(hop AS INT) AS hop, src, dst
+    FROM (SELECT * FROM nh1 UNION ALL SELECT * FROM nh2)
+    ORDER BY root, hop, src, dst"""
+
+
 def _minhash_ctes(seed: int = 42) -> str:
     """Shared WITH-clause body: documents → MinHash signatures → banded LSH
     candidate pairs → `est` (id_a, id_b, est_jaccard). Used by the pair
@@ -1709,6 +1731,18 @@ def _q_stratified_sample(spark, sf_dir):
         .select("doc_id", "lang")
         .orderBy("lang", "doc_id")
     )
+
+
+def _q_gnn_neighbor_sample(spark, sf_dir):
+    """GNN-training 2-hop neighbor sampling (fanouts 3,2) over the link
+    graph — node-wise GraphSAGE layout, portable-hash draws so the oracle
+    replays the identical ranking (algorithms/sampling.neighbor_sample)."""
+    from graphscope_spark.algorithms.sampling import neighbor_sample
+
+    g = _customer_graph(spark, sf_dir)
+    return neighbor_sample(
+        g, seeds=[0, 1, 2, 3, 4], fanouts=[3, 2], hash_fn="portable"
+    ).orderBy("root", "hop", "src", "dst")
 
 
 def _q_near_dup_clusters(spark, sf_dir):
@@ -3814,8 +3848,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tailed_triangles": _q_tailed_triangles,
     "lpa_by_color": _q_lpa_by_color,
     "min_edge_cover": _q_min_edge_cover,
-    # doc_ttr waits at 51: all 50 window slots hold never-checked
-    # queries; it is the cheapest (one projection, mirror-green)
+    # 51+: never-checked overflow — all 50 window slots already hold
+    # never-checked queries; these three (newest, mirror-green) wait
+    "gnn_neighbor_sample": _q_gnn_neighbor_sample,
     "doc_ttr": _q_doc_ttr,
     "avg_path_length": _q_avg_path_length,
     "pagerank": _q_pagerank,
@@ -4216,6 +4251,7 @@ GROUP BY b.dst ORDER BY supplier_id
     "kshell": _kshell_sql(),
     "clustering_global": _clustering_global_sql(),
     "apsp": _apsp_sql(5),
+    "gnn_neighbor_sample": _gnn_neighbor_sample_sql(),
     "avg_path_length": _avg_path_length_sql(50),
     "betweenness": _betweenness_sql(5),
     "voterank": _voterank_sql(5),

@@ -19,7 +19,7 @@ from pyspark.storagelevel import StorageLevel
 
 from graphscope_spark.graph.graph import Graph
 
-__all__ = ["sampling_path"]
+__all__ = ["sampling_path", "neighbor_sample"]
 
 
 def sampling_path(
@@ -88,3 +88,56 @@ def sampling_path(
         )
     edges.unpersist()
     return state.select("walker", "hops", "path")
+
+
+def neighbor_sample(
+    graph: Graph,
+    seeds: list[int],
+    fanouts: list[int],
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """GNN-training k-hop neighbor sampling: ``(root, hop, src, dst)`` —
+    for every frontier vertex, keep a deterministic fanout-bounded sample
+    of its out-edges (node-wise sampling: a vertex draws the same neighbor
+    sample wherever it appears, the cache-friendly GraphSAGE layout; the
+    reference ships this in its learning engine's samplers, which SURVEY
+    declares out of engine scope — this is the data-pipeline rendering).
+
+    The per-vertex draw reuses :func:`operators.text.stratified_sample`
+    with the source vertex as the stratum: seeded-hash ranking with a
+    broadcast per-stratum threshold prefilter, so a hub's million edges
+    are cut to ~2·k JVM-side before the exact top-k window — no
+    single-task hotspot at 100 TB. ``hash_fn="portable"`` makes every
+    draw bit-reproducible in DuckDB (the oracle path); xxhash64 is the
+    production path. One join + one bounded window per hop.
+    """
+    from graphscope_spark.operators.text import stratified_sample
+
+    edges = graph.edges.select("src", "dst")
+    spark = edges.sparkSession
+    frontier = spark.createDataFrame(
+        [(int(s), int(s)) for s in seeds], "root long, v long"
+    )
+    outs = []
+    for hop, k in enumerate(fanouts, start=1):
+        active = frontier.select(F.col("v").alias("src")).distinct()
+        cand = edges.join(active, "src")
+        picked = stratified_sample(
+            cand, "src", int(k), id_col="dst", seed=seed, hash_fn=hash_fn
+        )
+        out = (
+            frontier.join(picked.withColumnRenamed("src", "v"), "v")
+            .select(
+                "root",
+                F.lit(hop).cast("int").alias("hop"),
+                F.col("v").alias("src"),
+                "dst",
+            )
+        )
+        outs.append(out)
+        frontier = out.select("root", F.col("dst").alias("v")).distinct()
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

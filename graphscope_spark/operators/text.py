@@ -173,15 +173,22 @@ def stratified_sample(
     thr = counts.select(
         strata_col,
         "_cnt",
+        # clamp in DOUBLE space BEFORE the cast: a stratum smaller than
+        # oversample·n would otherwise push the product past int64 and
+        # CAST_OVERFLOW under ANSI (hit by fanout-3 sampling of degree-1
+        # vertices). The clamp itself must be a double that casts back into
+        # int64 range — float(2⁶³−1) rounds UP to exactly 2⁶³, so back off
+        # one double ULP (2048 at this magnitude); a threshold ≥ max key
+        # keeps every row either way.
         F.least(
-            F.lit(key_range),
-            (
-                F.lit(float(key_range))
-                * F.lit(oversample)
-                * F.lit(n_per_stratum)
-                / F.col("_cnt")
-            ).cast("long"),
-        ).alias("_thr"),
+            F.lit(float(min(key_range, (1 << 63) - 2048))),
+            F.lit(float(key_range))
+            * F.lit(oversample)
+            * F.lit(n_per_stratum)
+            / F.col("_cnt"),
+        )
+        .cast("long")
+        .alias("_thr"),
     )
     cand = keyed.join(F.broadcast(thr), strata_col).filter(
         F.col("_sk") <= F.col("_thr")

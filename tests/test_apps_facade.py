@@ -64,3 +64,28 @@ def test_top_level_lazy_names():
     assert callable(gs.cc_log) and callable(gs.k_center)     # flash.py
     with pytest.raises(AttributeError):
         gs.definitely_not_an_app
+
+
+def test_neighbor_sample_determinism_and_fanout(spark):
+    """GNN node-wise sampling: fanout caps hold, draws are deterministic,
+    node-wise = a vertex samples the same neighbors for every root."""
+    from graphscope_spark.algorithms.sampling import neighbor_sample
+
+    edges = [(0, i) for i in range(1, 8)] + [(1, i) for i in range(2, 6)] + [(9, 0)]
+    g = make_graph(spark, edges, vertices=list(range(10)))
+    a = neighbor_sample(g, seeds=[0, 9], fanouts=[3, 2]).collect()
+    b = neighbor_sample(g, seeds=[0, 9], fanouts=[3, 2]).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    rows = [tuple(r) for r in a]
+    # hop-1 fanout: each (root, hop=1, src) has ≤3 rows
+    from collections import Counter
+
+    c = Counter((r[0], r[1], r[2]) for r in rows)
+    assert all(v <= 3 for k, v in c.items() if k[1] == 1)
+    assert all(v <= 2 for k, v in c.items() if k[1] == 2)
+    # node-wise: vertex 0 appears as hop-1 src for root 0 and hop-2 src for
+    # root 9 — the dst draw must be identical
+    d_r0 = {r[3] for r in rows if r[0] == 0 and r[2] == 0}
+    d_r9 = {r[3] for r in rows if r[0] == 9 and r[2] == 0}
+    assert d_r9 <= d_r0 and len(d_r0) == 3 and len(d_r9) == 2
+    g.unpersist()
