@@ -63,9 +63,35 @@ def _register_builtins() -> None:
         pagerank_ldbc,
         pagerank_push,
     )
+    from graphscope_spark.algorithms.betweenness import betweenness_centrality
+    from graphscope_spark.algorithms.diameter import diameter_approx
+    from graphscope_spark.algorithms.flash_extras import (
+        degeneracy_ordering,
+        densest_subgraph_2approx,
+        graph_coloring,
+        k_center,
+        onion_layer_ordering,
+    )
+    from graphscope_spark.algorithms.fluid import fluid_communities
+    from graphscope_spark.algorithms.hits import hits
+    from graphscope_spark.algorithms.kcore import core_numbers, k_core_search, k_shell
+    from graphscope_spark.algorithms.louvain import louvain
+    from graphscope_spark.algorithms.lpa_color import lpa_by_color
+    from graphscope_spark.algorithms.matching import min_edge_cover
+    from graphscope_spark.algorithms.msf import minimum_spanning_forest
+    from graphscope_spark.algorithms.paths import (
+        average_shortest_path_length,
+        voterank,
+    )
     from graphscope_spark.algorithms.ranking import articlerank, ppr
+    from graphscope_spark.algorithms.sampling import neighbor_sample, sampling_path
     from graphscope_spark.algorithms.scc import scc
-    from graphscope_spark.algorithms.traversal import bfs, sssp
+    from graphscope_spark.algorithms.traversal import (
+        bfs,
+        random_multi_bfs,
+        sssp,
+        sssp_delta_stepping,
+    )
     from graphscope_spark.algorithms.triangles import lcc, triangles
     from graphscope_spark.algorithms.wcc import wcc
 
@@ -75,6 +101,15 @@ def _register_builtins() -> None:
         closeness_centrality, harmonic_centrality, eigenvector_centrality,
         katz_centrality, maximal_independent_set, maximal_matching,
         min_cover_greedy, min_dominating_set,
+        # r4: the rest of the implemented suite, so CALL / Cypher CALL /
+        # custom_analytical_algorithm can dispatch every engine by name
+        betweenness_centrality, hits, louvain, voterank,
+        average_shortest_path_length, diameter_approx, k_center,
+        graph_coloring, densest_subgraph_2approx, degeneracy_ordering,
+        onion_layer_ordering, fluid_communities, lpa_by_color,
+        min_edge_cover, minimum_spanning_forest, core_numbers, k_shell,
+        k_core_search, sampling_path, neighbor_sample, random_multi_bfs,
+        sssp_delta_stepping,
     ):
         register_procedure(fn.__name__, fn)
 
