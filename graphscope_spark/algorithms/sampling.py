@@ -19,7 +19,12 @@ from pyspark.storagelevel import StorageLevel
 
 from graphscope_spark.graph.graph import Graph
 
-__all__ = ["sampling_path", "neighbor_sample"]
+__all__ = [
+    "sampling_path",
+    "neighbor_sample",
+    "random_walks",
+    "negative_sample",
+]
 
 
 def sampling_path(
@@ -88,6 +93,269 @@ def sampling_path(
         )
     edges.unpersist()
     return state.select("walker", "hops", "path")
+
+
+def _hash_col(hash_fn: str, expr):
+    from graphscope_spark.operators.dedup import portable_str_hash, _P
+
+    if hash_fn == "portable":
+        return portable_str_hash(expr)
+    return F.abs(F.xxhash64(expr)) % F.lit(_P)
+
+
+def random_walks(
+    graph: Graph,
+    sources: list[int] | DataFrame,
+    walk_length: int = 4,
+    walks_per_source: int = 1,
+    p: float = 2.0,
+    q: float = 0.5,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """node2vec-style biased random walks → ``(walker, source, hops, path)``.
+
+    Reference: the learning engine's random-walk sampler
+    (learning_engine/graph-learn/graphlearn/src/core/operator/sampler/,
+    random_walk.cc) — walks feed DeepWalk/node2vec embedding training.
+    SURVEY declares the learning engine out of engine scope; this is the
+    data-pipeline rendering on the same superstep machinery as
+    :func:`sampling_path`.
+
+    Determinism: at step t the walker w at vertex ``cur`` (having arrived
+    from ``prev``) scores each out-neighbor u as ``h(seed:w:t:cur:u) · f``
+    and moves to the argmin (ties on u), where the integer factor f encodes
+    node2vec's second-order bias tiers — f_return = round(4·p) for u = prev,
+    f_common = 4 for u adjacent to prev, f_far = round(4·q) otherwise
+    (smaller factor ⇒ more likely to win the race). This is a
+    DETERMINISTIC rendering of the p/q preference ordering, bit-replayable
+    in DuckDB (``hash_fn="portable"``), not a categorical draw — a seeded
+    engine has no distribution, but the three-tier return/BFS/DFS bias is
+    node2vec's. The first step (no ``prev``) is tier-uniform.
+
+    Scale shape: per step one frontier⋈edges (candidates), one
+    partitioning-aligned left join against the edge set for the
+    prev-adjacency flag, and one combiner-friendly groupBy-min — a hub's
+    million candidates partial-aggregate map-side; no windows, no per-vertex
+    state beyond (cur, prev).
+    """
+    # factors clamped so key = h·f stays inside int64 (h < 2³¹ ⇒ f ≤ 2³¹)
+    f_return = min(max(int(round(4 * p)), 1), 1 << 31)
+    f_common = 4
+    f_far = min(max(int(round(4 * q)), 1), 1 << 31)
+    P = graph.num_partitions
+    edges = (
+        graph.edges.select("src", "dst")
+        .repartition(P, "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # prev-adjacency probe table (src=prev, dst=candidate)
+    nb = edges.select(
+        F.col("src").alias("_p"), F.col("dst").alias("_d"),
+        F.lit(1).alias("_is_nb"),
+    )
+    if isinstance(sources, DataFrame):
+        seeds = sources.select(
+            F.col(sources.columns[0]).cast("long").alias("source")
+        )
+    else:
+        seeds = graph.spark.createDataFrame(
+            [(int(s),) for s in sources], "source long"
+        )
+    state = (
+        seeds.crossJoin(
+            graph.spark.range(walks_per_source).select(
+                F.col("id").alias("_j")
+            )
+        )
+        .select(
+            (F.col("source") * walks_per_source + F.col("_j")).alias("walker"),
+            "source",
+            F.col("source").alias("cur"),
+            F.lit(-1).cast("long").alias("prev"),
+            F.lit(0).alias("hops"),
+            F.col("source").cast("string").alias("path"),
+            F.lit(True).alias("alive"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    for t in range(1, walk_length + 1):
+        frontier = state.filter("alive")
+        cand = frontier.join(edges, frontier.cur == edges.src).select(
+            "walker", "prev", "cur", "dst",
+            _hash_col(
+                hash_fn,
+                F.concat_ws(
+                    ":", F.lit(seed), F.col("walker"), F.lit(t),
+                    F.col("cur"), F.col("dst"),
+                ),
+            ).alias("h"),
+        )
+        cand = cand.join(
+            nb, (cand.prev == nb._p) & (cand.dst == nb._d), "left"
+        ).select(
+            "walker", "dst",
+            (
+                F.col("h")
+                * F.when(F.col("dst") == F.col("prev"), F.lit(f_return))
+                .when(F.col("_is_nb") == 1, F.lit(f_common))
+                .otherwise(F.lit(f_far))
+            ).alias("key"),
+        )
+        step = (
+            cand.groupBy("walker")
+            .agg(F.min(F.struct("key", "dst")).alias("m"))
+            .select("walker", F.col("m.dst").alias("nxt"))
+        )
+        adv = F.col("alive") & F.col("nxt").isNotNull()
+        state = (
+            state.join(step, "walker", "left")
+            .select(
+                "walker", "source",
+                F.when(adv, F.col("nxt")).otherwise(F.col("cur")).alias("cur"),
+                F.when(adv, F.col("cur")).otherwise(F.col("prev")).alias("prev"),
+                F.when(adv, F.col("hops") + 1).otherwise(F.col("hops"))
+                .alias("hops"),
+                F.when(
+                    adv, F.concat_ws("->", "path", F.col("nxt").cast("string"))
+                ).otherwise(F.col("path")).alias("path"),
+                adv.alias("alive"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    edges.unpersist()
+    return state.select("walker", "source", "hops", "path")
+
+
+def negative_sample(
+    graph: Graph,
+    sources: list[int] | DataFrame,
+    k: int = 5,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Degree-weighted negative sampling → ``(src, draw, neg)``.
+
+    Reference: the learning engine's negative sampler
+    (learning_engine/graph-learn/graphlearn/src/core/operator/sampler/,
+    negative_sampler.cc — in-degree-weighted draws that are NOT existing
+    neighbors, the contrastive-training staple). Deterministic rendering:
+
+    1. weight w(v) = in-degree(v) over the whole graph (the unigram table);
+    2. vertices laid out on the integer line ordered by id —
+       [lo(v), lo(v)+w(v)) via a two-phase distributed prefix sum
+       (range-repartition by id → partition-local cumsum → broadcast
+       per-partition offsets; no global single-partition window);
+    3. draw d = h(seed:src:draw) mod Σw lands in one vertex's interval;
+    4. draws that hit a TRUE neighbor of src (or src itself) are dropped
+       (filter-after-sampling, the standard contrastive recipe — output
+       may carry fewer than k rows per source).
+
+    The interval probe is an equijoin on ``bucket = d // B`` (each interval
+    exploded over the ≤ w/B+1 buckets it overlaps) + a range filter — no
+    broadcast-nested-loop range join; hub intervals explode to at most
+    ``n_buckets`` rows each. Bit-replayable in DuckDB with
+    ``hash_fn="portable"``.
+    """
+    from pyspark.sql import Window
+
+    spark = graph.spark
+    P = graph.num_partitions
+    deg = (
+        graph.edges.groupBy(F.col("dst").alias("v"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    # two-phase prefix sum in id order (scale-safe: no global window).
+    # The range exchange MUST be pinned before branching: RangePartitioner
+    # samples its boundaries with an rdd.id-seeded RNG, so the offsets
+    # branch (a separate broadcast job) would otherwise recompute the
+    # exchange with DIFFERENT boundaries than the window branch and the
+    # two pid layouts would disagree (measured at sf0.1: 140-unit lo skew).
+    # The prefix sum itself is boundary-independent (global v order), so
+    # results stay deterministic across runs and partition counts.
+    parted = (
+        deg.repartitionByRange(P, "v")
+        .localCheckpoint(eager=True)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    wloc = Window.partitionBy("_pid").orderBy("v")
+    local = parted.withColumn(
+        "_lo_local", F.sum("w").over(wloc) - F.col("w")
+    )
+    offsets = (
+        local.groupBy("_pid").agg(F.sum("w").alias("_cnt"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_cnt").over(
+                    Window.orderBy("_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_pid", "_off")
+    )
+    ranges = (
+        local.join(F.broadcast(offsets), "_pid")
+        .select(
+            "v", "w", (F.col("_lo_local") + F.col("_off")).alias("lo")
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    total = ranges.agg(F.sum("w").alias("t")).collect()[0]["t"]
+    if not total:
+        ranges.unpersist()
+        return spark.createDataFrame([], "src long, draw int, neg long")
+    bucket_width = max(1, int(total) // n_buckets)
+    # explode each interval over the buckets it overlaps
+    rb = ranges.select(
+        "v", "lo", (F.col("lo") + F.col("w") - 1).alias("hi"),
+        F.explode(
+            F.sequence(
+                (F.col("lo") / bucket_width).cast("long"),
+                ((F.col("lo") + F.col("w") - 1) / bucket_width).cast("long"),
+            )
+        ).alias("bucket"),
+    )
+    if isinstance(sources, DataFrame):
+        seeds = sources.select(
+            F.col(sources.columns[0]).cast("long").alias("src")
+        )
+    else:
+        seeds = spark.createDataFrame([(int(s),) for s in sources], "src long")
+    draws = seeds.crossJoin(
+        spark.range(k).select(F.col("id").cast("int").alias("draw"))
+    ).select(
+        "src", "draw",
+        (
+            _hash_col(
+                hash_fn,
+                F.concat_ws(":", F.lit(seed), F.col("src"), F.col("draw")),
+            )
+            % F.lit(int(total))
+        ).alias("d"),
+    )
+    hits = (
+        draws.withColumn(
+            "bucket", (F.col("d") / bucket_width).cast("long")
+        )
+        .join(rb, "bucket")
+        .where((F.col("d") >= F.col("lo")) & (F.col("d") <= F.col("hi")))
+        .select("src", "draw", F.col("v").alias("neg"))
+    )
+    # filter-after: drop true neighbors and self
+    pos = graph.edges.select(
+        F.col("src").alias("src"), F.col("dst").alias("neg")
+    )
+    out = (
+        hits.join(pos, ["src", "neg"], "left_anti")
+        .where(F.col("neg") != F.col("src"))
+    )
+    return out
 
 
 def neighbor_sample(
