@@ -3902,6 +3902,37 @@ def _q_snb_bi3(spark, sf_dir):
     )
 
 
+def _q_snb_bi4(spark, sf_dir):
+    """BI-class 'friend-of-friend reach': variable-length knows*1..2
+    composed with a start-set predicate, WITH aggregation and top-k —
+    var-length PathExpand inside a full pipeline rather than as a
+    single-feature probe (cypher_varlen)."""
+    from graphscope_spark.operators.cypher import cypher_property
+
+    return cypher_property(
+        _snb_graph(spark, sf_dir),
+        "MATCH (a:person)-[:knows*1..2]->(b:person) WHERE a.city = 3 "
+        "WITH b.id AS pid, count(*) AS reach "
+        "RETURN pid, reach ORDER BY reach DESC, pid ASC LIMIT 10",
+    )
+
+
+def _q_snb_bi5(spark, sf_dir):
+    """BI-class 'per-city posting': TWO chained WITH aggregation stages
+    (per-(forum,city) counts → per-city totals over qualifying pairs) then
+    ORDER BY + LIMIT — proves WITH stages pipeline."""
+    from graphscope_spark.operators.cypher import cypher_property
+
+    return cypher_property(
+        _snb_graph(spark, sf_dir),
+        "MATCH (f:forum)-[:containerOf]->(p:post)-[:hasCreator]->(c:person) "
+        "WITH f.id AS fid, c.city AS city, count(*) AS n "
+        "WHERE n >= 20 "
+        "WITH city, count(*) AS busy_pairs "
+        "RETURN city, busy_pairs ORDER BY busy_pairs DESC, city ASC LIMIT 5",
+    )
+
+
 _SNB_POSTS = """
 snb_posts AS MATERIALIZED (
   SELECT 2000000 + o_orderkey AS pid,
@@ -3936,6 +3967,31 @@ FROM edges k LEFT JOIN (SELECT * FROM snb_posts WHERE length < 10) p
   ON p.creator = k.dst
 GROUP BY k.dst
 ORDER BY activity DESC, person_id ASC LIMIT 15"""
+
+# knows*1..2 = direct edges ∪ 2-paths (same unroll as the cypher_varlen
+# oracle), start-filtered on the source person's city
+_SNB_BI4_SQL = _with(
+    _SNB_POSTS
+) + """
+SELECT dst AS pid, count(*) AS reach FROM (
+  SELECT k.src, k.dst FROM edges k
+  JOIN customer c ON c.c_custkey = k.src AND c.c_nationkey = 3
+  UNION ALL
+  SELECT k1.src, k2.dst FROM edges k1
+  JOIN edges k2 ON k2.src = k1.dst
+  JOIN customer c ON c.c_custkey = k1.src AND c.c_nationkey = 3
+) p GROUP BY dst
+ORDER BY reach DESC, pid ASC LIMIT 10"""
+
+_SNB_BI5_SQL = _with(
+    _SNB_POSTS
+) + """
+SELECT city, count(*) AS busy_pairs FROM (
+  SELECT p.forum, c.c_nationkey AS city, count(*) AS n
+  FROM snb_posts p JOIN customer c ON c.c_custkey = p.creator
+  GROUP BY p.forum, c.c_nationkey HAVING count(*) >= 20) t
+GROUP BY city
+ORDER BY busy_pairs DESC, city ASC LIMIT 5"""
 
 
 # ---------------------------------------------------------------------------
@@ -4072,6 +4128,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snb_bi1": _q_snb_bi1,
     "snb_bi2": _q_snb_bi2,
     "snb_bi3": _q_snb_bi3,
+    "snb_bi4": _q_snb_bi4,
+    "snb_bi5": _q_snb_bi5,
     "random_walks": _q_random_walks,
     "negative_sample": _q_negative_sample,
     # r5 rotations: the last never-driver-checked queries (were 51-53)
@@ -4223,6 +4281,8 @@ ORACLES: dict[str, str] = {
     "snb_bi1": _SNB_BI1_SQL,
     "snb_bi2": _SNB_BI2_SQL,
     "snb_bi3": _SNB_BI3_SQL,
+    "snb_bi4": _SNB_BI4_SQL,
+    "snb_bi5": _SNB_BI5_SQL,
     # GLE-shaped samplers: portable-hash replay twins
     "random_walks": _random_walks_sql(12, 4, 2, 2.0, 0.5, 42),
     "negative_sample": _negative_sample_sql(32, 5, 42),
