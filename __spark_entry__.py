@@ -3933,6 +3933,45 @@ def _q_snb_bi5(spark, sf_dir):
     )
 
 
+def _q_snb_bi6(spark, sf_dir):
+    """BI-class 'friend influence': MATCH-after-WITH pipeline CONTINUATION —
+    aggregate per-creator long-post counts, then KEEP MATCHING (expand the
+    aggregated rows over knows) and re-aggregate per friend. Proves the
+    aggregate→expand composition LDBC BI is built on (e.g. BI-5/BI-6
+    shapes), not just chained projections."""
+    from graphscope_spark.operators.cypher import cypher_property
+
+    return cypher_property(
+        _snb_graph(spark, sf_dir),
+        "MATCH (p:post)-[:hasCreator]->(c:person) WHERE p.length >= 100 "
+        "WITH c, count(*) AS n_posts "
+        "MATCH (c)-[:knows]->(d:person) "
+        "RETURN d.id AS pid, sum(n_posts) AS friend_posts, "
+        "count(*) AS n_friend_links "
+        "ORDER BY friend_posts DESC, pid ASC LIMIT 10",
+    )
+
+
+def _q_snb_bi7(spark, sf_dir):
+    """BI-class 'forum activity with optional rare posts': WITH aggregation
+    then an OPTIONAL MATCH continuation whose WHERE scopes to the optional
+    pattern (pre-join). length = 199 only occurs for o_orderkey ≡ 129
+    (mod 200), i.e. ONLY forum 3000004 — the other 24 forums exercise the
+    preserved-null side of the left join."""
+    from graphscope_spark.operators.cypher import cypher_property
+
+    return cypher_property(
+        _snb_graph(spark, sf_dir),
+        "MATCH (f:forum)-[:containerOf]->(p:post)-[:hasCreator]->(c:person) "
+        "WHERE c.city < 10 "
+        "WITH f, count(*) AS local_posts "
+        "OPTIONAL MATCH (f)-[:containerOf]->(q:post) "
+        "WHERE q.length = 199 "
+        "RETURN f AS forum_id, local_posts, count(q.id) AS rare_posts "
+        "ORDER BY local_posts DESC, forum_id ASC LIMIT 10",
+    )
+
+
 _SNB_POSTS = """
 snb_posts AS MATERIALIZED (
   SELECT 2000000 + o_orderkey AS pid,
@@ -3992,6 +4031,33 @@ SELECT city, count(*) AS busy_pairs FROM (
   GROUP BY p.forum, c.c_nationkey HAVING count(*) >= 20) t
 GROUP BY city
 ORDER BY busy_pairs DESC, city ASC LIMIT 5"""
+
+_SNB_BI6_SQL = _with(
+    _SNB_POSTS
+) + """,
+pc AS MATERIALIZED (
+  SELECT creator, count(*) AS n_posts FROM snb_posts
+  WHERE length >= 100 GROUP BY creator)
+SELECT k.dst AS pid, sum(pc.n_posts) AS friend_posts,
+       count(*) AS n_friend_links
+FROM pc JOIN edges k ON k.src = pc.creator
+GROUP BY k.dst
+ORDER BY friend_posts DESC, pid ASC LIMIT 10"""
+
+_SNB_BI7_SQL = _with(
+    _SNB_POSTS
+) + """,
+lp AS MATERIALIZED (
+  SELECT p.forum AS f, count(*) AS local_posts
+  FROM snb_posts p JOIN customer c ON c.c_custkey = p.creator
+  WHERE c.c_nationkey < 10 GROUP BY p.forum),
+rq AS MATERIALIZED (
+  SELECT forum, count(*) AS rare_posts FROM snb_posts
+  WHERE length = 199 GROUP BY forum)
+SELECT lp.f AS forum_id, lp.local_posts,
+       coalesce(rq.rare_posts, 0) AS rare_posts
+FROM lp LEFT JOIN rq ON rq.forum = lp.f
+ORDER BY local_posts DESC, forum_id ASC LIMIT 10"""
 
 
 # ---------------------------------------------------------------------------
@@ -4130,6 +4196,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snb_bi3": _q_snb_bi3,
     "snb_bi4": _q_snb_bi4,
     "snb_bi5": _q_snb_bi5,
+    "snb_bi6": _q_snb_bi6,
+    "snb_bi7": _q_snb_bi7,
     "random_walks": _q_random_walks,
     "negative_sample": _q_negative_sample,
     # r5 rotations: the last never-driver-checked queries (were 51-53)
@@ -4283,6 +4351,8 @@ ORACLES: dict[str, str] = {
     "snb_bi3": _SNB_BI3_SQL,
     "snb_bi4": _SNB_BI4_SQL,
     "snb_bi5": _SNB_BI5_SQL,
+    "snb_bi6": _SNB_BI6_SQL,
+    "snb_bi7": _SNB_BI7_SQL,
     # GLE-shaped samplers: portable-hash replay twins
     "random_walks": _random_walks_sql(12, 4, 2, 2.0, 0.5, 42),
     "negative_sample": _negative_sample_sql(32, 5, 42),

@@ -612,7 +612,7 @@ def _strip_comments(q: str) -> str:
     return "".join(out)
 
 
-def parse_cypher(query: str) -> dict:
+def parse_cypher(query: str, extra_names: set | None = None) -> dict:
     """Parse the MATCH/WHERE/RETURN subset into a plain-dict AST:
 
     ``{"sentences": [(src_tag, dir, dst_tag, edge_label|None)],
@@ -844,6 +844,10 @@ def parse_cypher(query: str) -> dict:
             f"relationship variable"
         )
     tags = set(labels)
+    # names pre-bound by an earlier pipeline segment (WITH … MATCH
+    # continuation): legal in WHERE/WITH/RETURN as scalar references; they
+    # are NOT pattern tags (labels/pattern logic never consults them)
+    tags |= set(extra_names or ())
 
     def parse_primary(raw: str):
         tm = _TS_TOKEN.match(raw.strip())
@@ -1592,8 +1596,62 @@ def _operand_typed(
     return propcol(operand[1], operand[2]), pk
 
 
+_CLAUSE_RE = re.compile(
+    r"(?is)\b(OPTIONAL\s+MATCH|MATCH|WHERE|"
+    r"(?<!STARTS\s)(?<!ENDS\s)WITH|UNWIND|RETURN)\b"
+)
+_IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _split_continuation(query: str) -> tuple[str, str] | None:
+    """Detect ``… WITH items [WHERE …] MATCH …`` (a pipeline continuation —
+    the LDBC-BI staple: aggregate, then keep matching) and split it into
+    (prefix_query, suffix_query): the prefix re-RETURNs the last WITH
+    stage's aliases, the suffix starts at the MATCH. ``cypher_property``
+    executes the prefix, then the suffix with the prefix frame pre-bound —
+    chained continuations recurse naturally. Returns None when the query
+    has no MATCH after a WITH."""
+    q = _strip_comments(query).strip().rstrip(";")
+    scope = "match"
+    last_with_end = None
+    for m in _CLAUSE_RE.finditer(q):
+        kw = re.sub(r"\s+", " ", m.group(1).upper())
+        if kw == "WITH":
+            scope = "with"
+            last_with_end = m.end()
+        elif kw == "UNWIND":
+            scope = "unwind"
+        elif kw in ("MATCH", "OPTIONAL MATCH") and scope != "match":
+            if scope == "unwind":
+                raise ValueError("MATCH after UNWIND is not supported")
+            # items text runs to the next clause keyword (WHERE or this one)
+            nxt = _CLAUSE_RE.search(q, last_with_end)
+            items_text = q[last_with_end:nxt.start()].strip()
+            items_text = re.sub(r"(?is)^DISTINCT\b", "", items_text).strip()
+            aliases = []
+            for item in _split_items_text(items_text):
+                am = re.search(r"(?is)\sAS\s+([A-Za-z_][A-Za-z0-9_]*)\s*$",
+                               item)
+                if am:
+                    aliases.append(am.group(1))
+                elif _IDENT_RE.fullmatch(item.strip()):
+                    aliases.append(item.strip())
+                else:
+                    raise ValueError(
+                        f"WITH item {item.strip()!r} before a MATCH "
+                        "continuation needs an AS alias"
+                    )
+            prefix = q[: m.start()].strip() + " RETURN " + ", ".join(aliases)
+            return prefix, q[m.start():].strip()
+    return None
+
+
+_OPT_PREFIX_RE = re.compile(r"(?is)^\s*OPTIONAL\s+")
+
+
 def cypher_property(
-    pg: PropertyGraph, query: str, distinct_vertices: bool = False
+    pg: PropertyGraph, query: str, distinct_vertices: bool = False,
+    _pre_frame: DataFrame | None = None, _pre_join: str = "inner",
 ) -> DataFrame:
     """Execute a labeled MATCH/WHERE/RETURN query over a PropertyGraph.
 
@@ -1601,10 +1659,36 @@ def cypher_property(
     (semi-join each touching edge table on the filtered vertex-label ids —
     the reference's FilterIntoJoinRule plan shape); remaining predicates
     filter bound rows after the needed property joins.
+
+    ``MATCH … WITH … MATCH …`` pipelines split into segments: each
+    segment's frame is pre-bound into the next (joined on the shared
+    aliases/tags, Cypher bag semantics), so aggregate-then-expand BI
+    queries compose. ``_pre_frame`` is that internal plumbing.
     """
     if re.match(r"(?is)^\s*CALL\b", query):
         return cypher_call(pg, query)
-    ast = parse_cypher(query)
+    split = _split_continuation(query)
+    if split is not None:
+        frame = cypher_property(
+            pg, split[0], _pre_frame=_pre_frame, _pre_join=_pre_join
+        )
+        suffix = split[1]
+        opt = _OPT_PREFIX_RE.match(suffix)
+        if opt:
+            # OPTIONAL MATCH continuation: run the pattern as a plain MATCH
+            # (its WHERE filters the pattern BEFORE the join — Cypher's
+            # OPTIONAL MATCH…WHERE scoping), then left-join the previous
+            # stage's frame onto it (every earlier row survives, unmatched
+            # pattern tags go null).
+            suffix = suffix[opt.end():]
+        return cypher_property(
+            pg, suffix, distinct_vertices, _pre_frame=frame,
+            _pre_join="left" if opt else "inner",
+        )
+    ast = parse_cypher(
+        query,
+        extra_names=set(_pre_frame.columns) if _pre_frame is not None else None,
+    )
     labels, preds = ast["labels"], ast["where"]
     evars = ast["edge_vars"]  # relationship variable → sentence index
     evar_by_idx = {i: v for v, i in evars.items()}
@@ -1903,6 +1987,35 @@ def cypher_property(
         out = out.join(opt_out, shared, "left")
         optional_only = opt_bound - bound
         bound = bound | opt_bound
+    if _pre_frame is not None and _pre_join == "left":
+        # OPTIONAL MATCH continuation: the pattern (incl. its WHERE, EXISTS
+        # conjuncts, property access) evaluates on its own frame; the
+        # previous stage's rows join in just before projection, left, so
+        # unmatched rows survive with null pattern bindings. Those
+        # bindings may be null downstream — mark every pattern tag
+        # optional so later keyed joins stay left joins.
+        optional_only = optional_only | bound
+        pre_only = set(_pre_frame.columns) - bound
+        for pred in post:
+            bad = {
+                o[1]
+                for o in _cmp_operands(pred)
+                if o[0] == "tag" and o[1] in pre_only
+            }
+            if bad:
+                raise ValueError(
+                    "OPTIONAL MATCH continuation WHERE may only reference "
+                    f"pattern names (got {sorted(bad)})"
+                )
+    elif _pre_frame is not None:
+        # pipeline continuation: join the previous segment's frame on the
+        # shared aliases/tags (inner, bag semantics — each earlier row
+        # pairs with every new pattern match sharing its bindings); with
+        # no shared name Cypher semantics is the cartesian product.
+        pkeys = sorted(set(_pre_frame.columns) & set(out.columns))
+        out = out.join(_pre_frame, pkeys) if pkeys else out.crossJoin(
+            _pre_frame
+        )
     if distinct_vertices:
         tags = sorted(bound)
         for i in range(len(tags)):
@@ -2019,6 +2132,15 @@ def cypher_property(
             out = out.join(
                 u, tag, "left" if tag in optional_only else "inner"
             )
+
+    if _pre_frame is not None and _pre_join == "left":
+        pkeys = sorted(set(_pre_frame.columns) & set(out.columns))
+        if not pkeys:
+            raise ValueError(
+                "OPTIONAL MATCH continuation must share at least one name "
+                "with the preceding WITH stage"
+            )
+        out = _pre_frame.join(out, pkeys, "left")
 
     # --- WITH / RETURN: projection / implicit grouping ----------------------
     # (Cypher's implicit aggregation: non-aggregate items are the grouping

@@ -1657,3 +1657,130 @@ def test_cypher_case_simple_form(spark):
     got = {r["aid"]: r["par"] for r in res.collect()}
     # ages 30..34 for ids 0..4
     assert got == {0: "even", 1: "odd", 2: "even", 3: "odd", 4: "even"}
+
+
+# ---------------------------------------------------------------------------
+# MATCH-after-WITH pipeline continuations (LDBC-BI composition: aggregate,
+# then keep matching) — supported_cypher.md WITH-clause pipelines
+# ---------------------------------------------------------------------------
+
+
+def test_cypher_continuation_agg_then_match(spark):
+    from graphscope_spark.operators.cypher import cypher_property
+
+    pg = _pgraph(spark)
+    rows = cypher_property(
+        pg,
+        "MATCH (a:person)-[:knows]->(b:person) "
+        "WITH a, count(*) AS deg "
+        "MATCH (a)-[:works_at]->(c:company) "
+        "RETURN a, deg, c.size AS csize",
+    ).collect()
+    got = {(r["a"], r["deg"], r["csize"]) for r in rows}
+    assert got == {(0, 2, 10), (1, 1, 10), (2, 1, 2000), (3, 1, 2000)}
+
+
+def test_cypher_continuation_chained_and_filtered(spark):
+    from graphscope_spark.operators.cypher import cypher_property
+
+    pg = _pgraph(spark)
+    # two continuations chained; suffix WHERE mixes a pre-bound alias and
+    # a pattern property
+    rows = cypher_property(
+        pg,
+        "MATCH (a:person)-[:knows]->(b:person) "
+        "WITH a, count(*) AS deg "
+        "MATCH (a)-[:works_at]->(c:company) "
+        "WITH c, sum(deg) AS total "
+        "MATCH (x:person)-[:works_at]->(c) "
+        "RETURN c, total, count(*) AS emp",
+    ).collect()
+    assert {(r["c"], r["total"], r["emp"]) for r in rows} == {
+        (100, 3, 2),
+        (101, 2, 3),
+    }
+    rows2 = cypher_property(
+        pg,
+        "MATCH (a:person)-[:knows]->(b:person) "
+        "WITH a, count(*) AS deg "
+        "MATCH (a)-[:works_at]->(c:company) "
+        "WHERE deg >= 2 OR c.size > 100 "
+        "RETURN a, deg, c",
+    ).collect()
+    assert {(r["a"], r["deg"], r["c"]) for r in rows2} == {
+        (0, 2, 100),
+        (2, 1, 101),
+        (3, 1, 101),
+    }
+
+
+def test_cypher_continuation_with_where_stage(spark):
+    from graphscope_spark.operators.cypher import cypher_property
+
+    pg = _pgraph(spark)
+    # WITH … WHERE (HAVING scope) … MATCH
+    rows = cypher_property(
+        pg,
+        "MATCH (a:person)-[:knows]->(b:person) "
+        "WITH a, count(*) AS deg WHERE deg >= 2 "
+        "MATCH (a)-[:works_at]->(c:company) RETURN a, deg, c",
+    ).collect()
+    assert {(r["a"], r["deg"], r["c"]) for r in rows} == {(0, 2, 100)}
+
+
+def test_cypher_continuation_cartesian_when_disjoint(spark):
+    from graphscope_spark.operators.cypher import cypher_property
+
+    pg = _pgraph(spark)
+    rows = cypher_property(
+        pg,
+        "MATCH (a:person)-[:knows]->(b:person) WITH count(*) AS total "
+        "MATCH (c:company) RETURN c, total",
+    ).collect()
+    assert {(r["c"], r["total"]) for r in rows} == {(100, 5), (101, 5)}
+
+
+def test_cypher_continuation_optional_match(spark):
+    from graphscope_spark.operators.cypher import cypher_property
+
+    pg = _pgraph(spark)
+    # OPTIONAL MATCH continuation: unmatched aggregate rows survive with
+    # null pattern bindings; the WHERE scopes to the pattern (pre-join)
+    rows = cypher_property(
+        pg,
+        "MATCH (a:person)-[:works_at]->(c:company) "
+        "WITH c, count(*) AS emp "
+        "OPTIONAL MATCH (c)<-[:works_at]-(x:person) "
+        "WHERE x.age > 32 "
+        "RETURN c, emp, x",
+    ).collect()
+    assert {(r["c"], r["emp"], r["x"]) for r in rows} == {
+        (100, 2, None),
+        (101, 3, 3),
+        (101, 3, 4),
+    }
+
+
+def test_cypher_continuation_errors(spark):
+    import pytest
+
+    from graphscope_spark.operators.cypher import cypher_property
+
+    pg = _pgraph(spark)
+    with pytest.raises(ValueError, match="needs an AS alias"):
+        cypher_property(
+            pg, "MATCH (a:person) WITH a.age + 1 MATCH (c:company) RETURN c"
+        )
+    with pytest.raises(ValueError, match="share at least one name"):
+        cypher_property(
+            pg,
+            "MATCH (a:person) WITH a AS x "
+            "OPTIONAL MATCH (c:company) RETURN c, x",
+        )
+    with pytest.raises(ValueError, match="pattern names"):
+        cypher_property(
+            pg,
+            "MATCH (a:person)-[:knows]->(b:person) WITH a, count(*) AS deg "
+            "OPTIONAL MATCH (a)-[:works_at]->(c:company) "
+            "WHERE deg > 1 AND c <> a RETURN a, deg, c",
+        )
