@@ -3806,12 +3806,22 @@ ORDER BY fid"""
 # ---------------------------------------------------------------------------
 
 
+_SNB_CACHE: dict[tuple[str, str], object] = {}
+
+
 def _snb_graph(spark, sf_dir):
-    """SNB-shaped PropertyGraph: person (from customer), knows (the shared
-    edge derivation), post (from orders: id 2e6+o_orderkey, deterministic
-    integer length), hasCreator (post→person), forum (from nation:
+    """SNB-shaped PropertyGraph (cached per (applicationId, sf) like
+    _customer_graph — the 7 snb_bi* queries share one build instead of each
+    paying the customer.count() job): person (from customer), knows (the
+    shared edge derivation), post (from orders: id 2e6+o_orderkey,
+    deterministic integer length), hasCreator (post→person), forum (from
+    nation:
     id 3e6+n_nationkey), containerOf (forum→post via o_orderkey % 25)."""
     from graphscope_spark.graph.property_graph import PropertyGraph
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _SNB_CACHE:
+        return _SNB_CACHE[key]
 
     customer = _load(spark, sf_dir, "customer")
     orders = _load(spark, sf_dir, "orders")
@@ -3832,7 +3842,7 @@ def _snb_graph(spark, sf_dir):
     container_of = orders.selectExpr(
         "3000000 + o_orderkey % 25 AS src", "2000000 + o_orderkey AS dst"
     )
-    return (
+    pg = (
         PropertyGraph()
         .add_vertices(
             "person",
@@ -3849,6 +3859,8 @@ def _snb_graph(spark, sf_dir):
         .add_edges("hasCreator", "post", "person", has_creator)
         .add_edges("containerOf", "forum", "post", container_of)
     )
+    _SNB_CACHE[key] = pg
+    return pg
 
 
 def _q_snb_bi1(spark, sf_dir):
