@@ -4194,6 +4194,27 @@ WHERE h.neg <> h.src
 ORDER BY h.src, h.draw"""
 
 
+def _q_edge_sample(spark, sf_dir):
+    from graphscope_spark.algorithms.sampling import edge_sample
+
+    g = _customer_graph(spark, sf_dir)
+    return edge_sample(g, k=48, seed=42, hash_fn="portable").orderBy(
+        "src", "dst"
+    )
+
+
+def _edge_sample_sql(k: int = 48, seed: int = 42) -> str:
+    """Uniform edge-batch sampler twin: rank every edge by the portable
+    hash h(seed:src:dst) (ties on (src, dst)), keep the k smallest."""
+    h = _roll(f"('{seed}:' || src::VARCHAR || ':' || dst::VARCHAR)")
+    body = f"""esr AS MATERIALIZED (
+      SELECT src, dst, {h} AS h FROM edges)"""
+    return _with(body) + f"""
+    SELECT src, dst FROM (
+      SELECT src, dst FROM esr ORDER BY h, src, dst LIMIT {k})
+    ORDER BY src, dst"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- driver checks the FIRST 50 entries. Window policy (r5): new
     # queries + never-driver-checked first, then the CHEAPEST lifetime-
@@ -4212,6 +4233,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snb_bi7": _q_snb_bi7,
     "random_walks": _q_random_walks,
     "negative_sample": _q_negative_sample,
+    "edge_sample": _q_edge_sample,
     # r5 rotations: the last never-driver-checked queries (were 51-53)
     "gnn_neighbor_sample": _q_gnn_neighbor_sample,
     "doc_ttr": _q_doc_ttr,
@@ -4368,6 +4390,7 @@ ORACLES: dict[str, str] = {
     # GLE-shaped samplers: portable-hash replay twins
     "random_walks": _random_walks_sql(12, 4, 2, 2.0, 0.5, 42),
     "negative_sample": _negative_sample_sql(32, 5, 42),
+    "edge_sample": _edge_sample_sql(48, 42),
     # north-rule corpus pipeline: Spark runs the REAL regex extractor over
     # generated content; the oracle computes the embedded ground truth in
     # closed form — green = extraction recovered exactly the planted edges

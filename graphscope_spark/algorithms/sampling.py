@@ -24,6 +24,7 @@ __all__ = [
     "neighbor_sample",
     "random_walks",
     "negative_sample",
+    "edge_sample",
 ]
 
 
@@ -409,3 +410,37 @@ def neighbor_sample(
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+def edge_sample(
+    graph: Graph,
+    k: int,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic uniform edge-batch sample → ``(src, dst)``, k rows.
+
+    Reference: the learning engine's edge sampler
+    (learning_engine/graph-learn/graphlearn/src/core/operator/sampler/,
+    edge_sampler.cc — RandomEdgeSampler: uniform edge batches feeding
+    unsupervised link-prediction training). Deterministic rendering: rank
+    every edge by ``h(seed:src:dst)`` (ties on (src, dst)) and keep the k
+    smallest — a seeded uniform draw that is identical across runs,
+    partition counts, and engines (``hash_fn="portable"`` is bit-replayable
+    in DuckDB).
+
+    Scale shape: one scan + TakeOrdered (per-partition top-k, driver merges
+    P·k candidate rows) — no global sort materialization, no shuffle of the
+    edge table; k is a training batch size (10³-10⁵), so P·k stays tiny
+    next to E.
+    """
+    h = _hash_col(
+        hash_fn,
+        F.concat_ws(":", F.lit(seed), F.col("src"), F.col("dst")),
+    )
+    return (
+        graph.edges.select("src", "dst", h.alias("_h"))
+        .orderBy("_h", "src", "dst")
+        .limit(int(k))
+        .select("src", "dst")
+    )

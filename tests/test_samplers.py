@@ -111,3 +111,22 @@ def test_negative_sample_k_bound(spark):
     for src, draws in per_src.items():
         assert len(draws) <= 5
         assert len(set(draws)) == len(draws)
+
+
+def test_edge_sample_shape_determinism_and_uniform_replay(spark):
+    from graphscope_spark.algorithms.sampling import edge_sample
+
+    g = make_graph(spark, CYCLE_EDGES)
+    out = edge_sample(g, k=4, seed=3).collect()
+    assert len(out) == 4
+    eset = set(CYCLE_EDGES)
+    assert all((r["src"], r["dst"]) in eset for r in out)
+    # deterministic across partition counts, sensitive to seed
+    g2 = make_graph(spark, CYCLE_EDGES, num_partitions=7)
+    out2 = edge_sample(g2, k=4, seed=3).collect()
+    key = lambda r: (r["src"], r["dst"])  # noqa: E731
+    assert sorted(map(key, out)) == sorted(map(key, out2))
+    out3 = edge_sample(g, k=4, seed=4).collect()
+    assert sorted(map(key, out)) != sorted(map(key, out3))
+    # k >= |E| degrades to the full edge set
+    assert len(edge_sample(g, k=100, seed=3).collect()) == len(CYCLE_EDGES)
