@@ -108,8 +108,11 @@ def main() -> None:
         "strong_efficiency_whole": eff_whole,
         "strong_efficiency_steady": eff_steady,
     }
-    record_builder_point(f"gc_{tag}_32c", big)
-    record_builder_point(f"gc_{tag}_8c", small)
+    # builder_points.json is quiet-phase-only evidence; small probe sizes
+    # (quietness gates) must not land there
+    if n_edges >= 100_000_000:
+        record_builder_point(f"gc_{tag}_32c", big)
+        record_builder_point(f"gc_{tag}_8c", small)
     with open(os.path.join(REPO, "BENCH", f"gc_scaling_{tag}.json"), "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps(out))

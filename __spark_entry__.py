@@ -4194,6 +4194,61 @@ WHERE h.neg <> h.src
 ORDER BY h.src, h.draw"""
 
 
+def _q_snb_gremlin1(spark, sf_dir):
+    """BI-class 'top posting forums' THROUGH THE GREMLIN FRONTEND (the
+    snb_bi1 semantics re-expressed as one composed traversal): labeled
+    start, tag, two labeled hops each with a property predicate, and a
+    per-tag groupCount — proving the Gremlin string surface composes over
+    a multi-label property graph exactly like the Cypher one
+    (interactive_engine benchmark queries are Gremlin-first:
+    interactive_engine/benchmark/queries/)."""
+    from graphscope_spark.operators.gremlin import gremlin
+
+    res = gremlin(
+        _snb_graph(spark, sf_dir),
+        'g.V().hasLabel("forum").as("f").out("containerOf")'
+        '.has("length", gte(120)).out("hasCreator")'
+        '.has("city", gte(5)).groupCount().by(select("f"))',
+    )
+    return res.selectExpr(
+        "f AS forum_id", "CAST(count AS BIGINT) AS n_posts"
+    ).orderBy("forum_id")
+
+
+_SNB_GREMLIN1_SQL = (
+    "WITH " + _SNB_POSTS.lstrip() + """
+SELECT p.forum AS forum_id, count(*) AS n_posts
+FROM snb_posts p JOIN customer c ON c.c_custkey = p.creator
+WHERE p.length >= 120 AND c.c_nationkey >= 5
+GROUP BY p.forum ORDER BY forum_id"""
+)
+
+
+def _q_snb_gremlin2(spark, sf_dir):
+    """BI-class 'popular forum members' via Gremlin (snb_bi2's join
+    semantics): post-filtered labeled start, hop to creator, tag, expand
+    knows, groupCount by the tagged member — traverser multiplicity does
+    the (posts × friends) counting that SQL expresses as a join."""
+    from graphscope_spark.operators.gremlin import gremlin
+
+    res = gremlin(
+        _snb_graph(spark, sf_dir),
+        'g.V().hasLabel("post").has("length", lt(60))'
+        '.out("hasCreator").as("m").out("knows")'
+        '.groupCount().by(select("m"))',
+    )
+    return res.selectExpr(
+        "m AS member", "CAST(count AS BIGINT) AS score"
+    ).orderBy("member")
+
+
+_SNB_GREMLIN2_SQL = _with(_SNB_POSTS) + """
+SELECT p.creator AS member, count(*) AS score
+FROM snb_posts p JOIN edges k ON k.src = p.creator
+WHERE p.length < 60
+GROUP BY p.creator ORDER BY member"""
+
+
 def _q_edge_sample(spark, sf_dir):
     from graphscope_spark.algorithms.sampling import edge_sample
 
@@ -4234,6 +4289,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "random_walks": _q_random_walks,
     "negative_sample": _q_negative_sample,
     "edge_sample": _q_edge_sample,
+    "snb_gremlin1": _q_snb_gremlin1,
+    "snb_gremlin2": _q_snb_gremlin2,
     # r5 rotations: the last never-driver-checked queries (were 51-53)
     "gnn_neighbor_sample": _q_gnn_neighbor_sample,
     "doc_ttr": _q_doc_ttr,
@@ -4391,6 +4448,8 @@ ORACLES: dict[str, str] = {
     "random_walks": _random_walks_sql(12, 4, 2, 2.0, 0.5, 42),
     "negative_sample": _negative_sample_sql(32, 5, 42),
     "edge_sample": _edge_sample_sql(48, 42),
+    "snb_gremlin1": _SNB_GREMLIN1_SQL,
+    "snb_gremlin2": _SNB_GREMLIN2_SQL,
     # north-rule corpus pipeline: Spark runs the REAL regex extractor over
     # generated content; the oracle computes the embedded ground truth in
     # closed form — green = extraction recovered exactly the planted edges
