@@ -4249,6 +4249,99 @@ WHERE p.length < 60
 GROUP BY p.creator ORDER BY member"""
 
 
+# ---------------------------------------------------------------------------
+# LSQB-shaped pattern-counting suite.
+#
+# The reference's benchmark harness also ships LSQB (Labelled Subgraph Query
+# Benchmark — interactive_engine/benchmark/, data/expected_results/): pure
+# COUNT(*) queries over a labeled schema whose three families stress exactly
+# the three join kinds a pattern engine must get right — growing n-way inner
+# joins (q1/q2), optional joins with null-preserving counts (q4), and anti
+# joins / negation (q7). Expressed here through the Cypher string frontend
+# over the same SNB-shaped property graph the snb_bi* suite uses.
+# ---------------------------------------------------------------------------
+
+
+def _q_lsqb_q1(spark, sf_dir):
+    """LSQB family 1 (growing inner joins): a 4-label 3-edge chain counted
+    homomorphically — forum→post→creator→friend."""
+    from graphscope_spark.operators.cypher import cypher_property
+
+    return cypher_property(
+        _snb_graph(spark, sf_dir),
+        "MATCH (f:forum)-[:containerOf]->(p:post)-[:hasCreator]->(m:person)"
+        "-[:knows]->(o:person) RETURN count(*) AS n",
+    )
+
+
+# every post has exactly one containing forum (o_orderkey % 25 ∈ forum ids),
+# so the forum join is a semantics-preserving key-existence join
+_LSQB_Q1_SQL = _with(_SNB_POSTS) + """
+SELECT count(*) AS n
+FROM snb_posts p
+JOIN (SELECT 3000000 + n_nationkey AS fid FROM nation) f ON f.fid = p.forum
+JOIN edges k ON k.src = p.creator"""
+
+
+def _q_lsqb_q2(spark, sf_dir):
+    """LSQB family 1, cyclic: directed knows-triangles counted by closing a
+    2-path with a third MATCH on already-bound tags (a)->(c) — the
+    closing-first join the reference's WCO planner targets."""
+    from graphscope_spark.operators.cypher import cypher_property
+
+    return cypher_property(
+        _snb_graph(spark, sf_dir),
+        "MATCH (a:person)-[:knows]->(b:person) "
+        "MATCH (b)-[:knows]->(c:person) "
+        "MATCH (a)-[:knows]->(c) RETURN count(*) AS n",
+    )
+
+
+_LSQB_Q2_SQL = _with(_SNB_POSTS) + """
+SELECT count(*) AS n FROM edges e1
+JOIN edges e2 ON e2.src = e1.dst
+JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst"""
+
+
+def _q_lsqb_q4(spark, sf_dir):
+    """LSQB family 2 (optional joins): null-preserving OPTIONAL MATCH with a
+    pre-join predicate on the optional side; count(*) keeps the null-extended
+    rows, count(p.id) doesn't — the pair proves left-outer semantics."""
+    from graphscope_spark.operators.cypher import cypher_property
+
+    return cypher_property(
+        _snb_graph(spark, sf_dir),
+        "MATCH (m:person) OPTIONAL MATCH (m)<-[:hasCreator]-(p:post) "
+        "WHERE p.length >= 150 "
+        "RETURN count(*) AS n_rows, count(p.id) AS n_posts",
+    )
+
+
+_LSQB_Q4_SQL = _with(_SNB_POSTS) + """
+SELECT count(*) AS n_rows, count(p.pid) AS n_posts
+FROM customer c
+LEFT JOIN (SELECT * FROM snb_posts WHERE length >= 150) p
+  ON p.creator = c.c_custkey"""
+
+
+def _q_lsqb_q7(spark, sf_dir):
+    """LSQB family 3 (anti joins): asymmetric knows edges — NOT
+    EXISTS(pattern) lowered to a LeftAnti join, counted."""
+    from graphscope_spark.operators.cypher import cypher_property
+
+    return cypher_property(
+        _snb_graph(spark, sf_dir),
+        "MATCH (a:person)-[:knows]->(b:person) "
+        "WHERE NOT EXISTS((b)-[:knows]->(a)) RETURN count(*) AS n",
+    )
+
+
+_LSQB_Q7_SQL = _with(_SNB_POSTS) + """
+SELECT count(*) AS n FROM edges e
+WHERE NOT EXISTS (
+  SELECT 1 FROM edges r WHERE r.src = e.dst AND r.dst = e.src)"""
+
+
 def _q_edge_sample(spark, sf_dir):
     from graphscope_spark.algorithms.sampling import edge_sample
 
@@ -4291,6 +4384,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "edge_sample": _q_edge_sample,
     "snb_gremlin1": _q_snb_gremlin1,
     "snb_gremlin2": _q_snb_gremlin2,
+    "lsqb_q1": _q_lsqb_q1,
+    "lsqb_q2": _q_lsqb_q2,
+    "lsqb_q4": _q_lsqb_q4,
+    "lsqb_q7": _q_lsqb_q7,
     # r5 rotations: the last never-driver-checked queries (were 51-53)
     "gnn_neighbor_sample": _q_gnn_neighbor_sample,
     "doc_ttr": _q_doc_ttr,
@@ -4450,6 +4547,11 @@ ORACLES: dict[str, str] = {
     "edge_sample": _edge_sample_sql(48, 42),
     "snb_gremlin1": _SNB_GREMLIN1_SQL,
     "snb_gremlin2": _SNB_GREMLIN2_SQL,
+    # LSQB-shaped pattern-count suite (inner / optional / anti joins)
+    "lsqb_q1": _LSQB_Q1_SQL,
+    "lsqb_q2": _LSQB_Q2_SQL,
+    "lsqb_q4": _LSQB_Q4_SQL,
+    "lsqb_q7": _LSQB_Q7_SQL,
     # north-rule corpus pipeline: Spark runs the REAL regex extractor over
     # generated content; the oracle computes the embedded ground truth in
     # closed form — green = extraction recovered exactly the planted edges
