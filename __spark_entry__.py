@@ -4342,6 +4342,22 @@ WHERE NOT EXISTS (
   SELECT 1 FROM edges r WHERE r.src = e.dst AND r.dst = e.src)"""
 
 
+def _q_topk_neighbor_sample(spark, sf_dir):
+    from graphscope_spark.algorithms.sampling import topk_neighbor_sample
+
+    g = _customer_graph(spark, sf_dir, weighted=True)
+    return topk_neighbor_sample(g, k=3, weight_col="weight").orderBy(
+        "src", "rk"
+    )
+
+
+_TOPK_NEIGHBOR_SQL = _with("""ranked AS (
+  SELECT src, dst, w,
+         row_number() OVER (PARTITION BY src ORDER BY w DESC, dst ASC) AS rk
+  FROM wedges)""") + """
+SELECT src, dst, w, rk FROM ranked WHERE rk <= 3 ORDER BY src, rk"""
+
+
 def _q_edge_sample(spark, sf_dir):
     from graphscope_spark.algorithms.sampling import edge_sample
 
@@ -4388,6 +4404,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsqb_q2": _q_lsqb_q2,
     "lsqb_q4": _q_lsqb_q4,
     "lsqb_q7": _q_lsqb_q7,
+    "topk_neighbor_sample": _q_topk_neighbor_sample,
     # r5 rotations: the last never-driver-checked queries (were 51-53)
     "gnn_neighbor_sample": _q_gnn_neighbor_sample,
     "doc_ttr": _q_doc_ttr,
@@ -4552,6 +4569,7 @@ ORACLES: dict[str, str] = {
     "lsqb_q2": _LSQB_Q2_SQL,
     "lsqb_q4": _LSQB_Q4_SQL,
     "lsqb_q7": _LSQB_Q7_SQL,
+    "topk_neighbor_sample": _TOPK_NEIGHBOR_SQL,
     # north-rule corpus pipeline: Spark runs the REAL regex extractor over
     # generated content; the oracle computes the embedded ground truth in
     # closed form — green = extraction recovered exactly the planted edges

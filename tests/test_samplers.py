@@ -130,3 +130,44 @@ def test_edge_sample_shape_determinism_and_uniform_replay(spark):
     assert sorted(map(key, out)) != sorted(map(key, out3))
     # k >= |E| degrades to the full edge set
     assert len(edge_sample(g, k=100, seed=3).collect()) == len(CYCLE_EDGES)
+
+
+# ---------------------------------------------------------------------------
+# topk_neighbor_sample (GLE topk_sampler.cc parity)
+# ---------------------------------------------------------------------------
+
+TOPK_EDGES = [
+    # (src, dst, weight): vertex 0 has 5 out-edges with one weight tie
+    (0, 1, 5.0), (0, 2, 3.0), (0, 3, 5.0), (0, 4, 1.0), (0, 5, 3.0),
+    (1, 2, 2.0), (1, 3, 4.0),
+    (2, 0, 7.0),
+]
+
+
+def test_topk_neighbor_sample_exact_and_ties(spark):
+    from graphscope_spark.algorithms.sampling import topk_neighbor_sample
+
+    g = make_graph(spark, TOPK_EDGES, weights=True)
+    rows = {
+        (r["src"], r["rk"]): (r["dst"], r["w"])
+        for r in topk_neighbor_sample(g, k=3, salt=4).collect()
+    }
+    # vertex 0: weights 5,5,3,3,1 — ties break on dst ascending
+    assert rows[(0, 1)] == (1, 5.0)
+    assert rows[(0, 2)] == (3, 5.0)
+    assert rows[(0, 3)] == (2, 3.0)
+    # vertex 1 has only 2 out-edges: both kept, no padding
+    assert rows[(1, 1)] == (3, 4.0)
+    assert rows[(1, 2)] == (2, 2.0)
+    assert (1, 3) not in rows
+    # vertex 2: single edge
+    assert rows[(2, 1)] == (0, 7.0)
+
+
+def test_topk_neighbor_sample_salt_invariant(spark):
+    from graphscope_spark.algorithms.sampling import topk_neighbor_sample
+
+    g = make_graph(spark, TOPK_EDGES, weights=True, num_partitions=3)
+    a = sorted(map(tuple, topk_neighbor_sample(g, k=2, salt=1).collect()))
+    b = sorted(map(tuple, topk_neighbor_sample(g, k=2, salt=16).collect()))
+    assert a == b  # hub-splitting salt never changes the result
