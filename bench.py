@@ -932,9 +932,18 @@ def main() -> None:
             "weak_efficiency"
         ),
         "wall_sec": payload["wall_sec"],
+        # per-query evidence that fits the window: the 10 slowest timed
+        # queries (the full 140+-entry map lives in last_run.json/BASELINE.md)
+        "queries_slowest": dict(
+            sorted(timed.items(), key=lambda kv: -kv[1])[:10]
+        ),
         "detail": "BENCH/last_run.json",
     }
-    print(json.dumps(compact))
+    line = json.dumps(compact)
+    if len(line) > 1900:  # never outgrow the driver's ~2000-char window
+        compact.pop("queries_slowest", None)
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":
