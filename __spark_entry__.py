@@ -4358,6 +4358,43 @@ _TOPK_NEIGHBOR_SQL = _with("""ranked AS (
 SELECT src, dst, w, rk FROM ranked WHERE rk <= 3 ORDER BY src, rk"""
 
 
+def _q_weighted_neighbor_sample(spark, sf_dir):
+    from graphscope_spark.algorithms.sampling import weighted_neighbor_sample
+
+    g = _customer_graph(spark, sf_dir, weighted=True)
+    return weighted_neighbor_sample(
+        g, k=4, weight_col="weight", seed=42, hash_fn="portable"
+    ).orderBy("src", "draw")
+
+
+def _weighted_neighbor_sql(k: int = 4, seed: int = 42, scale: int = 1000,
+                           salt: int = 32) -> str:
+    """Integer-line weighted-draw twin: neighbors on a per-vertex line in
+    (block, dst) order (block = portable-hash mod salt — the same hub-split
+    order the engine's two-phase prefix sum uses), draw i probes the line
+    at h(seed:src:i) mod W_v."""
+    hb = _roll("dst::VARCHAR")
+    hd = _roll(f"('{seed}:' || t.src::VARCHAR || ':' || r.i::VARCHAR)")
+    body = f"""wblocks AS MATERIALIZED (
+      SELECT src, dst, CAST(round(w * {scale}) AS BIGINT) AS wint,
+             ({hb} % {salt}) AS b
+      FROM wedges WHERE round(w * {scale}) > 0),
+    wcum AS MATERIALIZED (
+      SELECT src, dst, wint,
+             coalesce(sum(wint) OVER (PARTITION BY src ORDER BY b, dst
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lo
+      FROM wblocks),
+    wtot AS (SELECT src, sum(wint) AS w FROM wblocks GROUP BY src),
+    wdraws AS (
+      SELECT t.src, r.i AS draw, ({hd} % t.w) AS t
+      FROM wtot t CROSS JOIN (SELECT unnest(range({k})) AS i) r)"""
+    return _with(body) + """
+    SELECT d.src, d.draw, c.dst
+    FROM wdraws d JOIN wcum c
+      ON c.src = d.src AND d.t >= c.lo AND d.t < c.lo + c.wint
+    ORDER BY d.src, d.draw"""
+
+
 def _q_edge_sample(spark, sf_dir):
     from graphscope_spark.algorithms.sampling import edge_sample
 
@@ -4405,6 +4442,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsqb_q4": _q_lsqb_q4,
     "lsqb_q7": _q_lsqb_q7,
     "topk_neighbor_sample": _q_topk_neighbor_sample,
+    "weighted_neighbor_sample": _q_weighted_neighbor_sample,
     # r5 rotations: the last never-driver-checked queries (were 51-53)
     "gnn_neighbor_sample": _q_gnn_neighbor_sample,
     "doc_ttr": _q_doc_ttr,
@@ -4570,6 +4608,7 @@ ORACLES: dict[str, str] = {
     "lsqb_q4": _LSQB_Q4_SQL,
     "lsqb_q7": _LSQB_Q7_SQL,
     "topk_neighbor_sample": _TOPK_NEIGHBOR_SQL,
+    "weighted_neighbor_sample": _weighted_neighbor_sql(4, 42),
     # north-rule corpus pipeline: Spark runs the REAL regex extractor over
     # generated content; the oracle computes the embedded ground truth in
     # closed form — green = extraction recovered exactly the planted edges

@@ -459,6 +459,118 @@ def topk_neighbor_sample(
     )
 
 
+def weighted_neighbor_sample(
+    graph: Graph,
+    k: int,
+    weight_col: str = "weight",
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+    scale: int = 1000,
+    salt: int = 32,
+) -> DataFrame:
+    """GLE EdgeWeightSampler parity: for every vertex with out-edges, ``k``
+    weight-proportional neighbor draws WITH replacement →
+    ``(src, draw, dst)``, deterministic.
+
+    Reference: the learning engine's edge-weight sampler
+    (learning_engine/graph-learn/graphlearn/src/core/operator/sampler/,
+    edge_weight_sampler.cc — probability ∝ edge weight, the attention-ish
+    alternative to uniform neighbor draws). Deterministic rendering: each
+    vertex lays its neighbors on an integer line (weights scaled to ints by
+    ``round(w·scale)``, neighbor order fixed), and draw ``i`` probes the
+    line at ``h(seed:src:i) mod W_v`` — the same integer-line trick as
+    :func:`negative_sample`, but per-vertex. ``hash_fn="portable"`` makes
+    every draw bit-replayable in DuckDB.
+
+    Scale shape (hub-safe, no range join):
+
+    * per-vertex prefix sum in two bounded phases — within-block cumsum
+      over ``(src, block)`` sub-groups (``block = pmod(hash(dst), salt)``
+      splits a hub's adjacency across ``salt`` window groups) + a block-
+      offset window over ≤ ``salt`` rows per vertex;
+    * the interval probe is a bucketed equijoin: each interval lands in
+      ≤ 2 buckets of width ``B ≥ max(w_int)``, each draw in exactly one —
+      join on ``(src, bucket)``, filter containment. No per-row Python,
+      no driver loop; one scalar all-reduce for ``B``.
+    """
+    w = F.col(weight_col).cast("double")
+    wint = F.round(w * scale).cast("long").alias("wint")
+    edges = (
+        graph.edges.select("src", "dst", wint)
+        .where(F.col("wint") > 0)
+    )
+    b = F.pmod(_hash_col(hash_fn, F.col("dst").cast("string")), F.lit(int(salt)))
+    blocked = edges.withColumn("_b", b)
+
+    in_block = (
+        Window.partitionBy("src", "_b")
+        .orderBy("dst")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    block_tot = blocked.groupBy("src", "_b").agg(
+        F.sum("wint").alias("_bw")
+    )
+    prev_blocks = (
+        Window.partitionBy("src")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = block_tot.withColumn(
+        "_off", F.coalesce(F.sum("_bw").over(prev_blocks), F.lit(0))
+    ).select("src", "_b", "_off")
+    intervals = (
+        blocked.withColumn(
+            "_cin", F.coalesce(F.sum("wint").over(in_block), F.lit(0))
+        )
+        .join(offsets, ["src", "_b"])
+        .select(
+            "src", "dst", "wint", (F.col("_off") + F.col("_cin")).alias("lo")
+        )
+    )
+
+    totals = edges.groupBy("src").agg(F.sum("wint").alias("_w"))
+    maxw = edges.agg(F.max("wint")).collect()[0][0]
+    if maxw is None:
+        return intervals.select(
+            "src", F.lit(0).alias("draw"), "dst"
+        ).limit(0)
+    bucket_w = int(maxw)
+
+    draws = (
+        totals.select("src", "_w", F.explode(
+            F.sequence(F.lit(0), F.lit(int(k) - 1))
+        ).alias("draw"))
+        .withColumn(
+            "t",
+            F.pmod(
+                _hash_col(
+                    hash_fn,
+                    F.concat_ws(
+                        ":", F.lit(seed), F.col("src"), F.col("draw")
+                    ),
+                ),
+                F.col("_w"),
+            ),
+        )
+        .withColumn("_bk", (F.col("t") / bucket_w).cast("long"))
+    )
+    buckets = intervals.withColumn(
+        "_bk",
+        F.explode(
+            F.sequence(
+                (F.col("lo") / bucket_w).cast("long"),
+                ((F.col("lo") + F.col("wint") - 1) / bucket_w).cast("long"),
+            )
+        ),
+    )
+    return (
+        draws.join(buckets, ["src", "_bk"])
+        .where((F.col("t") >= F.col("lo"))
+               & (F.col("t") < F.col("lo") + F.col("wint")))
+        .select("src", "draw", "dst")
+    )
+
+
 def edge_sample(
     graph: Graph,
     k: int,

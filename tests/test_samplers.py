@@ -171,3 +171,45 @@ def test_topk_neighbor_sample_salt_invariant(spark):
     a = sorted(map(tuple, topk_neighbor_sample(g, k=2, salt=1).collect()))
     b = sorted(map(tuple, topk_neighbor_sample(g, k=2, salt=16).collect()))
     assert a == b  # hub-splitting salt never changes the result
+
+
+# ---------------------------------------------------------------------------
+# weighted_neighbor_sample (GLE edge_weight_sampler.cc parity)
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_neighbor_sample_shape_and_validity(spark):
+    from graphscope_spark.algorithms.sampling import weighted_neighbor_sample
+
+    g = make_graph(spark, TOPK_EDGES, weights=True)
+    rows = weighted_neighbor_sample(g, k=5, seed=3).collect()
+    srcs = {s for s, _, _ in TOPK_EDGES}
+    eset = {(s, d) for s, d, _ in TOPK_EDGES}
+    # exactly one dst per (src, draw), k draws per src with out-edges
+    assert len(rows) == len(srcs) * 5
+    assert len({(r["src"], r["draw"]) for r in rows}) == len(rows)
+    for r in rows:
+        assert (r["src"], r["dst"]) in eset  # every draw is a real neighbor
+
+
+def test_weighted_neighbor_sample_weight_dominance(spark):
+    from graphscope_spark.algorithms.sampling import weighted_neighbor_sample
+
+    # vertex 0: one 1000x-heavier neighbor must dominate the draws
+    g = make_graph(
+        spark, [(0, 1, 1000.0), (0, 2, 1.0)], weights=True
+    )
+    rows = weighted_neighbor_sample(g, k=40, seed=9).collect()
+    picks = [r["dst"] for r in rows]
+    assert len(picks) == 40
+    assert picks.count(1) > 35  # ~1/1001 chance per draw of dst=2
+
+
+def test_weighted_neighbor_sample_partition_invariant(spark):
+    from graphscope_spark.algorithms.sampling import weighted_neighbor_sample
+
+    g2 = make_graph(spark, TOPK_EDGES, weights=True, num_partitions=2)
+    g8 = make_graph(spark, TOPK_EDGES, weights=True, num_partitions=8)
+    a = sorted(map(tuple, weighted_neighbor_sample(g2, k=4).collect()))
+    b = sorted(map(tuple, weighted_neighbor_sample(g8, k=4).collect()))
+    assert a == b
