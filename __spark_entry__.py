@@ -2432,6 +2432,49 @@ def _q_sssp_delta_step(spark, sf_dir):
     ).orderBy("id")
 
 
+def _q_wcc_delta_delete(spark, sf_dir):
+    """Ingress DELETION delta (docs/analytical_engine/ingress.md — the case
+    the reference recomputes in full): wcc converges on a sparse quarter of
+    the customer graph (many components), then 20% of those edges are
+    deleted — splitting components (sf0.01: 10→34, sf0.1: 73→226) — and
+    wcc_delta_delete recomputes ONLY the touched components. The oracle is
+    the standard wcc SQL over the post-deletion edge set, so both a stale
+    kept-label and a wrong split fail the hash; the multi-component base
+    makes the kept-labels path (untouched components) actually carry
+    rows."""
+    from graphscope_spark.algorithms.wcc import wcc
+    from graphscope_spark.engine.ingress import wcc_delta_delete
+    from graphscope_spark.graph.graph import Graph
+
+    g = _customer_graph(spark, sf_dir)
+    basef = (F.col("src") * 7 + F.col("dst")) % 4 == 0
+    base = Graph(
+        g.edges.filter(basef),
+        vertices=g.vertices,
+        num_partitions=g.num_partitions,
+    )
+    prev = wcc(base)
+    delf = (F.col("src") * 31 + F.col("dst")) % 5 == 0
+    return wcc_delta_delete(
+        base, base.edges.filter(delf), prev
+    ).orderBy("id")
+
+
+_WCC_DELTA_DELETE_SQL = _with("""be AS MATERIALIZED (
+      SELECT src, dst FROM edges WHERE (src*7+dst)%4 = 0),
+    de AS MATERIALIZED (
+      SELECT src, dst FROM be WHERE NOT ((src*31+dst)%5 = 0)),
+    du AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+      SELECT src, dst FROM de UNION ALL SELECT dst AS src, src AS dst FROM de) t),
+    reach(id, lab) AS (
+      SELECT id, id FROM verts
+      UNION
+      SELECT u.dst, r.lab FROM reach r JOIN du u ON u.src = r.id
+    )""") + (
+    " SELECT id, min(lab) AS component FROM reach GROUP BY id ORDER BY id"
+)
+
+
 def _q_wcc_delta(spark, sf_dir):
     """Ingress delta recompute (docs/analytical_engine/ingress.md): wcc
     converges on ~92% of the customer-graph edges, then resumes with the
@@ -4443,6 +4486,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsqb_q7": _q_lsqb_q7,
     "topk_neighbor_sample": _q_topk_neighbor_sample,
     "weighted_neighbor_sample": _q_weighted_neighbor_sample,
+    "wcc_delta_delete": _q_wcc_delta_delete,
     # r5 rotations: the last never-driver-checked queries (were 51-53)
     "gnn_neighbor_sample": _q_gnn_neighbor_sample,
     "doc_ttr": _q_doc_ttr,
@@ -4609,6 +4653,7 @@ ORACLES: dict[str, str] = {
     "lsqb_q7": _LSQB_Q7_SQL,
     "topk_neighbor_sample": _TOPK_NEIGHBOR_SQL,
     "weighted_neighbor_sample": _weighted_neighbor_sql(4, 42),
+    "wcc_delta_delete": _WCC_DELTA_DELETE_SQL,
     # north-rule corpus pipeline: Spark runs the REAL regex extractor over
     # generated content; the oracle computes the embedded ground truth in
     # closed form — green = extraction recovered exactly the planted edges

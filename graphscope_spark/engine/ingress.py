@@ -15,9 +15,15 @@ the full kernel would produce on ``graph.add_edges(new_edges)`` —
 bit-for-bit (see tests/test_ingress.py).
 
 Deletions are NOT monotone (a removed edge can invalidate arbitrarily much
-of the converged state); the reference handles that case with full
-recomputation, and so do we — callers should re-run the kernel on the
-mutated graph.
+of the converged state). For sssp/bfs/pagerank the reference handles that
+case with full recomputation, and so do we — callers should re-run the
+kernel on the mutated graph. For WCC, deletion-delta IS tractable without
+monotonicity: an edge deletion can only affect the component(s) its
+endpoints belong to, so :func:`wcc_delta_delete` recomputes ONLY those
+components' induced subgraphs and keeps every other label untouched —
+bit-for-bit equal to a full recompute because both label a component by
+its minimum vertex id. Worst case (delta touches the giant component)
+degrades gracefully to ~full recompute.
 """
 
 from __future__ import annotations
@@ -27,7 +33,13 @@ from pyspark.sql import functions as F
 
 from graphscope_spark.graph.graph import Graph
 
-__all__ = ["wcc_delta", "sssp_delta", "bfs_delta", "pagerank_delta"]
+__all__ = [
+    "wcc_delta",
+    "wcc_delta_delete",
+    "sssp_delta",
+    "bfs_delta",
+    "pagerank_delta",
+]
 
 
 def _endpoints(new_edges: DataFrame, side: str | None = None) -> DataFrame:
@@ -71,6 +83,63 @@ def wcc_delta(
         )
     )
     return wcc(g2, max_iter=max_iter, mode=mode, warm_start=state)
+
+
+def wcc_delta_delete(
+    graph: Graph,
+    del_edges: DataFrame,
+    prev_components: DataFrame,
+    max_iter: int = 200,
+    mode: str = "dataframe",
+) -> DataFrame:
+    """``(id, component)`` over ``graph.remove_edges(del_edges)`` — the
+    deletion side of Ingress WCC maintenance (reference:
+    docs/analytical_engine/ingress.md; the reference recomputes in full).
+
+    A deleted edge can only SPLIT the component that contained it, never
+    affect any other, so: (1) mark the components touched by any deleted
+    edge's endpoint, (2) re-run WCC on just their induced subgraph (every
+    surviving edge stays inside its original component, so filtering edges
+    by the src endpoint's old label is exact), (3) keep every untouched
+    vertex's label as-is. Labels are the component-minimum vertex id in
+    both the full and the induced run, so the union is bit-for-bit the
+    full-recompute answer.
+
+    Scale shape: two broadcast-size semi-joins against the (usually tiny)
+    affected-component list + one WCC over the affected subgraph; cost is
+    proportional to the affected components, not the graph.
+    """
+    from graphscope_spark.algorithms.wcc import wcc
+
+    g2 = graph.remove_edges(del_edges)
+    prev = prev_components.select(
+        "id", F.col("component").cast("long").alias("component")
+    )
+    touched = (
+        _endpoints(del_edges)
+        .join(prev, "id")
+        .select("component")
+        .distinct()
+    )
+    kept = prev.join(touched, "component", "left_anti").select(
+        "id", "component"
+    )
+    sub_vertices = prev.join(touched, "component", "left_semi").select("id")
+    src_comp = prev.withColumnRenamed("id", "src")
+    sub_edges = (
+        g2.edges.select("src", "dst")
+        .join(src_comp, "src")
+        .join(touched, "component", "left_semi")
+        .select("src", "dst")
+    )
+    sub = Graph(
+        sub_edges,
+        vertices=sub_vertices,
+        num_partitions=graph.num_partitions,
+        directed=graph.directed,
+    )
+    redone = wcc(sub, max_iter=max_iter, mode=mode)
+    return kept.unionByName(redone.select("id", "component"))
 
 
 def sssp_delta(

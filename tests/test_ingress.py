@@ -182,3 +182,50 @@ def test_pagerank_delta_matches_full_and_saves_rounds(spark):
     r_cold = pagerank(g2, tol=1e-8, return_result=True)
     assert r_warm.converged and r_cold.converged
     assert r_warm.rounds < r_cold.rounds, (r_warm.rounds, r_cold.rounds)
+
+
+def test_wcc_delta_delete_splits_component(spark):
+    from graphscope_spark.algorithms.wcc import wcc
+    from graphscope_spark.engine.ingress import wcc_delta_delete
+
+    # two components: {0-1-2-3} (a chain) and {10-11}; deleting (1,2)
+    # splits the first into {0,1} and {2,3}; {10,11} must be untouched
+    g = make_graph(
+        spark, [(0, 1), (1, 2), (2, 3), (10, 11)],
+        vertices=[0, 1, 2, 3, 10, 11],
+    )
+    prev = wcc(g)
+    ddf = spark.createDataFrame([(1, 2)], "src long, dst long")
+    got = _rows(wcc_delta_delete(g, ddf, prev))
+    want = _rows(wcc(g.remove_edges(ddf)))
+    assert got == want
+    comp = dict(got)
+    assert comp[2] == 2 and comp[3] == 2 and comp[0] == 0 and comp[1] == 0
+    assert comp[10] == 10 and comp[11] == 10
+
+
+def test_wcc_delta_delete_random_equals_full(spark):
+    from graphscope_spark.algorithms.wcc import wcc
+    from graphscope_spark.engine.ingress import wcc_delta_delete
+
+    n = 40
+    base = _rand_edges(n, 55, seed=5)
+    dels = random.Random(21).sample(base, 10)
+    g = make_graph(spark, base, vertices=list(range(n)))
+    prev = wcc(g)
+    ddf = spark.createDataFrame(dels, "src long, dst long")
+    got = _rows(wcc_delta_delete(g, ddf, prev))
+    want = _rows(wcc(g.remove_edges(ddf)))
+    assert got == want
+
+
+def test_wcc_delta_delete_nonsplitting_keeps_labels(spark):
+    from graphscope_spark.algorithms.wcc import wcc
+    from graphscope_spark.engine.ingress import wcc_delta_delete
+
+    # deleting one edge of a triangle does not split it
+    g = make_graph(spark, [(0, 1), (1, 2), (0, 2)], vertices=[0, 1, 2])
+    prev = wcc(g)
+    ddf = spark.createDataFrame([(1, 2)], "src long, dst long")
+    got = _rows(wcc_delta_delete(g, ddf, prev))
+    assert got == _rows(prev)
