@@ -2475,6 +2475,46 @@ _WCC_DELTA_DELETE_SQL = _with("""be AS MATERIALIZED (
 )
 
 
+def _q_sssp_delta_delete(spark, sf_dir):
+    """Ingress SSSP DELETION delta (invalidate-and-repair): converge on the
+    full weighted graph, delete 4% of edges ((src*31+dst)%23==0 — changes
+    ~11-20% of distances at sf0.01/sf0.1, so returning the stale state
+    fails the hash), reset only the deleted edges' forward tight-DAG cone
+    and re-relax from its boundary. Oracle = the standard unrolled
+    Bellman-Ford over the post-deletion edge set."""
+    from graphscope_spark.algorithms.traversal import sssp
+    from graphscope_spark.engine.ingress import sssp_delta_delete
+
+    g = _customer_graph(spark, sf_dir, weighted=True)
+    prev = sssp(g, 0)
+    dels = g.edges.filter((F.col("src") * 31 + F.col("dst")) % 23 == 0)
+    return sssp_delta_delete(
+        g, dels, prev, 0, weight_col="weight"
+    ).orderBy("id")
+
+
+def _sssp_delete_sql(source: int = 0, rounds: int = 25) -> str:
+    ctes = [
+        "wdel AS MATERIALIZED (SELECT src, dst, w FROM wedges"
+        " WHERE NOT ((src*31+dst)%23 = 0))",
+        f"x0 AS MATERIALIZED (SELECT {source}::BIGINT AS id, 0.0::DOUBLE AS dist)",
+    ]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        ctes.append(
+            f"""x{k} AS MATERIALIZED (
+              SELECT id, min(dist) AS dist FROM (
+                SELECT id, dist FROM x{p}
+                UNION ALL
+                SELECT e.dst AS id, d.dist + e.w AS dist
+                FROM x{p} d JOIN wdel e ON e.src = d.id) t
+              GROUP BY id)"""
+        )
+    return _with(",".join(ctes)) + f"""
+    SELECT v.id, x.dist AS distance
+    FROM verts v LEFT JOIN x{rounds} x ON v.id = x.id ORDER BY v.id"""
+
+
 def _q_wcc_delta(spark, sf_dir):
     """Ingress delta recompute (docs/analytical_engine/ingress.md): wcc
     converges on ~92% of the customer-graph edges, then resumes with the
@@ -4487,6 +4527,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_neighbor_sample": _q_topk_neighbor_sample,
     "weighted_neighbor_sample": _q_weighted_neighbor_sample,
     "wcc_delta_delete": _q_wcc_delta_delete,
+    "sssp_delta_delete": _q_sssp_delta_delete,
     # r5 rotations: the last never-driver-checked queries (were 51-53)
     "gnn_neighbor_sample": _q_gnn_neighbor_sample,
     "doc_ttr": _q_doc_ttr,
@@ -4654,6 +4695,7 @@ ORACLES: dict[str, str] = {
     "topk_neighbor_sample": _TOPK_NEIGHBOR_SQL,
     "weighted_neighbor_sample": _weighted_neighbor_sql(4, 42),
     "wcc_delta_delete": _WCC_DELTA_DELETE_SQL,
+    "sssp_delta_delete": _sssp_delete_sql(0),
     # north-rule corpus pipeline: Spark runs the REAL regex extractor over
     # generated content; the oracle computes the embedded ground truth in
     # closed form — green = extraction recovered exactly the planted edges

@@ -15,15 +15,15 @@ the full kernel would produce on ``graph.add_edges(new_edges)`` —
 bit-for-bit (see tests/test_ingress.py).
 
 Deletions are NOT monotone (a removed edge can invalidate arbitrarily much
-of the converged state). For sssp/bfs/pagerank the reference handles that
-case with full recomputation, and so do we — callers should re-run the
-kernel on the mutated graph. For WCC, deletion-delta IS tractable without
-monotonicity: an edge deletion can only affect the component(s) its
-endpoints belong to, so :func:`wcc_delta_delete` recomputes ONLY those
-components' induced subgraphs and keeps every other label untouched —
-bit-for-bit equal to a full recompute because both label a component by
-its minimum vertex id. Worst case (delta touches the giant component)
-degrades gracefully to ~full recompute.
+of the converged state); the reference handles that case with full
+recomputation. Here two deletion deltas ARE supported without
+monotonicity, both bounded by the damage, not the graph:
+:func:`wcc_delta_delete` (a deleted edge can only split its own component
+→ recompute just the touched components' induced subgraphs) and
+:func:`sssp_delta_delete` (classic invalidate-and-repair: only the forward
+tight-DAG cone of a deleted shortest-path edge can be wrong → reset the
+cone, re-relax from its outside boundary). pagerank deletions remain
+full-recompute (every score depends on every edge).
 """
 
 from __future__ import annotations
@@ -36,6 +36,7 @@ from graphscope_spark.graph.graph import Graph
 __all__ = [
     "wcc_delta",
     "wcc_delta_delete",
+    "sssp_delta_delete",
     "sssp_delta",
     "bfs_delta",
     "pagerank_delta",
@@ -173,6 +174,111 @@ def sssp_delta(
                 F.when(F.col("id") == source, 0.0).otherwise(float("inf")),
             ).alias("dist"),
             F.col("_touched").isNotNull().alias("changed"),
+        )
+    )
+    return sssp(
+        g2, source, weight_col=weight_col, max_iter=max_iter, warm_start=state
+    )
+
+
+def sssp_delta_delete(
+    graph: Graph,
+    del_edges: DataFrame,
+    prev_distances: DataFrame,
+    source: int,
+    weight_col: str | None = "weight",
+    max_cone_iter: int = 200,
+    max_iter: int = 10_000,
+) -> DataFrame:
+    """``(id, distance)`` over ``graph.remove_edges(del_edges)`` — the
+    deletion side of Ingress SSSP maintenance (the reference recomputes in
+    full; this is the classic dynamic-SSSP invalidate-and-repair).
+
+    A vertex's distance can only be wrong if SOME shortest path to it used
+    a deleted edge. Every such vertex lies in the forward closure of the
+    deleted edges' heads over TIGHT edges (``dist[y] == dist[x] + w`` —
+    the shortest-path DAG), so: (1) seed with deleted edges that were
+    tight, (2) close forward over the post-deletion tight DAG (the "cone"
+    — conservative: it may include vertices with surviving shortest paths;
+    they are recomputed to the same value), (3) reset cone distances to
+    +inf and re-relax with the cone's outside-boundary predecessors as the
+    warm-start frontier — every distance outside the cone is still exact,
+    so repair cost is proportional to the cone, not the graph.
+
+    The cone closure is a driver loop of semi-joins (rounds = cone depth,
+    one count() all-reduce per round, same shape as the engine's frontier
+    loops); the repair is the standard warm-started Bellman-Ford.
+    """
+    from graphscope_spark.algorithms.traversal import sssp
+
+    g2 = graph.remove_edges(del_edges)
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col and weight_col in graph.edges.columns
+        else F.lit(1.0)
+    )
+    dist = prev_distances.select(
+        "id", F.col("distance").cast("double").alias("d")
+    ).where(F.col("d").isNotNull())
+
+    dels = graph.edges.select("src", "dst", w.alias("w")).join(
+        del_edges.select("src", "dst").distinct(), ["src", "dst"], "left_semi"
+    )
+    dsrc = dist.withColumnRenamed("id", "src").withColumnRenamed("d", "ds")
+    ddst = dist.withColumnRenamed("id", "dst").withColumnRenamed("d", "dd")
+    cone = (
+        dels.join(dsrc, "src")
+        .join(ddst, "dst")
+        .where(F.col("dd") == F.col("ds") + F.col("w"))
+        .select(F.col("dst").alias("id"))
+        .distinct()
+        .localCheckpoint()
+    )
+    if cone.limit(1).count() == 0:
+        return prev_distances.select("id", "distance")
+
+    tight = (
+        g2.edges.select("src", "dst", w.alias("w"))
+        .join(dsrc, "src")
+        .join(ddst, "dst")
+        .where(F.col("dd") == F.col("ds") + F.col("w"))
+        .select("src", "dst")
+        .localCheckpoint()
+    )
+    frontier = cone
+    for _ in range(max_cone_iter):
+        nxt = (
+            tight.join(frontier.withColumnRenamed("id", "src"), "src")
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(cone, "id", "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        cone = cone.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+
+    in_cone = cone.withColumn("_c", F.lit(True))
+    boundary = (
+        g2.edges.select("src", "dst")
+        .join(cone.withColumnRenamed("id", "dst"), "dst", "left_semi")
+        .select(F.col("src").alias("id"))
+        .distinct()
+        .join(cone, "id", "left_anti")
+        .withColumn("_b", F.lit(True))
+    )
+    state = (
+        g2.vertices.select("id")
+        .join(dist, "id", "left")
+        .join(in_cone, "id", "left")
+        .join(boundary, "id", "left")
+        .select(
+            "id",
+            F.when(F.col("_c").isNotNull(), float("inf"))
+            .otherwise(F.coalesce("d", F.lit(float("inf"))))
+            .alias("dist"),
+            F.col("_b").isNotNull().alias("changed"),
         )
     )
     return sssp(

@@ -229,3 +229,72 @@ def test_wcc_delta_delete_nonsplitting_keeps_labels(spark):
     ddf = spark.createDataFrame([(1, 2)], "src long, dst long")
     got = _rows(wcc_delta_delete(g, ddf, prev))
     assert got == _rows(prev)
+
+
+def _rand_wedges(n, m, seed):
+    random.seed(seed)
+    edges = {}
+    while len(edges) < m:
+        a, b = random.randrange(n), random.randrange(n)
+        if a != b:
+            edges[(a, b)] = float(1 + (a * 7 + b * 13) % 5)
+    return sorted((a, b, w) for (a, b), w in edges.items())
+
+
+def test_sssp_delta_delete_random_equals_full(spark):
+    from graphscope_spark.algorithms.traversal import sssp
+    from graphscope_spark.engine.ingress import sssp_delta_delete
+
+    n = 40
+    base = _rand_wedges(n, 80, seed=13)
+    dels = [(a, b) for a, b, _ in random.Random(3).sample(base, 15)]
+    g = make_graph(spark, base, vertices=list(range(n)), weights=True)
+    prev = sssp(g, 0)
+    ddf = spark.createDataFrame(dels, "src long, dst long")
+    got = _rows(sssp_delta_delete(g, ddf, prev, 0))
+    want = _rows(sssp(g.remove_edges(ddf), 0))
+    assert got == want
+
+
+def test_sssp_delta_delete_unreachable_after(spark):
+    from graphscope_spark.algorithms.traversal import sssp
+    from graphscope_spark.engine.ingress import sssp_delta_delete
+
+    # 0 -> 1 -> 2; deleting (1,2) makes 2 unreachable
+    g = make_graph(
+        spark, [(0, 1, 1.0), (1, 2, 1.0)], vertices=[0, 1, 2], weights=True
+    )
+    prev = sssp(g, 0)
+    ddf = spark.createDataFrame([(1, 2)], "src long, dst long")
+    got = dict(_rows(sssp_delta_delete(g, ddf, prev, 0)))
+    assert got[2] is None and got[1] == 1.0 and got[0] == 0.0
+
+
+def test_sssp_delta_delete_nontight_noop(spark):
+    from graphscope_spark.algorithms.traversal import sssp
+    from graphscope_spark.engine.ingress import sssp_delta_delete
+
+    # deleting a non-shortest-path edge changes nothing (empty cone path)
+    g = make_graph(
+        spark, [(0, 1, 1.0), (0, 2, 5.0), (1, 2, 1.0)],
+        vertices=[0, 1, 2], weights=True,
+    )
+    prev = sssp(g, 0)  # dist 2 = 2.0 via 1; edge (0,2) w=5 is slack
+    ddf = spark.createDataFrame([(0, 2)], "src long, dst long")
+    got = _rows(sssp_delta_delete(g, ddf, prev, 0))
+    assert got == _rows(prev)
+
+
+def test_sssp_delta_delete_reroute_longer(spark):
+    from graphscope_spark.algorithms.traversal import sssp
+    from graphscope_spark.engine.ingress import sssp_delta_delete
+
+    # deleting the tight edge forces the longer alternative route
+    g = make_graph(
+        spark, [(0, 1, 1.0), (0, 2, 5.0), (1, 2, 1.0), (2, 3, 1.0)],
+        vertices=[0, 1, 2, 3], weights=True,
+    )
+    prev = sssp(g, 0)  # 2 -> 2.0 via 1, 3 -> 3.0
+    ddf = spark.createDataFrame([(1, 2)], "src long, dst long")
+    got = dict(_rows(sssp_delta_delete(g, ddf, prev, 0)))
+    assert got[2] == 5.0 and got[3] == 6.0 and got[1] == 1.0
