@@ -16,14 +16,15 @@ bit-for-bit (see tests/test_ingress.py).
 
 Deletions are NOT monotone (a removed edge can invalidate arbitrarily much
 of the converged state); the reference handles that case with full
-recomputation. Here two deletion deltas ARE supported without
-monotonicity, both bounded by the damage, not the graph:
+recomputation. Here three deletion deltas ARE supported without
+monotonicity, each bounded by the damage, not the graph:
 :func:`wcc_delta_delete` (a deleted edge can only split its own component
 → recompute just the touched components' induced subgraphs) and
-:func:`sssp_delta_delete` (classic invalidate-and-repair: only the forward
-tight-DAG cone of a deleted shortest-path edge can be wrong → reset the
-cone, re-relax from its outside boundary). pagerank deletions remain
-full-recompute (every score depends on every edge).
+:func:`sssp_delta_delete` / :func:`bfs_delta_delete` (classic
+invalidate-and-repair: only the forward tight-DAG cone of a deleted
+shortest-path edge can be wrong → reset the cone, re-relax from its
+outside boundary). pagerank deletions remain full-recompute (every score
+depends on every edge).
 """
 
 from __future__ import annotations
@@ -37,6 +38,7 @@ __all__ = [
     "wcc_delta",
     "wcc_delta_delete",
     "sssp_delta_delete",
+    "bfs_delta_delete",
     "sssp_delta",
     "bfs_delta",
     "pagerank_delta",
@@ -315,6 +317,93 @@ def bfs_delta(
                 F.col("_touched").isNotNull()
                 & (F.coalesce("pdepth", F.lit(-1)) >= 0)
             ).alias("changed"),
+        )
+    )
+    return bfs(g2, source, max_depth=max_depth, warm_start=state)
+
+
+def bfs_delta_delete(
+    graph: Graph,
+    del_edges: DataFrame,
+    prev_depths: DataFrame,
+    source: int,
+    max_cone_iter: int = 200,
+    max_depth: int = 10_000,
+) -> DataFrame:
+    """``(id, depth)`` over ``graph.remove_edges(del_edges)`` — BFS
+    deletion delta, same invalidate-and-repair as
+    :func:`sssp_delta_delete` with unit weights: tight edges are
+    ``depth[y] == depth[x] + 1``, the stale set is the deleted tight
+    edges' forward closure over the tight DAG, reset it to −1
+    (bfs_generic.h's unreached) and re-expand from the cone's outside
+    boundary."""
+    from graphscope_spark.algorithms.traversal import bfs
+
+    g2 = graph.remove_edges(del_edges)
+    dep = prev_depths.select(
+        "id", F.col("depth").cast("int").alias("d")
+    ).where(F.col("d") >= 0)
+    dsrc = dep.withColumnRenamed("id", "src").withColumnRenamed("d", "ds")
+    ddst = dep.withColumnRenamed("id", "dst").withColumnRenamed("d", "dd")
+
+    dels = graph.edges.select("src", "dst").join(
+        del_edges.select("src", "dst").distinct(), ["src", "dst"], "left_semi"
+    )
+    cone = (
+        dels.join(dsrc, "src")
+        .join(ddst, "dst")
+        .where(F.col("dd") == F.col("ds") + 1)
+        .select(F.col("dst").alias("id"))
+        .distinct()
+        .localCheckpoint()
+    )
+    if cone.limit(1).count() == 0:
+        return prev_depths.select("id", "depth")
+
+    tight = (
+        g2.edges.select("src", "dst")
+        .join(dsrc, "src")
+        .join(ddst, "dst")
+        .where(F.col("dd") == F.col("ds") + 1)
+        .select("src", "dst")
+        .localCheckpoint()
+    )
+    frontier = cone
+    for _ in range(max_cone_iter):
+        nxt = (
+            tight.join(frontier.withColumnRenamed("id", "src"), "src")
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(cone, "id", "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        cone = cone.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+
+    in_cone = cone.withColumn("_c", F.lit(True))
+    boundary = (
+        g2.edges.select("src", "dst")
+        .join(cone.withColumnRenamed("id", "dst"), "dst", "left_semi")
+        .select(F.col("src").alias("id"))
+        .distinct()
+        .join(cone, "id", "left_anti")
+        .withColumn("_b", F.lit(True))
+    )
+    state = (
+        g2.vertices.select("id")
+        .join(dep, "id", "left")
+        .join(in_cone, "id", "left")
+        .join(boundary, "id", "left")
+        .select(
+            "id",
+            F.when(F.col("_c").isNotNull(), -1)
+            .otherwise(F.coalesce("d", F.lit(-1)))
+            .cast("int")
+            .alias("depth"),
+            (F.col("_b").isNotNull() & (F.coalesce("d", F.lit(-1)) >= 0))
+            .alias("changed"),
         )
     )
     return bfs(g2, source, max_depth=max_depth, warm_start=state)

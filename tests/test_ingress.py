@@ -298,3 +298,29 @@ def test_sssp_delta_delete_reroute_longer(spark):
     ddf = spark.createDataFrame([(1, 2)], "src long, dst long")
     got = dict(_rows(sssp_delta_delete(g, ddf, prev, 0)))
     assert got[2] == 5.0 and got[3] == 6.0 and got[1] == 1.0
+
+
+def test_bfs_delta_delete_random_equals_full(spark):
+    from graphscope_spark.algorithms.traversal import bfs
+    from graphscope_spark.engine.ingress import bfs_delta_delete
+
+    n = 40
+    base = _rand_edges(n, 70, seed=17)
+    dels = random.Random(8).sample(base, 14)
+    g = make_graph(spark, base, vertices=list(range(n)))
+    prev = bfs(g, 0)
+    ddf = spark.createDataFrame(dels, "src long, dst long")
+    got = _rows(bfs_delta_delete(g, ddf, prev, 0))
+    want = _rows(bfs(g.remove_edges(ddf), 0))
+    assert got == want
+
+
+def test_bfs_delta_delete_unreachable_after(spark):
+    from graphscope_spark.algorithms.traversal import bfs
+    from graphscope_spark.engine.ingress import bfs_delta_delete
+
+    g = make_graph(spark, [(0, 1), (1, 2)], vertices=[0, 1, 2])
+    prev = bfs(g, 0)
+    ddf = spark.createDataFrame([(1, 2)], "src long, dst long")
+    got = dict(_rows(bfs_delta_delete(g, ddf, prev, 0)))
+    assert got[2] == -1 and got[1] == 1 and got[0] == 0
