@@ -30,13 +30,20 @@ __all__ = ["StreamingWCC", "StreamingPageRank"]
 
 
 class StreamingWCC:
-    """Maintain weakly-connected components over streamed edge additions.
+    """Maintain weakly-connected components over streamed edge updates.
 
     ``components`` always holds the converged ``(id, component)`` labeling
     of everything ingested so far; each micro-batch advances it through
     :func:`graphscope_spark.engine.ingress.wcc_delta` (monotone kernel —
     adding edges only merges components, so the previous fixpoint resumes
     instead of recomputing).
+
+    Batches may carry an optional ``op`` column (``'add'`` / ``'del'``;
+    absent = all adds): adds apply first through ``wcc_delta``, then
+    deletions through ``wcc_delta_delete`` (recomputes only the touched
+    components). Both kernels are idempotent for replayed rows — re-adding
+    an existing edge or re-deleting a missing one leaves the fixpoint
+    unchanged — so foreachBatch's re-run-on-restart stays exactly-once.
     """
 
     def __init__(self, graph: Graph):
@@ -47,15 +54,29 @@ class StreamingWCC:
         self.batches_applied = 0
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        from graphscope_spark.engine.ingress import wcc_delta
+        from pyspark.sql import functions as F
+
+        from graphscope_spark.engine.ingress import wcc_delta, wcc_delta_delete
 
         if not batch_df.take(1):
             return
-        batch_df = batch_df.select("src", "dst").localCheckpoint()
-        self.components = wcc_delta(
-            self.graph, batch_df, self.components
-        ).localCheckpoint()
-        self.graph = self.graph.add_edges(batch_df)
+        if "op" in batch_df.columns:
+            adds = batch_df.filter(F.col("op") == "add").select("src", "dst")
+            dels = batch_df.filter(F.col("op") == "del").select("src", "dst")
+        else:
+            adds, dels = batch_df.select("src", "dst"), None
+        if adds.take(1):
+            adds = adds.localCheckpoint()
+            self.components = wcc_delta(
+                self.graph, adds, self.components
+            ).localCheckpoint()
+            self.graph = self.graph.add_edges(adds)
+        if dels is not None and dels.take(1):
+            dels = dels.localCheckpoint()
+            self.components = wcc_delta_delete(
+                self.graph, dels, self.components
+            ).localCheckpoint()
+            self.graph = self.graph.remove_edges(dels)
         self.batches_applied += 1
 
     def start(self, stream_edges: DataFrame, checkpoint_dir: str,

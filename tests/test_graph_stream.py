@@ -65,3 +65,41 @@ def test_streaming_pagerank_matches_cold(spark, tmp_path):
     assert set(warm) == set(cold)
     for v in warm:
         assert abs(warm[v] - cold[v]) < 1e-6
+
+
+def test_streaming_wcc_mixed_ops_matches_cold(spark, tmp_path):
+    """Batches carrying add AND delete rows: the maintained labeling must
+    equal a cold wcc on the net edge set (adds applied before dels within
+    a batch)."""
+    from graphscope_spark.algorithms.wcc import wcc
+    from graphscope_spark.streaming.graph_stream import StreamingWCC
+
+    base = [(0, 1), (1, 2), (3, 4), (5, 6)]
+    # b1: bridge 2-3, then cut 1-2 (splits {0,1} from {2,3,4})
+    b1 = [(2, 3, "add"), (1, 2, "del")]
+    # b2: cut 3-4, add 4-5 (joins 4 to {5,6})
+    b2 = [(3, 4, "del"), (4, 5, "add")]
+    g = make_graph(spark, base, vertices=list(range(7)))
+
+    d = str(tmp_path / "edges")
+    os.makedirs(d, exist_ok=True)
+    for i, rows in enumerate([b1, b2]):
+        spark.createDataFrame(
+            rows, "src long, dst long, op string"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(d, f"b{i}")
+        )
+    s = StreamingWCC(g)
+    stream = (
+        spark.readStream.schema("src long, dst long, op string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(d, "b*"))
+    )
+    q = s.start(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    net = [(0, 1), (5, 6), (2, 3), (4, 5)]
+    g_net = make_graph(spark, net, vertices=list(range(7)))
+    got = sorted(tuple(r) for r in s.components.collect())
+    want = sorted(tuple(r) for r in wcc(g_net).collect())
+    assert got == want
