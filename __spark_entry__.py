@@ -4507,7 +4507,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # keeps the driver correctness+bench phases fast; every demoted
     # query stays covered by tests/test_entry_oracle.py and has a green
     # driver row on record (VERDICT r4). -------------------------------
-    # r5 new: SNB-BI composed Cypher + GLE samplers
+    # r5 new: SNB-BI composed Cypher/Gremlin + LSQB suite + GLE samplers
+    # (random-walk / negative / edge-batch / top-k / edge-weight) +
+    # Ingress deletion deltas (wcc cone-free, sssp tight-DAG cone)
     "snb_bi1": _q_snb_bi1,
     "snb_bi2": _q_snb_bi2,
     "snb_bi3": _q_snb_bi3,
