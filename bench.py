@@ -440,8 +440,8 @@ def _builder_points_lines() -> list[str]:
         "than discard them.",
         "",
         "| run | date | cores | edges | rounds | total s | s/iter (median) "
-        "| MTEPS | steady MTEPS |",
-        "|---|---|---|---|---|---|---|---|---|",
+        "| MTEPS | steady MTEPS | GC s | GC frac |",
+        "|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     def _c(v):
         return "" if v is None else v
@@ -451,7 +451,8 @@ def _builder_points_lines() -> list[str]:
             f"| {r.get('name')} | {r.get('date', '')} | {_c(r.get('cores'))} "
             f"| {_c(r.get('edges'))} | {_c(r.get('rounds'))} "
             f"| {_c(r.get('total_sec'))} | {_c(r.get('sec_per_iter_median'))} "
-            f"| {_c(r.get('mteps'))} | {_c(r.get('steady_mteps'))} |"
+            f"| {_c(r.get('mteps'))} | {_c(r.get('steady_mteps'))} "
+            f"| {_c(r.get('gc_sec'))} | {_c(r.get('gc_fraction'))} |"
         )
     if pts.get("notes_md"):
         lines.append("")
