@@ -84,7 +84,24 @@ def _register_builtins() -> None:
         voterank,
     )
     from graphscope_spark.algorithms.ranking import articlerank, ppr
-    from graphscope_spark.algorithms.sampling import neighbor_sample, sampling_path
+    from graphscope_spark.algorithms.sampling import (
+        edge_sample,
+        neighbor_sample,
+        negative_sample,
+        random_walks,
+        sampling_path,
+        topk_neighbor_sample,
+        weighted_neighbor_sample,
+    )
+    from graphscope_spark.engine.ingress import (
+        bfs_delta,
+        bfs_delta_delete,
+        pagerank_delta,
+        sssp_delta,
+        sssp_delta_delete,
+        wcc_delta,
+        wcc_delta_delete,
+    )
     from graphscope_spark.algorithms.scc import scc
     from graphscope_spark.algorithms.traversal import (
         bfs,
@@ -110,6 +127,10 @@ def _register_builtins() -> None:
         min_edge_cover, minimum_spanning_forest, core_numbers, k_shell,
         k_core_search, sampling_path, neighbor_sample, random_multi_bfs,
         sssp_delta_stepping,
+        # r5: the GLE sampler family + the Ingress delta kernels
+        random_walks, negative_sample, edge_sample, topk_neighbor_sample,
+        weighted_neighbor_sample, wcc_delta, wcc_delta_delete, sssp_delta,
+        sssp_delta_delete, bfs_delta, bfs_delta_delete, pagerank_delta,
     ):
         register_procedure(fn.__name__, fn)
 
