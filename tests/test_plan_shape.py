@@ -179,3 +179,51 @@ def test_gremlin_existence_plans_semi_anti_join(spark):
     assert "LeftSemi" in plan
     plan = _executed_plan(gremlin(g, "g.V().not(__.in())"))
     assert "LeftAnti" in plan
+
+
+def test_weighted_neighbor_sample_plan_no_cartesian(spark):
+    """The interval probe must stay a bucketed equijoin — a range-join
+    lowering would surface as CartesianProduct/BroadcastNestedLoop."""
+    from graphscope_spark.algorithms.sampling import weighted_neighbor_sample
+    from tests.conftest import make_graph
+
+    g = make_graph(
+        spark, [(0, 1, 2.0), (0, 2, 3.0), (1, 2, 1.0)], weights=True
+    )
+    plan = _executed_plan(weighted_neighbor_sample(g, k=3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_wcc_delta_delete_plan_semi_anti_joins(spark):
+    """Touched-component filtering must lower to semi/anti joins (no
+    full-table rebuild paths)."""
+    from graphscope_spark.algorithms.wcc import wcc
+    from graphscope_spark.engine.ingress import wcc_delta_delete
+    from tests.conftest import make_graph
+
+    g = make_graph(spark, [(0, 1), (2, 3), (4, 5)], vertices=list(range(6)))
+    prev = wcc(g)
+    dels = spark.createDataFrame([(0, 1)], "src long, dst long")
+    plan = _executed_plan(wcc_delta_delete(g, dels, prev))
+    # the kept-labels branch is the visible anti join; the semi-join
+    # induced-subgraph filters live in the sub-WCC's own (already
+    # materialized) jobs and don't appear in the final union plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+    # the induced-subgraph edge filter itself lowers to semi joins
+    from pyspark.sql import functions as F  # noqa: F811
+
+    prev2 = prev.select("id", F.col("component").cast("long").alias("component"))
+    touched = (
+        dels.select(F.col("src").alias("id"))
+        .join(prev2, "id")
+        .select("component")
+        .distinct()
+    )
+    sub_edges = (
+        g.edges.join(prev2.withColumnRenamed("id", "src"), "src")
+        .join(touched, "component", "left_semi")
+    )
+    assert "LeftSemi" in _executed_plan(sub_edges)
