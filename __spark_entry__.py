@@ -68,7 +68,7 @@ def _build_customer_graph(spark: SparkSession, sf_dir: str, weighted: bool):
             "src", "dst", "CAST(1 + (src * 7 + dst * 13) % 5 AS DOUBLE) AS weight"
         )
     verts = customer.selectExpr("c_custkey AS id")
-    return Graph(edges, vertices=verts, num_partitions=NUM_PARTITIONS)
+    return Graph(edges, vertices=verts, num_partitions=None)
 
 
 # shared SQL prologue (DuckDB side) — must mirror _customer_graph exactly
@@ -1354,7 +1354,7 @@ def _q_dfs_preorder(spark, sf_dir):
         verts.selectExpr("CAST((id - 1) / 2 AS LONG) AS src", "id AS dst")
         .where("dst > 0")
     )
-    g = Graph(edges, vertices=verts, num_partitions=NUM_PARTITIONS)
+    g = Graph(edges, vertices=verts, num_partitions=None)
     return dfs(g, source=0).orderBy("id")
 
 
@@ -1370,7 +1370,7 @@ def _q_louvain_cliques(spark, sf_dir):
     a = verts.selectExpr("id AS src", "CAST(id / 6 AS LONG) AS grp")
     b = verts.selectExpr("id AS dst", "CAST(id / 6 AS LONG) AS grp")
     edges = a.join(b, "grp").where("src < dst").select("src", "dst")
-    g = Graph(edges, vertices=verts, num_partitions=NUM_PARTITIONS)
+    g = Graph(edges, vertices=verts, num_partitions=None)
     out = louvain(g)
     canon = out.groupBy("community").agg(F.min("id").alias("canon"))
     return (
@@ -1459,7 +1459,7 @@ def _sparse_customer_graph(spark, sf_dir):
         "(src*131 + dst*17) % 10 = 0 AND src < 2000 AND dst < 2000"
     )
     verts = g.vertices.where("id < 2000")
-    return Graph(sed, vertices=verts, num_partitions=NUM_PARTITIONS)
+    return Graph(sed, vertices=verts, num_partitions=None)
 
 
 def _q_bridges(spark, sf_dir):
@@ -1487,7 +1487,7 @@ def _q_four_cliques(spark, sf_dir):
     b = verts.selectExpr("id AS dst", "CAST(id / 6 AS LONG) AS grp")
     extra = a.join(b, "grp").where("src < dst").select("src", "dst")
     sub = Graph(
-        base.unionByName(extra), vertices=verts, num_partitions=NUM_PARTITIONS
+        base.unionByName(extra), vertices=verts, num_partitions=None
     )
     n = count_k_cliques(sub, 4)
     return spark.createDataFrame([(n,)], "n_cliques long")
@@ -1544,7 +1544,7 @@ def _q_msf(spark, sf_dir):
         "src", "dst", "CAST(100 + (src + dst) % 7 AS DOUBLE) AS weight"
     ).where("src < 2000 AND dst < 2000")
     gg = Graph(
-        tree.unionByName(extras), vertices=verts, num_partitions=NUM_PARTITIONS
+        tree.unionByName(extras), vertices=verts, num_partitions=None
     )
     return minimum_spanning_forest(gg).orderBy("src", "dst")
 
@@ -1607,7 +1607,7 @@ def _q_hetero_degree(spark, sf_dir):
         .add_edges("knows", "customer", "customer", knows)
         .add_edges("buys_from", "customer", "supplier", buys)
     )
-    g = pg.to_simple(num_partitions=NUM_PARTITIONS)
+    g = pg.to_simple(num_partitions=None)
     out = degree_centrality(g, "out")
     n = g.num_vertices
     return out.select(
@@ -2300,7 +2300,7 @@ def _q_fluid(spark, sf_dir):
     )
     g = Graph(
         cliques.unionByName(bridges), vertices=verts,
-        num_partitions=NUM_PARTITIONS,
+        num_partitions=None,
     )
     seeds = [G * 2 * t for t in range((ngroups + 1) // 2)]
     return (
@@ -2820,7 +2820,7 @@ def _q_gremlin_exists(spark, sf_dir):
     heavy = Graph(
         g.edges.filter("weight > 3").select("src", "dst"),
         vertices=g.vertices,
-        num_partitions=NUM_PARTITIONS,
+        num_partitions=None,
     )
     return (
         gremlin(heavy, "g.V().where(out()).not(__.in())")
@@ -3332,7 +3332,7 @@ def _q_lpa_by_color(spark, sf_dir):
     )
     g = Graph(
         cliques.unionByName(bridges), vertices=verts,
-        num_partitions=NUM_PARTITIONS,
+        num_partitions=None,
     )
     return lpa_by_color(g).orderBy("id")
 
@@ -3646,7 +3646,7 @@ def _corpus_repo_graph(spark, sf_dir):
     )
     return Graph(
         edges, vertices=rn.select(F.col("rid").alias("id")),
-        num_partitions=NUM_PARTITIONS,
+        num_partitions=None,
     )
 
 

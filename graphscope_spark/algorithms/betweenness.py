@@ -19,10 +19,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from graphscope_spark.graph.graph import Graph
+from graphscope_spark.engine.tuning import tuned_loop
 
 __all__ = ["betweenness_centrality"]
 
 
+@tuned_loop
 def betweenness_centrality(
     graph: Graph,
     sources: list[int] | DataFrame | None = None,

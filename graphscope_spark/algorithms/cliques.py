@@ -16,10 +16,12 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from graphscope_spark.graph.graph import Graph
+from graphscope_spark.engine.tuning import tuned_loop
 
 __all__ = ["k_cliques", "count_k_cliques"]
 
 
+@tuned_loop
 def k_cliques(graph: Graph, k: int) -> DataFrame:
     """DataFrame with one row per k-clique: ``vs`` = array<long> of the k
     members in orientation (degree, id) rank order. k ≥ 2."""

@@ -16,10 +16,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from graphscope_spark.graph.graph import Graph
+from graphscope_spark.engine.tuning import tuned_loop
 
 __all__ = ["dfs"]
 
 
+@tuned_loop
 def dfs(
     graph: Graph, source: int, max_collect_edges: int = 5_000_000
 ) -> DataFrame:

@@ -13,10 +13,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from graphscope_spark.graph.graph import Graph
+from graphscope_spark.engine.tuning import tuned_loop
 
 __all__ = ["diameter_approx"]
 
 
+@tuned_loop
 def diameter_approx(graph: Graph, start: int | None = None) -> DataFrame:
     """One row ``(start, far, diameter_lb)``: far = farthest vertex from
     ``start`` (min id on ties), diameter_lb = eccentricity of ``far``.

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from graphscope_spark.graph.graph import Graph
+from graphscope_spark.engine.tuning import tuned_loop
 
 __all__ = ["graph_coloring", "densest_subgraph_2approx", "k_center",
            "degeneracy_ordering", "onion_layer_ordering"]
@@ -30,6 +31,7 @@ __all__ = ["graph_coloring", "densest_subgraph_2approx", "k_center",
 _UNREACH = 2147483647  # flash's INT_MAX sentinel for unreached vertices
 
 
+@tuned_loop
 def graph_coloring(graph: Graph, max_rounds: int = 512) -> DataFrame:
     """(id, color) — deterministic greedy coloring (color.h semantics)."""
     P = graph.num_partitions
@@ -130,6 +132,7 @@ def densest_subgraph_2approx(graph: Graph) -> DataFrame:
     )
 
 
+@tuned_loop
 def k_center(graph: Graph, k: int = 4) -> DataFrame:
     """(id, dis) — distance to the nearest of the k greedily-chosen centers
     (null = unreached by any center)."""
@@ -245,6 +248,7 @@ def _rank_rounds(
     return out.select("id", F.lit(-1).cast("int").alias("rank"))
 
 
+@tuned_loop
 def degeneracy_ordering(graph: Graph, max_rounds: int = 512) -> DataFrame:
     """(id, rank) — removal round in the ≤degeneracy peel
     (``apps/flash/core/degeneracy-ordering.h:89-107``): dg = max core
@@ -270,6 +274,7 @@ def degeneracy_ordering(graph: Graph, max_rounds: int = 512) -> DataFrame:
     return out
 
 
+@tuned_loop
 def onion_layer_ordering(graph: Graph, max_rounds: int = 512) -> DataFrame:
     """(id, rank) — onion layers
     (``apps/flash/core/onion-layer-ordering.h:69-95``): d = #neighbors with

@@ -31,10 +31,12 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from graphscope_spark.graph.graph import Graph
+from graphscope_spark.engine.tuning import tuned_loop
 
 __all__ = ["fluid_communities"]
 
 
+@tuned_loop
 def fluid_communities(
     graph: Graph, seeds: list[int], max_sweeps: int = 64
 ) -> DataFrame:

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from graphscope_spark.graph.graph import Graph
+from graphscope_spark.engine.tuning import tuned_loop
 
 __all__ = ["k_core", "k_core_search", "k_shell", "core_numbers"]
 
@@ -107,6 +108,7 @@ def _peel(edges: DataFrame, k: int, max_iter: int) -> DataFrame:
     return edges
 
 
+@tuned_loop
 def k_core(graph: Graph, k: int, max_iter: int = 10_000) -> DataFrame:
     """(id, in_core: boolean) — membership of the undirected k-core."""
     und = graph.to_undirected(dedup=True)
@@ -119,6 +121,7 @@ def k_core(graph: Graph, k: int, max_iter: int = 10_000) -> DataFrame:
     return out
 
 
+@tuned_loop
 def k_core_search(graph: Graph, k: int, max_iter: int = 10_000) -> DataFrame:
     """(id, d) — members of the undirected k-core with their RESIDUAL
     degree d (the degree within the core's induced subgraph), d >= k.
@@ -143,6 +146,7 @@ def k_core_search(graph: Graph, k: int, max_iter: int = 10_000) -> DataFrame:
     return out
 
 
+@tuned_loop
 def k_shell(
     graph: Graph,
     max_k: int | None = None,

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from graphscope_spark.graph.graph import Graph
+from graphscope_spark.engine.tuning import tuned_loop
 
 __all__ = ["louvain", "modularity"]
 
@@ -149,6 +150,7 @@ def _local_moving(
     return assign
 
 
+@tuned_loop
 def louvain(
     graph: Graph,
     weight_col: str | None = None,

@@ -21,10 +21,12 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from graphscope_spark.graph.graph import Graph
+from graphscope_spark.engine.tuning import tuned_loop
 
 __all__ = ["lpa_by_color"]
 
 
+@tuned_loop
 def lpa_by_color(graph: Graph, max_sweeps: int = 64) -> DataFrame:
     """(id, label) at the async fixpoint (no label changes in a sweep)."""
     from graphscope_spark.algorithms.flash_extras import graph_coloring

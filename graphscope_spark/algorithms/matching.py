@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from graphscope_spark.graph.graph import Graph
+from graphscope_spark.engine.tuning import tuned_loop
 
 __all__ = [
     "maximal_independent_set",
@@ -45,6 +46,7 @@ def _prio(expr, rnd: int):
     return portable_str_hash(F.concat(F.lit(f"{rnd}:"), expr.cast("string")))
 
 
+@tuned_loop
 def maximal_independent_set(graph: Graph, max_rounds: int = 64) -> DataFrame:
     """(id) — a maximal independent set of the undirected simple graph;
     deterministic (hash priorities, min-(prio, id) wins)."""
@@ -91,6 +93,7 @@ def maximal_independent_set(graph: Graph, max_rounds: int = 64) -> DataFrame:
     return mis
 
 
+@tuned_loop
 def maximal_matching(graph: Graph, max_rounds: int = 64) -> DataFrame:
     """(src, dst) — a maximal matching (src < dst) of the undirected simple
     graph; deterministic (per-round edge hash priorities, local minima over
@@ -153,6 +156,7 @@ def maximal_matching(graph: Graph, max_rounds: int = 64) -> DataFrame:
     return matched.select(F.col("a").alias("src"), F.col("b").alias("dst"))
 
 
+@tuned_loop
 def min_cover_greedy(graph: Graph, max_rounds: int = 256) -> DataFrame:
     """(id) — a small vertex cover via parallel greedy, the exact semantics
     of the reference's ``apps/flash/matching/min-cover-greedy.h:31-96``:
@@ -276,34 +280,44 @@ def min_dominating_set(graph: Graph, max_rounds: int = 256) -> DataFrame:
             ).otherwise(F.col("best")).alias("best"),
         )
 
-    while rounds_left > 0 and not active.isEmpty():
-        rounds_left -= 1
-        best = active.select(
-            "id", F.struct(F.col("cnt"), F.col("id").alias("bid")).alias("best")
-        )
-        # min-dominating-set.h:66-67 — local applied twice (2-hop argmax)
-        best = _propagate(_propagate(best)).localCheckpoint(eager=True)
-        winners = best.filter(F.col("id") == F.col("best.bid")).select("id")
-        winners_per_round.append(winners)
-        dominated = (
-            edges.join(winners.withColumnRenamed("id", "src"), "src", "left_semi")
-            .select(F.col("dst").alias("id"))
-            .unionByName(winners)
-            .distinct()
-        )
-        survivors = active.join(dominated, "id", "left_anti").select("id")
-        # recompute cnt = #still-undominated neighbors (filter2/local2)
-        newcnt = (
-            edges.join(survivors.withColumnRenamed("id", "src"), "src", "left_semi")
-            .join(survivors.withColumnRenamed("id", "dst"), "dst", "left_semi")
-            .groupBy(F.col("src").alias("id"))
-            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-        )
-        active = (
-            survivors.join(newcnt, "id", "left")
-            .select("id", F.coalesce("cnt", F.lit(0)).alias("cnt"))
-            .localCheckpoint(eager=True)
-        )
+    from graphscope_spark.engine.tuning import iterative_loop
+
+    with iterative_loop(graph.spark, P):
+        while rounds_left > 0 and not active.isEmpty():
+            rounds_left -= 1
+            best = active.select(
+                "id",
+                F.struct(F.col("cnt"), F.col("id").alias("bid")).alias("best"),
+            )
+            # min-dominating-set.h:66-67 — local applied twice (2-hop argmax)
+            best = _propagate(_propagate(best)).localCheckpoint(eager=True)
+            winners = best.filter(F.col("id") == F.col("best.bid")).select("id")
+            winners_per_round.append(winners)
+            dominated = (
+                edges.join(
+                    winners.withColumnRenamed("id", "src"), "src", "left_semi"
+                )
+                .select(F.col("dst").alias("id"))
+                .unionByName(winners)
+                .distinct()
+            )
+            survivors = active.join(dominated, "id", "left_anti").select("id")
+            # recompute cnt = #still-undominated neighbors (filter2/local2)
+            newcnt = (
+                edges.join(
+                    survivors.withColumnRenamed("id", "src"), "src", "left_semi"
+                )
+                .join(
+                    survivors.withColumnRenamed("id", "dst"), "dst", "left_semi"
+                )
+                .groupBy(F.col("src").alias("id"))
+                .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            )
+            active = (
+                survivors.join(newcnt, "id", "left")
+                .select("id", F.coalesce("cnt", F.lit(0)).alias("cnt"))
+                .localCheckpoint(eager=True)
+            )
     _check_maximal(active, "min_dominating_set", max_rounds)
     edges.unpersist()
     und.unpersist()
@@ -315,6 +329,7 @@ def min_dominating_set(graph: Graph, max_rounds: int = 256) -> DataFrame:
     return chosen
 
 
+@tuned_loop
 def min_edge_cover(graph: Graph, max_rounds: int = 256) -> DataFrame:
     """(id, partner, matched) — an edge cover built the reference's way
     (``apps/flash/matching/min-edge-cover.h:42-93``): rounds of mutual

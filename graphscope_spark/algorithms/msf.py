@@ -14,10 +14,12 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from graphscope_spark.graph.graph import Graph
+from graphscope_spark.engine.tuning import tuned_loop
 
 __all__ = ["minimum_spanning_forest"]
 
 
+@tuned_loop
 def minimum_spanning_forest(
     graph: Graph, weight_col: str = "weight", max_rounds: int = 64
 ) -> DataFrame:

@@ -67,9 +67,12 @@ def pagerank_push(
 
     w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
     ew = graph.edges.select("src", "dst", w.alias("w"))
-    out_w = ew.groupBy("src").agg(F.sum("w").alias("wdeg"))
+    # persisted once — reused by the links build and init (was recomputed)
+    out_w = ew.groupBy("src").agg(F.sum("w").alias("wdeg")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     links = (
-        ew.join(out_w, "src")
+        ew.join(out_w.hint("shuffle_hash"), "src")
         .select("src", "dst", (F.col("w") / F.col("wdeg")).alias("share"))
         .repartition(P, "src")
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -79,7 +82,11 @@ def pagerank_push(
         # round 0: r = 1/n, m = 0, δ = r (everything is "changed")
         return (
             graph.vertices.select("id")
-            .join(out_w.withColumnRenamed("src", "id"), "id", "left")
+            .join(
+                out_w.withColumnRenamed("src", "id").hint("shuffle_hash"),
+                "id",
+                "left",
+            )
             .select(
                 "id",
                 F.lit(1.0 / n).alias("rank"),
@@ -140,6 +147,7 @@ def pagerank_push(
         res = run_supersteps(init, body, max_rounds=rounds)
     finally:
         links.unpersist()
+        out_w.unpersist()
     return res.state.select("id", F.col("rank").alias("pagerank"))
 
 
@@ -232,10 +240,18 @@ def _pagerank_loop(
 
     w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
     ew = graph.edges.select("src", "dst", w.alias("w"))
-    out_w = ew.groupBy("src").agg(F.sum("w").alias("wdeg"))
+    # Degree table: persisted + materialized ONCE — it used to be recomputed
+    # three times before round 1 (links build, dangling probe, init), each a
+    # full edge-table aggregation (guide §1.2: don't compute things twice).
+    out_w = ew.groupBy("src").agg(F.sum("w").alias("wdeg")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    n_out = out_w.count()
     # Static per-edge transition shares, co-located with the src fragment.
+    # shuffle_hash: a sort-merge join here sorts the full edge table before
+    # round 1 for no benefit (guide §3.1 — pick the strategy deliberately).
     links = (
-        ew.join(out_w, "src")
+        ew.join(out_w.hint("shuffle_hash"), "src")
         .select("src", "dst", (F.col("w") / F.col("wdeg")).alias("share"))
         .repartition(P, "src")
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -274,7 +290,11 @@ def _pagerank_loop(
             )
         return (
             start
-            .join(out_w.withColumnRenamed("src", "id"), "id", "left")
+            .join(
+                out_w.withColumnRenamed("src", "id").hint("shuffle_hash"),
+                "id",
+                "left",
+            )
             .select(
                 "id",
                 "rank",
@@ -289,12 +309,10 @@ def _pagerank_loop(
     # If the graph has no dangling vertices AND no convergence test is
     # requested (fixed-round LDBC mode), the per-round all-reduce is pure
     # overhead — skip it entirely.
-    has_dangling = (
-        graph.vertices.join(
-            out_w.withColumnRenamed("src", "id"), "id", "left_anti"
-        ).limit(1).count()
-        > 0
-    )
+    # Graph contract: vertices ⊇ edge endpoints, so a dangling vertex exists
+    # iff fewer vertices have out-edges than exist — no join needed (the old
+    # anti-join probe recomputed the degree aggregation a second time).
+    has_dangling = n_out < n
     skip_reduce = (not has_dangling) and tol <= 0
 
     def one_round_fused(cur: DataFrame) -> DataFrame:
@@ -356,6 +374,7 @@ def _pagerank_loop(
             return res
         finally:
             links.unpersist()
+            out_w.unpersist()
 
     def body(state: DataFrame, rnd: int) -> tuple[DataFrame, dict]:
         if skip_reduce:
@@ -427,5 +446,6 @@ def _pagerank_loop(
         )
     finally:
         links.unpersist()
+        out_w.unpersist()
         if csr_blocks is not None:
             csr_blocks.unpersist()

@@ -11,11 +11,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from graphscope_spark.graph.graph import Graph
+from graphscope_spark.engine.tuning import tuned_loop
 
 __all__ = ["voterank", "all_pairs_shortest_path_length", "is_simple_path",
            "all_simple_paths", "average_shortest_path_length"]
 
 
+@tuned_loop
 def voterank(graph: Graph, num_seeds: int) -> list[int]:
     """Top influencers by iterative voting (voterank.h): each round every
     vertex votes its voting ability to in-... (undirected here) neighbors;
@@ -149,6 +151,7 @@ def is_simple_path(graph: Graph, path: list[int]) -> bool:
     return found.count() == len(path) - 1
 
 
+@tuned_loop
 def all_simple_paths(
     graph: Graph, source: int, target: int, cutoff: int
 ) -> DataFrame:

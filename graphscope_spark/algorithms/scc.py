@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from graphscope_spark.graph.graph import Graph
+from graphscope_spark.engine.tuning import tuned_loop
 
 __all__ = ["scc"]
 
@@ -55,6 +56,7 @@ def _propagate_max(vertices: DataFrame, edges: DataFrame, max_iter: int) -> Data
     return state.select("id", "color")
 
 
+@tuned_loop
 def scc(graph: Graph, max_iter: int = 10_000) -> DataFrame:
     """Returns ``(id, component)`` — component = max vertex id in the SCC."""
     spark = graph.spark

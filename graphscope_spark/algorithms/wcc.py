@@ -119,8 +119,10 @@ def wcc(
             )
         else:
             frontier = state.filter("changed").select("id", "label")
+            # shuffle_hash (guide §3.1): without it Catalyst sort-merges,
+            # re-sorting the persisted edge table every round.
             msgs = (
-                edges.join(frontier, edges.src == frontier.id)
+                edges.join(frontier.hint("shuffle_hash"), edges.src == frontier.id)
                 .groupBy("dst")
                 .agg(F.min("label").alias("cand"))
             )
@@ -128,7 +130,9 @@ def wcc(
             F.col("cand").isNotNull() & (F.col("cand") < F.col("label")),
             F.col("cand"),
         ).otherwise(F.col("label"))
-        plan = state.join(msgs, state.id == msgs.dst, "left").select(
+        plan = state.join(
+            msgs.hint("shuffle_hash"), state.id == msgs.dst, "left"
+        ).select(
             state.id.alias("id"),
             new_label.alias("label"),
             (F.col("cand").isNotNull() & (F.col("cand") < F.col("label"))).alias(

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from graphscope_spark.graph.graph import Graph
+from graphscope_spark.engine.tuning import tuned_loop
 
 __all__ = [
     "wcc_delta",
@@ -88,6 +89,7 @@ def wcc_delta(
     return wcc(g2, max_iter=max_iter, mode=mode, warm_start=state)
 
 
+@tuned_loop
 def wcc_delta_delete(
     graph: Graph,
     del_edges: DataFrame,
@@ -183,6 +185,7 @@ def sssp_delta(
     )
 
 
+@tuned_loop
 def sssp_delta_delete(
     graph: Graph,
     del_edges: DataFrame,
@@ -322,6 +325,7 @@ def bfs_delta(
     return bfs(g2, source, max_depth=max_depth, warm_start=state)
 
 
+@tuned_loop
 def bfs_delta_delete(
     graph: Graph,
     del_edges: DataFrame,

@@ -24,6 +24,7 @@ from pyspark.storagelevel import StorageLevel
 
 from graphscope_spark.engine.superstep import run_supersteps
 from graphscope_spark.graph.graph import Graph
+from graphscope_spark.engine.tuning import tuned_loop
 
 __all__ = ["multi_source_bfs", "multi_source_bfs_parents", "multi_source_brandes"]
 
@@ -94,6 +95,7 @@ def multi_source_bfs(
     return res.state.select("source", "id", "depth")
 
 
+@tuned_loop
 def multi_source_brandes(
     graph: Graph,
     sources: Sequence[int] | DataFrame,

@@ -105,18 +105,34 @@ def run_supersteps(
     # plan (with our co-partitioning + shuffle_hash hints) is already right,
     # and skipping replanning measures ~20% faster per round. Restored after.
     aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    sp_before = spark.conf.get("spark.sql.shuffle.partitions", "32")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         return _loop(state, body, start_round, max_rounds, ckpt,
                      checkpoint_every, truncate_every, storage_level,
-                     history, resumed_from)
+                     history, resumed_from, spark)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+        spark.conf.set("spark.sql.shuffle.partitions", sp_before)
 
 
 def _loop(state, body, start_round, max_rounds, ckpt, checkpoint_every,
-          truncate_every, storage_level, history, resumed_from):
+          truncate_every, storage_level, history, resumed_from, spark=None):
     state = state.localCheckpoint(eager=True)  # materialize PEval + truncate
+
+    if spark is not None:
+        # Pin per-round exchanges to the state's own partition count (the
+        # graph's scale-adaptive P, established by init's repartition) —
+        # with AQE off inside the loop, every groupBy/join would otherwise
+        # fan out to the session-wide shuffle constant regardless of data
+        # size (guide §2: partitioning derived from input, not a constant).
+        try:
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(max(1, state.rdd.getNumPartitions())),
+            )
+        except Exception:  # noqa: BLE001 — tuning must never kill the loop
+            pass
 
     converged = False
     rnd = start_round

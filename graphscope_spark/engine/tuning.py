@@ -1,0 +1,110 @@
+"""Scale-adaptive partition sizing.
+
+Guide §2 (spark_optimization_guide.md): partitioning must be derived from
+input size, not a constant tuned for either local mode or the cluster. A
+32-partition layout is right for the 100M-edge headline but pays ~32 tasks
+per stage per superstep on a 15k-edge graph, where the per-round cost is
+pure task-dispatch overhead.
+
+``adaptive_partitions`` sizes a DataFrame's partition count from Catalyst's
+estimated plan bytes: ~``SPARK_GRAFT_PARTITION_TARGET_BYTES`` (default
+16 MiB) per partition, clamped to [1, default]. ``default`` stays the
+configured cluster-scale count (``spark.sql.shuffle.partitions``), so at
+scale the estimate exceeds ``default × target`` and behaviour is unchanged;
+only provably-small inputs shrink. Unknown estimates keep ``default``.
+
+``loop_shuffle_partitions`` pins ``spark.sql.shuffle.partitions`` to the
+loop's state partition count for the duration of an iterative driver loop,
+so per-round exchanges produce as many partitions as the data needs rather
+than the session-wide constant.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from contextlib import contextmanager
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = [
+    "adaptive_partitions",
+    "iterative_loop",
+    "loop_shuffle_partitions",
+    "plan_size_bytes",
+    "tuned_loop",
+]
+
+TARGET_BYTES = int(
+    os.environ.get("SPARK_GRAFT_PARTITION_TARGET_BYTES", str(16 << 20))
+)
+# Catalyst returns 2^63-ish sentinels when statistics are missing; anything
+# this large is "unknown", not a real estimate.
+_UNKNOWN = 1 << 60
+
+
+def plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's estimated size of the optimized plan, or None."""
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # noqa: BLE001 — sizing is best-effort, never fatal
+        return None
+    if est <= 0 or est >= _UNKNOWN:
+        return None
+    return est
+
+
+def adaptive_partitions(df: DataFrame, default: int) -> int:
+    """Partition count for ``df``: ceil(est_bytes / TARGET_BYTES) clamped to
+    [1, default]. Falls back to ``default`` when the estimate is unknown."""
+    est = plan_size_bytes(df)
+    if est is None:
+        return int(default)
+    return max(1, min(int(default), math.ceil(est / TARGET_BYTES)))
+
+
+@contextmanager
+def loop_shuffle_partitions(spark: SparkSession, p: int):
+    """Pin spark.sql.shuffle.partitions to ``p`` inside an iterative loop;
+    restores the session value afterwards."""
+    before = spark.conf.get("spark.sql.shuffle.partitions", "32")
+    spark.conf.set("spark.sql.shuffle.partitions", str(int(p)))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def tuned_loop(fn):
+    """Decorator for algorithm entry points whose body is a hand-rolled
+    driver loop (repeated localCheckpoint/collect actions): runs the body
+    under :func:`iterative_loop` keyed on the input graph's scale-adaptive
+    partition count. The returned plan itself still executes under the
+    caller's session settings — only the loop's internal actions are
+    pinned."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(graph, *args, **kwargs):
+        with iterative_loop(graph.spark, graph.num_partitions):
+            return fn(graph, *args, **kwargs)
+
+    return wrapper
+
+
+@contextmanager
+def iterative_loop(spark: SparkSession, p: int):
+    """Driver-loop tuning for hand-rolled iteration (the same settings
+    run_supersteps applies): AQE off — re-planning every tiny per-round
+    query costs driver latency per exchange and the static plan with our
+    co-partitioning is already right — and shuffle partitions pinned to the
+    loop's scale-adaptive P. Both restored on exit."""
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    sp_before = spark.conf.get("spark.sql.shuffle.partitions", "32")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(max(1, int(p))))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+        spark.conf.set("spark.sql.shuffle.partitions", sp_before)

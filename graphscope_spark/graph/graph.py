@@ -46,10 +46,19 @@ class Graph:
         persist: bool = True,
     ) -> None:
         self.spark: SparkSession = edges.sparkSession
-        self.num_partitions = int(
-            num_partitions
-            or self.spark.conf.get("spark.sql.shuffle.partitions", "32")
-        )
+        if num_partitions is None:
+            # Scale-adaptive fragment count (guide §2): derive P from the
+            # edge table's estimated bytes, capped at the configured
+            # cluster-scale shuffle-partition count. Large inputs keep the
+            # configured value; provably-small ones stop paying 32 tasks
+            # per stage for kilobytes of data.
+            from graphscope_spark.engine.tuning import adaptive_partitions
+
+            conf_p = int(
+                self.spark.conf.get("spark.sql.shuffle.partitions", "32")
+            )
+            num_partitions = adaptive_partitions(edges, conf_p)
+        self.num_partitions = int(num_partitions)
         self.directed = directed
         self._persisted: list[DataFrame] = []
 
