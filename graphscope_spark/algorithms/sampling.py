@@ -403,6 +403,12 @@ def neighbor_sample(
                 F.col("v").alias("src"),
                 "dst",
             )
+            # materialize the (tiny, ≤|frontier|·k-row) hop output: it is
+            # referenced by BOTH the result union and the next hop's
+            # frontier, and without truncation hop h's plan re-embeds the
+            # whole hop h-1 sampling pipeline several times over
+            # (guide §3.3: materialise intermediates referenced repeatedly).
+            .localCheckpoint(eager=True)
         )
         outs.append(out)
         frontier = out.select("root", F.col("dst").alias("v")).distinct()
