@@ -67,15 +67,11 @@ def pagerank_push(
 
     w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
     ew = graph.edges.select("src", "dst", w.alias("w"))
-    # persisted once — reused by the links build and init (was recomputed)
+    # persisted once — reused by init and the dangling probe; the state
+    # carries wdeg so the push gather reads the graph's one persisted edge
+    # table directly (no separate share-table copy in memory).
     out_w = ew.groupBy("src").agg(F.sum("w").alias("wdeg")).persist(
         StorageLevel.MEMORY_AND_DISK
-    )
-    links = (
-        ew.join(out_w.hint("shuffle_hash"), "src")
-        .select("src", "dst", (F.col("w") / F.col("wdeg")).alias("share"))
-        .repartition(P, "src")
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     def init() -> DataFrame:
@@ -92,6 +88,7 @@ def pagerank_push(
                 F.lit(1.0 / n).alias("rank"),
                 F.lit(0.0).alias("msum"),
                 F.lit(1.0 / n).alias("delta"),
+                "wdeg",
                 F.col("wdeg").isNull().alias("dangling"),
             )
             .repartition(P, "id")
@@ -106,10 +103,12 @@ def pagerank_push(
             )
         base = alpha * ds_cell[0] / n + (1.0 - alpha) / n
 
-        frontier = state.filter(F.col("delta") != 0.0).select("id", "delta")
+        frontier = state.filter(F.col("delta") != 0.0).select(
+            "id", "delta", "wdeg"
+        )
         msgs = (
-            links.join(frontier.hint("shuffle_hash"), links.src == frontier.id)
-            .select("dst", (F.col("share") * F.col("delta")).alias("c"))
+            ew.join(frontier.hint("shuffle_hash"), ew.src == frontier.id)
+            .select("dst", (F.col("w") * F.col("delta") / F.col("wdeg")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("dm"))
         )
@@ -122,6 +121,7 @@ def pagerank_push(
             new_rank.alias("rank"),
             new_msum.alias("msum"),
             (new_rank - F.col("rank")).alias("delta"),
+            "wdeg",
             "dangling",
         )
 
@@ -146,7 +146,6 @@ def pagerank_push(
     try:
         res = run_supersteps(init, body, max_rounds=rounds)
     finally:
-        links.unpersist()
         out_w.unpersist()
     return res.state.select("id", F.col("rank").alias("pagerank"))
 
@@ -247,20 +246,28 @@ def _pagerank_loop(
         StorageLevel.MEMORY_AND_DISK
     )
     n_out = out_w.count()
-    # Static per-edge transition shares, co-located with the src fragment.
-    # shuffle_hash: a sort-merge join here sorts the full edge table before
-    # round 1 for no benefit (guide §3.1 — pick the strategy deliberately).
-    links = (
-        ew.join(out_w.hint("shuffle_hash"), "src")
-        .select("src", "dst", (F.col("w") / F.col("wdeg")).alias("share"))
-        .repartition(P, "src")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
 
+    def _links():
+        # Static per-edge transition shares, co-located with the src
+        # fragment — only the CSR and fused paths need a materialized share
+        # table; the dataframe path carries wdeg in the state and computes
+        # shares in-flight, avoiding a second persisted copy of the edge
+        # table (half the memory footprint at the 800M-edge point) and the
+        # full-edge build join before round 1. shuffle_hash: a sort-merge
+        # join here sorts the whole edge table for no benefit (guide §3.1).
+        return (
+            ew.join(out_w.hint("shuffle_hash"), "src")
+            .select("src", "dst", (F.col("w") / F.col("wdeg")).alias("share"))
+            .repartition(P, "src")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+
+    links = None
     csr_blocks = None
     if mode == "csr":
         from graphscope_spark.engine.csr import build_csr_blocks
 
+        links = _links()
         csr_blocks = build_csr_blocks(links, P)
 
     def init() -> DataFrame:
@@ -298,6 +305,7 @@ def _pagerank_loop(
             .select(
                 "id",
                 "rank",
+                "wdeg",
                 F.col("wdeg").isNull().alias("dangling"),
             )
             .repartition(P, "id")
@@ -363,6 +371,7 @@ def _pagerank_loop(
     if fuse_rounds > 1 and tol <= 0 and mode == "dataframe":
         import math
 
+        links = _links()
         try:
             res = run_supersteps(
                 init, body_fused,
@@ -391,18 +400,26 @@ def _pagerank_loop(
 
             msgs = csr_messages(csr_blocks, state.select("id", "rank"), P)
         else:
+            # share computed in-flight from the state's wdeg: the gather
+            # reads the graph's ONE persisted edge table directly (no
+            # separate share-table build or second edge copy in memory);
+            # dangling vertices have null wdeg but also no out-edges, so
+            # they never match this join.
             msgs = (
-                links.join(
-                    state.select("id", "rank").hint("shuffle_hash"),
-                    links.src == F.col("id"),
+                ew.join(
+                    state.select("id", "rank", "wdeg").hint("shuffle_hash"),
+                    ew.src == F.col("id"),
                 )
-                .select(F.col("dst"), (F.col("share") * F.col("rank")).alias("contrib"))
+                .select(
+                    F.col("dst"),
+                    (F.col("w") * F.col("rank") / F.col("wdeg")).alias("contrib"),
+                )
                 .groupBy("dst")
                 .agg(F.sum("contrib").alias("msg"))
             )
 
         new_rank = alpha * F.coalesce(F.col("msg"), F.lit(0.0)) + F.lit(base)
-        cols = [state.id.alias("id"), new_rank.alias("rank"), "dangling"]
+        cols = [state.id.alias("id"), new_rank.alias("rank"), "wdeg", "dangling"]
         if tol > 0:
             # the convergence test is the only consumer of delta — in
             # fixed-round mode leaving it out slims every per-round
@@ -445,7 +462,7 @@ def _pagerank_loop(
             resume=resume,
         )
     finally:
-        links.unpersist()
         out_w.unpersist()
         if csr_blocks is not None:
+            links.unpersist()
             csr_blocks.unpersist()

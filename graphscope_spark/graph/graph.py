@@ -111,6 +111,13 @@ class Graph:
     def num_edges(self) -> int:
         if self._num_edges is None:
             self._num_edges = self.edges.count()
+            # Materializing the graph means BOTH fragments: grape builds the
+            # vertex map at load time (arrow_projected_vertex_map), and every
+            # algorithm here starts from `vertices` anyway. Touching only the
+            # edge cache would leave the (derived-from-endpoints) vertex map
+            # to be built lazily inside the first algorithm's run.
+            if self._num_vertices is None and self._persisted:
+                self._num_vertices = self.vertices.count()
         return self._num_edges
 
     def out_degrees(self) -> DataFrame:
