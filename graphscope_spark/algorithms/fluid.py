@@ -83,19 +83,31 @@ def fluid_communities(
                 .agg(F.count(F.lit(1)).alias("csize"))
             )
             for j in range(n_colors):
-                self_c = state.filter("lab >= 0").select("id", "lab")
-                nbr_c = edges.join(
-                    state.select(F.col("id").alias("src"), F.col("lab").alias("nl"))
-                    .filter("nl >= 0"),
-                    "src",
-                ).select(F.col("dst").alias("id"), F.col("nl").alias("lab"))
+                # the class-j semi-join distributes over the union, so apply
+                # it BEFORE attaching neighbor labels: the edge table shrinks
+                # to ~|E|/n_colors rows per step instead of every step paying
+                # the full edges⋈labels join (same rows, one full join's work
+                # per sweep in total).
+                classj = state.filter(F.col("color") == j).select("id")
+                self_c = (
+                    state.filter("lab >= 0")
+                    .select("id", "lab")
+                    .join(classj, "id", "left_semi")
+                )
+                nbr_c = (
+                    edges.join(
+                        classj.withColumnRenamed("id", "dst"), "dst", "left_semi"
+                    )
+                    .join(
+                        state.select(
+                            F.col("id").alias("src"), F.col("lab").alias("nl")
+                        ).filter("nl >= 0"),
+                        "src",
+                    )
+                    .select(F.col("dst").alias("id"), F.col("nl").alias("lab"))
+                )
                 cnts = (
                     self_c.unionByName(nbr_c)
-                    .join(
-                        state.filter(F.col("color") == j).select("id"),
-                        "id",
-                        "left_semi",
-                    )
                     .groupBy("id", "lab")
                     .agg(F.count(F.lit(1)).alias("a"))
                     .join(F.broadcast(csize), "lab")

@@ -42,24 +42,31 @@ def lpa_by_color(graph: Graph, max_sweeps: int = 64) -> DataFrame:
     )
 
     state = (
-        colors.select("id", F.col("id").alias("label"), "color")
+        colors.select(
+            "id", F.col("id").alias("label"), "color",
+            F.lit(False).alias("chg"),
+        )
         .repartition(P, "id")
         .localCheckpoint(eager=True)
     )
     for _ in range(max_sweeps):
-        changed_total = 0
         for j in range(n_colors):
+            # semi-join FIRST: only class-j destinations matter this step,
+            # so prune the edge table to ~|E|/n_colors rows BEFORE attaching
+            # neighbor labels — written join order previously shipped the
+            # full edges⋈labels join through every color step (a sweep cost
+            # n_colors full joins instead of one in total). Same rows.
             cnts = (
                 edges.join(
-                    state.select(F.col("id").alias("src"), F.col("label").alias("nl")),
-                    "src",
-                )
-                .join(
                     state.filter(F.col("color") == j).select(
                         F.col("id").alias("dst")
                     ),
                     "dst",
                     "left_semi",
+                )
+                .join(
+                    state.select(F.col("id").alias("src"), F.col("label").alias("nl")),
+                    "src",
                 )
                 .groupBy(F.col("dst").alias("id"), F.col("nl"))
                 .agg(F.count(F.lit(1)).alias("c"))
@@ -68,20 +75,26 @@ def lpa_by_color(graph: Graph, max_sweeps: int = 64) -> DataFrame:
             best = cnts.groupBy("id").agg(
                 F.max(F.struct(F.col("c"), (-F.col("nl")).alias("negl"))).alias("b")
             ).select("id", (-F.col("b.negl")).alias("newl"))
-            nxt = (
+            # ONE materialization per class step; changes accumulate in chg
+            # and are tested once per sweep — a per-class count() job bought
+            # no information and doubled the barrier budget (same lesson as
+            # fluid_communities).
+            state = (
                 state.join(best, "id", "left")
                 .select(
                     "id",
                     F.coalesce("newl", "label").alias("label"),
                     "color",
-                    (F.coalesce("newl", "label") != F.col("label")).alias("chg"),
+                    (
+                        F.col("chg")
+                        | (F.coalesce("newl", "label") != F.col("label"))
+                    ).alias("chg"),
                 )
                 .localCheckpoint(eager=True)
             )
-            changed_total += nxt.filter("chg").count()
-            state = nxt.drop("chg")
-        if changed_total == 0:
+        if state.filter("chg").isEmpty():
             break
+        state = state.withColumn("chg", F.lit(False))
     else:
         raise RuntimeError(f"lpa_by_color: no fixpoint in {max_sweeps} sweeps")
     edges.unpersist()
