@@ -154,13 +154,18 @@ def ngram_jaccard_pairs(
     from pyspark.storagelevel import StorageLevel
 
     sh = with_shingles(df.select(F.col(id_col).alias("id"), text_col), text_col, n)
-    sizes = sh.select("id", F.size("shingles").alias("n_sh"))
     # the exploded shingle table feeds BOTH self-join sides (+ the df cap);
     # Spark does not dedupe repeated subtrees, so without a persist the
     # shingle expressions are evaluated 3-4x
     ex = sh.select("id", F.explode("shingles").alias("sh")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    # FULL shingle-set sizes (see note below): shingles are array_distinct,
+    # so |set| = the doc's row count in the exploded table — reuses the
+    # persisted explode instead of re-tokenizing every document once per
+    # self-join side (docs with zero shingles can't appear in `pairs`, so
+    # dropping them from `sizes` is harmless for the inner joins).
+    sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     if max_shingle_df is not None:
         rare = (
             ex.groupBy("sh")
@@ -168,7 +173,12 @@ def ngram_jaccard_pairs(
             .filter(F.col("_df") <= max_shingle_df)
             .select("sh")
         )
-        ex = ex.join(rare, "sh", "left_semi")
+        # persist the capped table: both self-join sides reference it, and
+        # without materialization each side re-runs the document-frequency
+        # aggregation (it appeared twice in the physical plan).
+        ex = ex.join(rare, "sh", "left_semi").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     pairs = (
         ex.alias("a")
         .join(ex.alias("b"), "sh")
@@ -201,12 +211,18 @@ def with_minhash(
     n-gram shingles: h_i(s) = (a_i·h(s) + b_i) mod p, min over s; h =
     xxhash64 (fast path) or :func:`portable_str_hash` (oracle path)."""
     sh = with_shingles(df, text_col, n, out="_sh")
-    base = F.transform(F.col("_sh"), _shingle_hash(hash_fn))
+    # materialize the per-shingle base hash into its own column first: all
+    # num_hashes signature lanes reference it, and inlined into the array()
+    # expression the (md5-based, expensive) hash would be evaluated once
+    # per lane instead of once per shingle.
+    hashed = sh.withColumn(
+        "_hb", F.transform(F.col("_sh"), _shingle_hash(hash_fn))
+    )
     sig = F.array(
         *[
             F.array_min(
                 F.transform(
-                    base,
+                    F.col("_hb"),
                     lambda h: (
                         h * F.lit(2 * (seed + i) + 1) + F.lit(7919 * (i + 1))
                     ) % F.lit(_P),
@@ -215,7 +231,7 @@ def with_minhash(
             for i in range(num_hashes)
         ]
     )
-    return sh.withColumn(out, sig).drop("_sh")
+    return hashed.withColumn(out, sig).drop("_sh", "_hb")
 
 
 def minhash_lsh_pairs(
@@ -313,28 +329,39 @@ def with_simhash(
 
         return F.aggregate(hashes, F.lit(0), merge)
 
+    # hoist the token-hash arrays into their own columns: every one of the
+    # 30/64 bit-expressions references them, and inlined they would be
+    # re-evaluated once per bit instead of once per token (the md5-based
+    # portable hash made this the dominant cost of the whole operator).
     bit_exprs = []
     if hash_fn == "portable":
-        h1 = F.transform(toks, lambda t: portable_str_hash(t, 7))
-        h2 = F.transform(toks, lambda t: portable_str_hash(t, 13))
-        specs = [(h1, k) for k in range(30)] + [(h2, k) for k in range(30)]
+        base = df.withColumn(
+            "_h1", F.transform(toks, lambda t: portable_str_hash(t, 7))
+        ).withColumn(
+            "_h2", F.transform(toks, lambda t: portable_str_hash(t, 13))
+        )
+        specs = [(F.col("_h1"), k) for k in range(30)] + [
+            (F.col("_h2"), k) for k in range(30)
+        ]
         for k, (hashes, src_bit) in enumerate(specs):
             bit_exprs.append(
                 F.when(_votes(hashes, src_bit) > 0, F.lit(1 << k).cast("long"))
                 .otherwise(F.lit(0).cast("long"))
             )
+        drop_cols = ["_h1", "_h2"]
     else:
-        hashes = F.transform(toks, lambda t: F.xxhash64(t))
+        base = df.withColumn("_h", F.transform(toks, lambda t: F.xxhash64(t)))
         for k in range(64):
             bit_val = (1 << k) if k < 63 else -(1 << 63)  # bit 63 = sign bit
             bit_exprs.append(
-                F.when(_votes(hashes, k) > 0, F.lit(bit_val).cast("long"))
+                F.when(_votes(F.col("_h"), k) > 0, F.lit(bit_val).cast("long"))
                 .otherwise(F.lit(0).cast("long"))
             )
+        drop_cols = ["_h"]
     fp = bit_exprs[0]
     for e in bit_exprs[1:]:
         fp = fp + e
-    return df.withColumn(out, fp)
+    return base.withColumn(out, fp).drop(*drop_cols)
 
 
 def simhash_pairs(

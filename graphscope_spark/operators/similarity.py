@@ -115,7 +115,11 @@ def with_lsh_signature(
 ) -> DataFrame:
     """Add ``out`` = array of ``tables`` signatures (one long per table),
     each the sign-pattern of ``bits`` random hyperplane projections."""
-    v = _as_double(vec_col)
+    # hoist the float→double array cast into its own column: inlined, the
+    # cast would re-materialize the converted array once per projection
+    # (tables×bits times per row) instead of once.
+    df = df.withColumn("_vd", _as_double(vec_col))
+    v = F.col("_vd")
     sigs = []
     for t in range(tables):
         bitsum = None
@@ -124,7 +128,7 @@ def with_lsh_signature(
             bit = F.when(proj >= 0, F.lit(1 << b)).otherwise(F.lit(0))
             bitsum = bit if bitsum is None else (bitsum + bit)
         sigs.append((bitsum + F.lit(t * (1 << 32))).cast("long"))
-    return df.withColumn(out, F.array(*sigs))
+    return df.withColumn(out, F.array(*sigs)).drop("_vd")
 
 
 def lsh_topk(
