@@ -38,7 +38,6 @@ from pyspark.storagelevel import StorageLevel
 
 from graphscope_spark.engine.superstep import run_supersteps
 from graphscope_spark.graph.graph import Graph
-from graphscope_spark.engine.tuning import tuned_loop
 
 __all__ = ["bcc_edges", "bridges", "articulation_points"]
 
@@ -273,7 +272,6 @@ def _tree_info(graph: Graph) -> tuple[DataFrame, DataFrame, DataFrame]:
     return full, edges, nt
 
 
-@tuned_loop
 def bcc_edges(graph: Graph) -> DataFrame:
     """(src, dst, bcc) for every undirected simple edge (src < dst by
     preorder→id canonicalization... src/dst returned as (min,max) id order);
@@ -369,7 +367,6 @@ def bcc_edges(graph: Graph) -> DataFrame:
     return out
 
 
-@tuned_loop
 def bridges(graph: Graph) -> DataFrame:
     """(src, dst) undirected edges whose removal disconnects their component
     = BCCs containing exactly one edge."""
@@ -383,7 +380,6 @@ def bridges(graph: Graph) -> DataFrame:
     return be.join(singles, "bcc", "left_semi").select("src", "dst")
 
 
-@tuned_loop
 def articulation_points(graph: Graph) -> DataFrame:
     """(id) vertices belonging to ≥ 2 biconnected components."""
     be = bcc_edges(graph)
