@@ -198,25 +198,24 @@ def _rank_rounds(
         .repartition(P, "src")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    state = init_d.localCheckpoint(eager=True)  # unranked: (id, d, core)
-    frontier = state.select("id")
-    ranked_parts: list[DataFrame] = []
+    # rank and frontier membership (f = received a decrement last round)
+    # live INSIDE the one checkpointed state: the now/survivor splits and
+    # the emptiness probe are then filters over the checkpoint instead of a
+    # semi-join + anti-join + a probe that re-runs the decrement join.
+    state = init_d.select(
+        "id", "d", "core",
+        F.lit(-1).cast("int").alias("rank"),
+        F.lit(True).alias("f"),
+    ).localCheckpoint(eager=True)
+    now_cond = F.col("f") & (F.col("rank") < 0) & (F.col("d") <= threshold_col)
     for rnd in range(max_rounds):
-        if frontier.isEmpty():
-            break
-        now = (
-            state.join(frontier, "id", "left_semi")
-            .filter(F.col("d") <= threshold_col)
-            .localCheckpoint(eager=True)
-        )
-        ranked_parts.append(now.select("id", F.lit(rnd).cast("int").alias("rank")))
+        now = state.filter(now_cond)
         recv = edges.join(
             now.select(F.col("id").alias("src"), F.col("core").alias("score")),
             "src",
         )
-        survivors = state.join(now.select("id"), "id", "left_anti")
         recv = recv.join(
-            survivors.select(
+            state.filter((F.col("rank") < 0) & ~now_cond).select(
                 F.col("id").alias("dst"), F.col("core").alias("dcore")
             ),
             "dst",
@@ -227,25 +226,29 @@ def _rank_rounds(
             F.count(F.lit(1)).cast("long").alias("hit")
         )
         state = (
-            survivors.join(cnt, "id", "left")
+            state.join(cnt, "id", "left")
             .select(
-                "id", (F.col("d") - F.coalesce("hit", F.lit(0))).alias("d"), "core"
+                "id",
+                (F.col("d") - F.coalesce("hit", F.lit(0))).alias("d"),
+                "core",
+                F.when(F.col("rank") >= 0, F.col("rank"))
+                .when(now_cond, F.lit(rnd))
+                .otherwise(F.lit(-1))
+                .cast("int")
+                .alias("rank"),
+                F.col("hit").isNotNull().alias("f"),
             )
             .localCheckpoint(eager=True)
         )
-        frontier = cnt.select("id")
+        if state.filter("f AND rank < 0").isEmpty():
+            break
     edges.unpersist()
     und.unpersist()
-    out = graph.vertices.select("id")
-    if ranked_parts:
-        rk = ranked_parts[0]
-        for p in ranked_parts[1:]:
-            rk = rk.unionByName(p)
-        out = out.join(rk, "id", "left")
-        return out.select(
-            "id", F.coalesce("rank", F.lit(-1)).cast("int").alias("rank")
-        )
-    return out.select("id", F.lit(-1).cast("int").alias("rank"))
+    return (
+        graph.vertices.select("id")
+        .join(state.select("id", "rank"), "id", "left")
+        .select("id", F.coalesce("rank", F.lit(-1)).cast("int").alias("rank"))
+    )
 
 
 @tuned_loop

@@ -542,22 +542,21 @@ def weighted_neighbor_sample(
         ).limit(0)
     bucket_w = int(maxw)
 
+    # full-width 63-bit probe for the fast path: _hash_col caps at 2^31-1,
+    # so a hub with W_v > 2^31 would never probe intervals past 2^31 (those
+    # neighbors get zero probability) and modulo bias grows as W_v nears the
+    # hash range. The portable/oracle path keeps the 31-bit hash (DuckDB
+    # replay) — its documented bound is W_v = sum(round(w·scale)) ≪ 2^31.
+    draw_key = F.concat_ws(":", F.lit(seed), F.col("src"), F.col("draw"))
+    if hash_fn == "portable":
+        draw_hash = _hash_col(hash_fn, draw_key)
+    else:
+        draw_hash = F.abs(F.xxhash64(draw_key)) % F.lit((1 << 63) - 25)
     draws = (
         totals.select("src", "_w", F.explode(
             F.sequence(F.lit(0), F.lit(int(k) - 1))
         ).alias("draw"))
-        .withColumn(
-            "t",
-            F.pmod(
-                _hash_col(
-                    hash_fn,
-                    F.concat_ws(
-                        ":", F.lit(seed), F.col("src"), F.col("draw")
-                    ),
-                ),
-                F.col("_w"),
-            ),
-        )
+        .withColumn("t", F.pmod(draw_hash, F.col("_w")))
         .withColumn("_bk", (F.col("t") / bucket_w).cast("long"))
     )
     buckets = intervals.withColumn(

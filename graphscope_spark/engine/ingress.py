@@ -236,6 +236,10 @@ def sssp_delta_delete(
         .join(ddst, "dst")
         .where(F.col("dd") == F.col("ds") + F.col("w"))
         .select(F.col("dst").alias("id"))
+        # the source's distance 0 can never be invalidated by a deletion,
+        # but a deleted ZERO-WEIGHT tight edge into the source would put it
+        # in the cone, reset it to +inf and corrupt the whole repair
+        .where(F.col("id") != source)
         .distinct()
         .localCheckpoint()
     )
@@ -251,18 +255,26 @@ def sssp_delta_delete(
         .localCheckpoint()
     )
     frontier = cone
+    closed = False
     for _ in range(max_cone_iter):
         nxt = (
             tight.join(frontier.withColumnRenamed("id", "src"), "src")
             .select(F.col("dst").alias("id"))
+            .where(F.col("id") != source)
             .distinct()
             .join(cone, "id", "left_anti")
             .localCheckpoint()
         )
         if nxt.limit(1).count() == 0:
+            closed = True
             break
         cone = cone.unionByName(nxt).localCheckpoint()
         frontier = nxt
+    if not closed:
+        # cone deeper than max_cone_iter: stale vertices outside it would
+        # keep silently-wrong distances — fall back to the slow-but-correct
+        # cold recompute instead of returning a partial repair
+        return sssp(g2, source, weight_col=weight_col, max_iter=max_iter)
 
     in_cone = cone.withColumn("_c", F.lit(True))
     boundary = (
@@ -373,6 +385,7 @@ def bfs_delta_delete(
         .localCheckpoint()
     )
     frontier = cone
+    closed = False
     for _ in range(max_cone_iter):
         nxt = (
             tight.join(frontier.withColumnRenamed("id", "src"), "src")
@@ -382,9 +395,13 @@ def bfs_delta_delete(
             .localCheckpoint()
         )
         if nxt.limit(1).count() == 0:
+            closed = True
             break
         cone = cone.unionByName(nxt).localCheckpoint()
         frontier = nxt
+    if not closed:
+        # incomplete cone ⇒ silently-wrong depths outside it; recompute cold
+        return bfs(g2, source, max_depth=max_depth)
 
     in_cone = cone.withColumn("_c", F.lit(True))
     boundary = (

@@ -35,8 +35,14 @@ def _as_double(col):
     return F.col(col).cast("array<double>")
 
 
-def with_cosine(df: DataFrame, a: str, b: str, out: str = "sim", ndigits: int | None = 5) -> DataFrame:
-    """cosine(a, b) in float64: dot / sqrt(|a|²·|b|²)."""
+def with_cosine(
+    df: DataFrame, a: str, b: str, out: str = "sim",
+    ndigits: int | None = 5, dim: int | None = None,
+) -> DataFrame:
+    """cosine(a, b) in float64: dot / sqrt(|a|²·|b|²). (``dim`` is accepted
+    for API stability; the dots are higher-order-function folds either way —
+    a fully unrolled variant was measured OOM-prone under codegen and 3x
+    slower interpreted.)"""
     ca, cb = _as_double(a), _as_double(b)
     sim = _dot(ca, cb) / F.sqrt(_dot(ca, ca) * _dot(cb, cb))
     if ndigits is not None:
@@ -50,6 +56,7 @@ def brute_force_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k: ``(query_id, neighbor_id, sim, rank)``.
 
@@ -65,7 +72,7 @@ def brute_force_topk(
     pairs = F.broadcast(q).crossJoin(c).filter(
         F.col("query_id") != F.col("neighbor_id")
     )
-    sims = with_cosine(pairs, "_qv", "_cv", "sim")
+    sims = with_cosine(pairs, "_qv", "_cv", "sim", dim=dim)
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
     )
@@ -76,6 +83,20 @@ def brute_force_topk(
     )
 
 
+def _plane_vals(dim: int, table: int, bit: int) -> list[float]:
+    """Portable-mode hyperplane components as plain Python floats — the
+    integer hash is evaluated once here instead of per row (the per-row
+    expression tree was 64 hash evaluations per projection per row)."""
+    base = table * 1_000_003 + bit * 10_007
+    vals = []
+    for d in range(dim):
+        x = base + d
+        u = (x * x) % 1_000_000_007
+        w = (u * 2_654_435_761) % 1_000_000_007
+        vals.append(float(w % 2_000_001 - 1_000_000))
+    return vals
+
+
 def _hyperplane(dim: int, table: int, bit: int, hash_fn: str = "xxhash64"):
     """Deterministic pseudo-random hyperplane as an array expression: component
     d = a centered hash of (table, bit, d) — seeded, reproducible.
@@ -84,17 +105,7 @@ def _hyperplane(dim: int, table: int, bit: int, hash_fn: str = "xxhash64"):
     (x² mod p breaks the linear lattice a multiplicative hash alone would
     put in the components); recall vs brute force is pytest-asserted."""
     if hash_fn == "portable":
-        # plane components are constants — evaluate the integer hash in
-        # Python and emit a literal array (the per-row expression tree was
-        # 64 hash evaluations per projection per row)
-        base = table * 1_000_003 + bit * 10_007
-        vals = []
-        for d in range(dim):
-            x = base + d
-            u = (x * x) % 1_000_000_007
-            w = (u * 2_654_435_761) % 1_000_000_007
-            vals.append(float(w % 2_000_001 - 1_000_000))
-        return F.array(*[F.lit(v) for v in vals])
+        return F.array(*[F.lit(v) for v in _plane_vals(dim, table, bit)])
     return F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda d: (
@@ -102,6 +113,67 @@ def _hyperplane(dim: int, table: int, bit: int, hash_fn: str = "xxhash64"):
             - F.lit(1_000_000)
         ).cast("double"),
     )
+
+
+def _portable_signatures_arrow(dim: int, bits: int, tables: int):
+    """Vectorized Arrow kernel for PORTABLE-mode LSH signatures (guide §4:
+    heavyweight numeric kernel → pandas UDF, not per-row expressions).
+
+    The portable hyperplanes are compile-time constants, so the whole
+    signature pass is a fixed (dim × tables·bits) matrix product. The JVM
+    rendering evaluated it as tables·bits interpreted ``aggregate(zip_with)``
+    folds per row — measured 8-11 s of the embedding_lsh_topk query at
+    sf0.1; a fully unrolled Catalyst expression was measured WORSE (codegen
+    OOM at 16g / 3x slower interpreted). This kernel is bit-exact with the
+    JVM fold: products are the same IEEE doubles, ``np.cumsum`` accumulates
+    in the same sequential left-fold order, and the sign test mirrors Spark
+    semantics (NaN ≥ 0 is true; ±0.0 both set the bit). Degenerate rows
+    (null vector, length ≠ dim) get the all-zero-bit signature ``t·2³²``,
+    exactly like the null-poisoned fold they would produce in the JVM.
+    """
+    import numpy as np
+    import pandas as pd  # noqa: F401 — resolves the UDF type hints
+    from pyspark.sql.functions import pandas_udf
+
+    globals().setdefault("pd", pd)  # postponed annotations: hints resolve
+    # against module globals, and pandas is only imported lazily here
+
+    W = np.empty((dim, tables * bits), dtype=np.float64)
+    for t in range(tables):
+        for b in range(bits):
+            W[:, t * bits + b] = _plane_vals(dim, t, b)
+    bitw = np.array([1 << b for b in range(bits)], dtype=np.int64)
+    base = np.array([t << 32 for t in range(tables)], dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def _sig(vecs: pd.Series) -> pd.Series:
+        res: list = [None] * len(vecs)
+        good_idx: list = []
+        good_rows: list = []
+        for i, v in enumerate(vecs):
+            if v is not None and not isinstance(v, float) and len(v) == dim:
+                good_idx.append(i)
+                good_rows.append(np.asarray(v, dtype=np.float64))
+            else:
+                res[i] = [int(x) for x in base]
+        if good_rows:
+            V = np.stack(good_rows)
+            for s in range(0, len(V), 2048):
+                chunk = V[s:s + 2048]
+                # (rows, dim, planes): per-term products, then a cumulative
+                # sum along dim — np.cumsum is sequential accumulation, the
+                # same fold order as aggregate(..., 0.0, acc + x)
+                terms = chunk[:, :, None] * W[None, :, :]
+                proj = np.cumsum(terms, axis=1)[:, -1, :]
+                bitset = np.isnan(proj) | (proj >= 0.0)
+                sigs = (
+                    bitset.reshape(len(chunk), tables, bits) * bitw
+                ).sum(axis=2) + base
+                for j in range(len(chunk)):
+                    res[good_idx[s + j]] = [int(x) for x in sigs[j]]
+        return pd.Series(res)
+
+    return _sig
 
 
 def with_lsh_signature(
@@ -118,6 +190,10 @@ def with_lsh_signature(
     # hoist the float→double array cast into its own column: inlined, the
     # cast would re-materialize the converted array once per projection
     # (tables×bits times per row) instead of once.
+    if hash_fn == "portable":
+        return df.withColumn(
+            out, _portable_signatures_arrow(dim, bits, tables)(F.col(vec_col))
+        )
     df = df.withColumn("_vd", _as_double(vec_col))
     v = F.col("_vd")
     sigs = []
@@ -160,7 +236,7 @@ def lsh_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    sims = with_cosine(cand, "_qv", "_cv", "sim")
+    sims = with_cosine(cand, "_qv", "_cv", "sim", dim=dim)
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
     )
@@ -197,7 +273,7 @@ def cosine_neardup_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    sims = with_cosine(cand, "_va", "_vb", "sim")
+    sims = with_cosine(cand, "_va", "_vb", "sim", dim=dim)
     return sims.filter(F.col("sim") >= threshold).select("id_a", "id_b", "sim")
 
 

@@ -61,6 +61,16 @@ class StreamingWCC:
         if not batch_df.take(1):
             return
         if "op" in batch_df.columns:
+            bad = batch_df.filter(
+                F.col("op").isNull() | ~F.col("op").isin("add", "del")
+            )
+            sample = bad.take(1)
+            if sample:
+                raise ValueError(
+                    "graph_stream: batch contains rows with unexpected op "
+                    f"value {sample[0]['op']!r} (expected 'add'/'del') — "
+                    "refusing to silently drop edges"
+                )
             adds = batch_df.filter(F.col("op") == "add").select("src", "dst")
             dels = batch_df.filter(F.col("op") == "del").select("src", "dst")
         else:
