@@ -135,3 +135,46 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     )
     b = {(r["query_id"], r["neighbor_id"]) for r in again.collect()}
     assert a == b, "IVF result depends on partitioning"
+
+
+def test_portable_lsh_signature_matches_jvm_fold(spark):
+    """The Arrow signature kernel must be bit-exact with the JVM
+    aggregate/zip_with fold it replaced (same products, same sequential
+    sum order, same sign test)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    import graphscope_spark.operators.similarity as S
+
+    dim, bits, tables = 8, 4, 3
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1.0, 1.0) for _ in range(dim)]) for i in range(50)
+    ]
+    rows.append((100, [0.0] * dim))
+    rows.append((101, [-1e-12] * dim))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    arrow = {
+        r["vec_id"]: list(r["_sig"])
+        for r in S.with_lsh_signature(
+            df, dim, bits, tables, "embedding", hash_fn="portable"
+        ).collect()
+    }
+    dfd = df.withColumn("_vd", S._as_double("embedding"))
+    v = F.col("_vd")
+    sigs = []
+    for t in range(tables):
+        bitsum = None
+        for b in range(bits):
+            proj = S._dot(
+                v, F.array(*[F.lit(x) for x in S._plane_vals(dim, t, b)])
+            )
+            bit = F.when(proj >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+            bitsum = bit if bitsum is None else (bitsum + bit)
+        sigs.append((bitsum + F.lit(t * (1 << 32))).cast("long"))
+    jvm = {
+        r["vec_id"]: list(r["_sig"])
+        for r in dfd.withColumn("_sig", F.array(*sigs)).collect()
+    }
+    assert arrow == jvm

@@ -103,3 +103,17 @@ def test_streaming_wcc_mixed_ops_matches_cold(spark, tmp_path):
     got = sorted(tuple(r) for r in s.components.collect())
     want = sorted(tuple(r) for r in wcc(g_net).collect())
     assert got == want
+
+
+def test_streaming_wcc_rejects_unknown_op(spark):
+    import pytest
+
+    from graphscope_spark.streaming.graph_stream import StreamingWCC
+
+    g = make_graph(spark, [(0, 1)], vertices=[0, 1])
+    s = StreamingWCC(g)
+    batch = spark.createDataFrame(
+        [(0, 1, "upsert")], "src long, dst long, op string"
+    )
+    with pytest.raises(ValueError, match="unexpected op"):
+        s.process_batch(batch, 0)

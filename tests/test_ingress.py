@@ -324,3 +324,50 @@ def test_bfs_delta_delete_unreachable_after(spark):
     ddf = spark.createDataFrame([(1, 2)], "src long, dst long")
     got = dict(_rows(bfs_delta_delete(g, ddf, prev, 0)))
     assert got[2] == -1 and got[1] == 1 and got[0] == 0
+
+
+def test_sssp_delta_delete_cone_cap_falls_back_to_full(spark):
+    from graphscope_spark.algorithms.traversal import sssp
+    from graphscope_spark.engine.ingress import sssp_delta_delete
+
+    # 0->1->...->9 chain; deleting (0,1) invalidates a 9-deep cone. With
+    # max_cone_iter too small the closure cannot finish — the kernel must
+    # fall back to the cold recompute, never return stale distances for the
+    # vertices outside the partial cone.
+    chain = [(i, i + 1, 1.0) for i in range(9)]
+    g = make_graph(spark, chain, vertices=list(range(10)), weights=True)
+    prev = sssp(g, 0)
+    ddf = spark.createDataFrame([(0, 1)], "src long, dst long")
+    got = _rows(sssp_delta_delete(g, ddf, prev, 0, max_cone_iter=2))
+    want = _rows(sssp(g.remove_edges(ddf), 0))
+    assert got == want
+
+
+def test_bfs_delta_delete_cone_cap_falls_back_to_full(spark):
+    from graphscope_spark.algorithms.traversal import bfs
+    from graphscope_spark.engine.ingress import bfs_delta_delete
+
+    chain = [(i, i + 1) for i in range(9)]
+    g = make_graph(spark, chain, vertices=list(range(10)))
+    prev = bfs(g, 0)
+    ddf = spark.createDataFrame([(0, 1)], "src long, dst long")
+    got = _rows(bfs_delta_delete(g, ddf, prev, 0, max_cone_iter=2))
+    want = _rows(bfs(g.remove_edges(ddf), 0))
+    assert got == want
+
+
+def test_sssp_delta_delete_zero_weight_edge_into_source(spark):
+    from graphscope_spark.algorithms.traversal import sssp
+    from graphscope_spark.engine.ingress import sssp_delta_delete
+
+    # (1, 0) has weight 0 and is tight (dist 1 = 0 via the 0-weight cycle):
+    # deleting it must NOT pull the source into the cone — its distance 0
+    # can never be invalidated by an edge deletion.
+    g = make_graph(
+        spark, [(0, 1, 0.0), (1, 0, 0.0), (0, 2, 1.0)],
+        vertices=[0, 1, 2], weights=True,
+    )
+    prev = sssp(g, 0)
+    ddf = spark.createDataFrame([(1, 0)], "src long, dst long")
+    got = dict(_rows(sssp_delta_delete(g, ddf, prev, 0)))
+    assert got[0] == 0.0 and got[1] == 0.0 and got[2] == 1.0
